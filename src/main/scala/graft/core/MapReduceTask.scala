@@ -1,0 +1,33 @@
+package graft.core
+
+/** The user contract of the updatable persistent map/reduce index.
+  *
+  * Mirrors the reference's 4-method abstract task
+  * (reference: `MapReduce/MapReduceTask.cs:6-15`):
+  *
+  *   - `map`: batch-at-a-time flat transform of documents into
+  *     `(documentId, reduceEntry)` tuples; may emit 0..n entries per doc
+  *     (`MapReduceTask.cs:8`).
+  *   - `reduce`: associative aggregation `R* => R*` that MUST be
+  *     re-reducible — applicable to its own output:
+  *     `reduce(a ++ b) == reduce(reduce(a) ++ reduce(b))` up to set
+  *     equality (`MapReduceTask.cs:10`; invoked at two tree levels,
+  *     `Executer.cs:53,56,67`). This is exactly Spark's partial/final
+  *     aggregation merge contract.
+  *   - `reduceKey`: grouping key derived from a reduce entry, not from the
+  *     document (`MapReduceTask.cs:12`).
+  *   - `documentId`: the document primary key used for invalidation on
+  *     update (`MapReduceTask.cs:14`). Document ids are case-insensitive
+  *     (`Executer.cs:246-247,302`) — the engine normalizes them once at
+  *     the boundary.
+  *
+  * @tparam D document (map input) type
+  * @tparam R reduce entry type — one type serves as both reduce input and
+  *           output ("re-reducible" closure property)
+  */
+trait MapReduceTask[D, R] extends Serializable {
+  def map(docs: Iterator[D]): Iterator[(String, R)]
+  def reduce(entries: Iterator[R]): Iterator[R]
+  def reduceKey(entry: R): String
+  def documentId(doc: D): String
+}

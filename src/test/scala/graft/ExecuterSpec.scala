@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Executer, ExecuterConfig, MapReduceTask}
+
+case class Person(id: String, state: String)
+case class StatePop(state: String, count: Long)
+
+/** The reference's sample task: COUNT(*) GROUP BY state
+  * (`MapReduce/PeopleCountByState.cs`). */
+object PeopleCountByState extends MapReduceTask[Person, StatePop] {
+  def map(docs: Iterator[Person]): Iterator[(String, StatePop)] =
+    docs.map(p => (p.id, StatePop(p.state, 1L)))
+  def reduce(entries: Iterator[StatePop]): Iterator[StatePop] =
+    entries.toSeq.groupBy(_.state)
+      .map { case (s, es) => StatePop(s, es.map(_.count).sum) }.iterator
+  def reduceKey(e: StatePop): String = e.state
+  def documentId(p: Person): String = p.id
+}
+
+class ExecuterSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-exec").toString
+
+  private def counts(ex: Executer[Person, StatePop]): Map[String, Long] =
+    ex.queryAll().as[(String, String, Long)].collect()
+      .map { case (_, s, c) => s -> c }.toMap
+
+  /** Golden end-to-end — the reference's own acceptance scenario
+    * (`MapReduce/Program.cs:26-44`): 397 CA + 256 TX, query, move
+    * `people-30` CA→TX, total invariant. */
+  test("golden: build, query, incremental single-doc update") {
+    val store = tmp()
+    val ex = new Executer(PeopleCountByState, store)
+    val people =
+      (1 to 397).map(i => Person(s"people-$i", "CA")) ++
+      (398 to 653).map(i => Person(s"people-$i", "TX"))
+    ex.execute(spark.createDataset(people))
+
+    assert(ex.query("CA").collect().toSeq == Seq(StatePop("CA", 397L)))
+    assert(ex.query("TX").collect().toSeq == Seq(StatePop("TX", 256L)))
+    assert(counts(ex).values.sum == 653L)
+
+    // Update: re-submit people-30 with state=TX (Program.cs:35-39).
+    ex.execute(spark.createDataset(Seq(Person("people-30", "TX"))))
+    assert(ex.query("CA").collect().toSeq == Seq(StatePop("CA", 396L)))
+    assert(ex.query("TX").collect().toSeq == Seq(StatePop("TX", 257L)))
+    assert(counts(ex).values.sum == 653L)
+
+    // Missing key yields empty, not an error (Executer.cs:373-375).
+    assert(ex.query("ZZ").collect().isEmpty)
+  }
+
+  /** Document ids are case-insensitive (`Executer.cs:246-247,302`):
+    * re-submitting "PEOPLE-30" must replace "people-30". */
+  test("case-insensitive document ids") {
+    val store = tmp()
+    val ex = new Executer(PeopleCountByState, store)
+    ex.execute(spark.createDataset(Seq(
+      Person("people-1", "CA"), Person("people-2", "TX"))))
+    ex.execute(spark.createDataset(Seq(Person("PEOPLE-1", "TX"))))
+    assert(counts(ex) == Map("TX" -> 2L))
+    assert(ex.query("CA").collect().isEmpty)
+  }
+
+  /** Update idempotence: re-submitting an identical doc changes nothing
+    * (SURVEY.md §5.2). */
+  test("update idempotence") {
+    val store = tmp()
+    val ex = new Executer(PeopleCountByState, store)
+    ex.execute(spark.createDataset(Seq(
+      Person("a", "CA"), Person("b", "CA"), Person("c", "NY"))))
+    val before = counts(ex)
+    ex.execute(spark.createDataset(Seq(Person("a", "CA"))))
+    assert(counts(ex) == before)
+  }
+
+  /** Incremental ≡ batch: a random sequence of inserts and re-submissions
+    * applied incrementally must equal a single full recompute of the final
+    * document state (SURVEY.md §5.2). Deterministic seed. */
+  test("incremental equals batch under random updates") {
+    val rnd = new scala.util.Random(42)
+    val states = Array("CA", "TX", "NY", "WA", "OR")
+    val ids = (1 to 120).map(i => s"doc-$i")
+
+    val batches = (1 to 6).map { _ =>
+      (1 to 40).map { _ =>
+        Person(ids(rnd.nextInt(ids.length)), states(rnd.nextInt(states.length)))
+      }
+    }
+    // Within one batch the reference keeps the LAST occurrence of a doc id
+    // winning is not defined — feed deduped batches (last wins) to both.
+    val dedupedBatches = batches.map(_.groupBy(_.id.toUpperCase).map(_._2.last).toSeq)
+
+    val incEx = new Executer(PeopleCountByState, tmp())
+    dedupedBatches.foreach(b => incEx.execute(spark.createDataset(b)))
+
+    val finalState = dedupedBatches.flatten
+      .groupBy(_.id.toUpperCase).map(_._2.last).toSeq
+    val batchEx = new Executer(PeopleCountByState, tmp())
+    batchEx.execute(spark.createDataset(finalState))
+
+    assert(counts(incEx) == counts(batchEx))
+    assert(counts(incEx).values.sum == finalState.size.toLong)
+  }
+
+  /** Multi-output reduce (R* => R*) and multi-key maps work; a doc that
+    * remaps to a different key disappears from the old key entirely. */
+  test("small tree config exercises multi-parent paths") {
+    // Tiny fan-in so multiple parents/buckets are hit even with few docs.
+    val store = tmp()
+    val ex = new Executer(PeopleCountByState, store, ExecuterConfig(fanIn = 4, finalParts = 4))
+    val people = (1 to 50).map(i => Person(s"p-$i", if (i % 2 == 0) "CA" else "TX"))
+    ex.execute(spark.createDataset(people))
+    assert(counts(ex) == Map("CA" -> 25L, "TX" -> 25L))
+    ex.execute(spark.createDataset(Seq(Person("p-2", "TX"))))
+    assert(counts(ex) == Map("CA" -> 24L, "TX" -> 26L))
+  }
+
+  test("delete drops all state for a key") {
+    val store = tmp()
+    val ex = new Executer(PeopleCountByState, store)
+    ex.execute(spark.createDataset(Seq(
+      Person("a", "CA"), Person("b", "TX"))))
+    ex.delete("CA")
+    assert(ex.query("CA").collect().isEmpty)
+    assert(counts(ex) == Map("TX" -> 1L))
+  }
+}
