@@ -1,24 +1,61 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+
+import graft.ops.IndexQueries
+import graft.core.{Executer, ExecuterConfig}
+
+/** Benchmark main. Emits ONE JSON line:
+  * `{"metric":"total","value":<sum sec>,"unit":"sec","queries":{...},"sf":...}`
+  * plus extra top-level fields for the incremental-maintenance headline
+  * (the reference's entire reason to exist, BASELINE.md): time of a full
+  * index rebuild vs a 1-document incremental update at the same SF.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    implicit val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    import spark.implicits._
+
+    // Warmup: JVM/codegen/parquet-footer costs paid before any timing.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> time { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
+    }
+
+    // Incremental-maintenance headline: full rebuild vs 1-doc update.
+    val store = Files.createTempDirectory("graft-bench-ivm").toString
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .as[IndexQueries.OrderDoc]
+    val ex = new Executer(IndexQueries.OrdersByPriority, store,
+      ExecuterConfig(fanIn = 64, finalParts = 16))
+    val fullBuild = time { ex.execute(orders) }
+    val oneDoc = orders.limit(1).collect().toSeq
+      .map(o => o.copy(o_totalprice = o.o_totalprice * 2))
+    val incUpdate = time { ex.execute(spark.createDataset(oneDoc)) }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","inc_full_build_sec":$fullBuild%.3f,"inc_update_1doc_sec":$incUpdate%.3f,"inc_speedup":${fullBuild / math.max(incUpdate, 1e-9)}%.2f}""")
     spark.stop()
   }
 }

@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{Dedup, EmbeddingOps, IndexQueries, Multimodal, Relational, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator surface (one entry per implemented
+  * operator from SURVEY.md §2 plus the north-star LLM-pipeline
+  * extensions); `oracleSql` carries the exact-match DuckDB oracle for
+  * each. Column names and types are aligned on both sides; money
+  * aggregates go through exact decimal arithmetic so results are
+  * hash-identical regardless of execution order (see
+  * [[graft.ops.Tables.dec]]).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ TextOps.queries ++ Dedup.queries ++
+      EmbeddingOps.queries ++ IndexQueries.queries ++ Multimodal.queries
+
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
+      EmbeddingOps.oracles ++ IndexQueries.oracles ++ Multimodal.oracles
 }

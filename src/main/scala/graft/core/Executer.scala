@@ -117,7 +117,19 @@ class Executer[D, R <: Product: TypeTag](
       rereduce(dirty)
       clearDirtyLog()
     } else {
+      // A document's bucket (hence `parent` partition) is a pure function
+      // of its id — so every prior contribution of the incoming ids lives
+      // in the parents of the incoming ids. Partition-prune the stale
+      // lookup to those parents (≤ fanIn values collected): a k-doc
+      // update scans O(k/fanIn of the table), never all of it. This
+      // replaces the reference's per-doc directory lookup
+      // (`Executer.cs:245-250`) with a pruned semi join.
+      val incomingParents = incomingIds
+        .select((StableBucketHash.stableBucket($"doc_id", config.buckets)
+          / lit(config.fanIn)).cast("int") as "parent")
+        .distinct().as[Int].collect().sorted
       val existing = readMapResults()
+        .where($"parent".isin(incomingParents.map(Integer.valueOf): _*))
       // Prior contributions of incoming ids — across ALL reduce keys the
       // doc previously mapped to (`Executer.cs:253-258`).
       val stale = existing.join(incomingIds, Seq("doc_id"), "left_semi")

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Near-duplicate detection family over `documents` (north-star
+  * extension): MinHash + LSH banding, SimHash, and exact n-gram Jaccard
+  * verification.
+  *
+  * All hashes derive from `md5` so every stage is reproducible in any
+  * engine (the DuckDB oracle runs the identical pipeline). Pipeline
+  * shape is the 100 TB one:
+  *
+  *   shingle → per-seed MinHash signature → band hash → equi-JOIN on
+  *   (band, hash) for candidates → exact Jaccard re-rank on candidates.
+  *
+  * The only join is an equi-join on band signatures, so candidate
+  * generation shuffles each doc k_bands times regardless of corpus size;
+  * the quadratic exact-Jaccard step runs only within candidate buckets.
+  */
+object Dedup {
+
+  private val NumHashes = 8
+  private val Bands = 4 // 4 bands × 2 rows
+
+  /** Distinct 3-word shingles of a text column. */
+  private def shingles(text: Column): Column = {
+    val words = split(text, "\\s+")
+    val n = size(words)
+    array_distinct(transform(
+      sequence(lit(0), n - lit(3)),
+      i => concat_ws(" ", element_at(words, i + 1),
+        element_at(words, i + 2), element_at(words, i + 3))))
+  }
+
+  /** MinHash signature slot `seed`: min md5 over seeded shingles. */
+  private def minhash(sh: Column, seed: Int): Column =
+    array_min(transform(sh, x => md5(concat(lit(s"$seed:"), x))))
+
+  private def bandHash(sh: Column, band: Int): Column = {
+    val rows = NumHashes / Bands
+    md5(concat_ws("|",
+      (0 until rows).map(r => minhash(sh, band * rows + r)): _*))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Full MinHash signature table (the persisted artifact an
+    // incremental dedup index maintains per doc).
+    "q26_minhash_signatures" -> { (s, dir) =>
+      import s.implicits._
+      val sh = shingles($"text")
+      t(s, dir, "documents")
+        .where(size(split($"text", "\\s+")) >= 3)
+        .select($"doc_id" +:
+          (0 until NumHashes).map(i => minhash(sh, i) as s"mh$i"): _*)
+    },
+
+    // LSH banded candidate pairs + exact Jaccard re-rank: the scalable
+    // near-dup join. Output = candidate pairs with their true Jaccard.
+    "q27_lsh_candidate_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .where(size(split($"text", "\\s+")) >= 3)
+        .select($"doc_id", shingles($"text") as "sh")
+      val banded = docs.select($"doc_id", $"sh",
+        explode(array((0 until Bands).map(b =>
+          struct(lit(b) as "band", bandHash($"sh", b) as "bh")): _*)) as "e")
+        .select($"doc_id", $"sh", $"e.band", $"e.bh")
+      val a = banded.select($"band", $"bh", $"doc_id" as "id_a", $"sh" as "sh_a")
+      val b = banded.select($"band", $"bh", $"doc_id" as "id_b", $"sh" as "sh_b")
+      a.join(b, Seq("band", "bh"))
+        .where($"id_a" < $"id_b")
+        .select($"id_a", $"id_b", $"sh_a", $"sh_b").distinct()
+        .select($"id_a", $"id_b",
+          (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+            size(array_union($"sh_a", $"sh_b"))) as "jaccard")
+    },
+
+    // SimHash: 16-bit signature from md5-derived bit votes — the
+    // constant-size near-dup fingerprint (hamming-distance family).
+    "q28_simhash" -> { (s, dir) =>
+      import s.implicits._
+      val words = array_distinct(split($"text", "\\s+"))
+      val sig = (0 until 16).map { bit =>
+        // Vote of each word on this bit: +1 if hex digit `bit` of
+        // md5(word) is >= '8', else -1; bit set iff the sum is >= 0.
+        val votes = aggregate(
+          transform(words, w =>
+            when(substring(md5(w), bit + 1, 1)
+              .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)),
+          lit(0), (acc, v) => acc + v)
+        when(votes >= 0, lit(1 << bit)).otherwise(lit(0))
+      }.reduce(_ + _)
+      t(s, dir, "documents").select($"doc_id", sig as "simhash")
+    })
+
+  private def shinglesSql(tbl: String): String =
+    s"""SELECT doc_id, list_distinct(list_transform(
+       |  generate_series(1, len(string_split_regex(text, '\\s+')) - 2),
+       |  i -> string_split_regex(text, '\\s+')[i] || ' ' ||
+       |       string_split_regex(text, '\\s+')[i+1] || ' ' ||
+       |       string_split_regex(text, '\\s+')[i+2])) AS sh
+       |FROM $tbl WHERE len(string_split_regex(text, '\\s+')) >= 3""".stripMargin
+
+  private def mhSql(seed: Int): String =
+    s"list_min(list_transform(sh, x -> md5('$seed:' || x)))"
+
+  val oracles: Map[String, String] = Map(
+    "q26_minhash_signatures" ->
+      s"""WITH d AS (${shinglesSql("documents")})
+         |SELECT doc_id, ${(0 until NumHashes).map(i => s"${mhSql(i)} AS mh$i").mkString(", ")}
+         |FROM d""".stripMargin,
+    "q27_lsh_candidate_pairs" ->
+      s"""WITH d AS (${shinglesSql("documents")}),
+         |banded AS (
+         |  SELECT doc_id, sh, b.band,
+         |    CASE b.band ${(0 until Bands).map(bd =>
+               s"WHEN $bd THEN md5(${mhSql(bd * 2)} || '|' || ${mhSql(bd * 2 + 1)})").mkString(" ")}
+         |    END AS bh
+         |  FROM d, (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+         |    len(list_distinct(sh_a || sh_b)) AS jaccard
+         |FROM pairs""".stripMargin,
+    "q28_simhash" ->
+      s"""SELECT doc_id,
+         |CAST((SELECT sum(CASE WHEN
+         |    (SELECT sum(CASE WHEN substr(md5(w.w), b.bit + 1, 1) >= '8'
+         |       THEN 1 ELSE -1 END)
+         |     FROM (SELECT unnest(list_distinct(string_split_regex(text, '\\s+'))) AS w) w) >= 0
+         |  THEN power(2, b.bit) ELSE 0 END)
+         |  FROM (SELECT unnest(generate_series(0, 15)) AS bit) b) AS INT) AS simhash
+         |FROM documents""".stripMargin
+  )
+}

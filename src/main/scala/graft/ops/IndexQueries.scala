@@ -1,0 +1,168 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Executer, ExecuterConfig, MapReduceTask}
+import Tables._
+
+/** Queries that exercise the actual updatable-persistent-index engine
+  * ([[graft.core.Executer]]) end-to-end against the DuckDB oracle: build
+  * a persistent index from the synthetic tables, (optionally) apply an
+  * incremental update batch, and return the queryable final results.
+  *
+  * These are the parity proof for the reference's core capability
+  * (updatable persistent grouped aggregation, `MapReduce/Executer.cs`),
+  * graded not as plain `groupBy` — the result is read back from the
+  * persisted index state after incremental maintenance.
+  */
+object IndexQueries {
+
+  case class CustDoc(c_custkey: Long, c_nationkey: Int, c_acctbal: Double)
+  case class NationAgg(nation: String, cnt: Long, acctbal: BigDecimal)
+
+  /** COUNT + SUM(acctbal) by nation over `customer` — the reference's
+    * PeopleCountByState (`MapReduce/PeopleCountByState.cs`) at scale.
+    * Sums are exact BigDecimal so incremental re-reduce order can never
+    * change the result. */
+  object CustByNation extends MapReduceTask[CustDoc, NationAgg] {
+    def map(docs: Iterator[CustDoc]): Iterator[(String, NationAgg)] =
+      docs.map(c => (s"customer-${c.c_custkey}",
+        NationAgg(c.c_nationkey.toString, 1L, BigDecimal(c.c_acctbal))))
+    def reduce(entries: Iterator[NationAgg]): Iterator[NationAgg] =
+      entries.toSeq.groupBy(_.nation).map { case (n, es) =>
+        NationAgg(n, es.map(_.cnt).sum, es.map(_.acctbal).sum)
+      }.iterator
+    def reduceKey(e: NationAgg): String = e.nation
+    def documentId(d: CustDoc): String = s"customer-${d.c_custkey}"
+  }
+
+  case class OrderDoc(o_orderkey: Long, o_orderpriority: String, o_totalprice: Double)
+  case class OrderDoc2(o_orderkey: Long, o_orderpriority: String,
+      o_orderstatus: String, o_totalprice: Double)
+  case class PriorityAgg(priority: String, cnt: Long, total: BigDecimal)
+
+  object OrdersByPriority extends MapReduceTask[OrderDoc, PriorityAgg] {
+    def map(docs: Iterator[OrderDoc]): Iterator[(String, PriorityAgg)] =
+      docs.map(o => (s"orders-${o.o_orderkey}",
+        PriorityAgg(o.o_orderpriority, 1L, BigDecimal(o.o_totalprice))))
+    def reduce(entries: Iterator[PriorityAgg]): Iterator[PriorityAgg] =
+      entries.toSeq.groupBy(_.priority).map { case (p, es) =>
+        PriorityAgg(p, es.map(_.cnt).sum, es.map(_.total).sum)
+      }.iterator
+    def reduceKey(e: PriorityAgg): String = e.priority
+    def documentId(d: OrderDoc): String = s"orders-${d.o_orderkey}"
+  }
+
+  lazy val queries: Map[String, Q] = queries2 ++ Map(
+    // Full build → persisted index → queryAll.
+    "q40_mr_index_build" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val store = Files.createTempDirectory("graft-q40").toString
+      val docs = t(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey", $"c_acctbal").as[CustDoc]
+      val ex = new Executer(CustByNation, store, ExecuterConfig(fanIn = 64, finalParts = 16))
+      ex.execute(docs)
+      ex.queryAll()
+        .select($"reduce_key", $"cnt", toDouble($"acctbal") as "acctbal")
+    },
+
+    // Full build, then an incremental update batch that RE-SUBMITS a
+    // deterministic slice of the documents with mutated payloads
+    // (update = delete + insert, `Executer.cs:240-261`); result must
+    // equal a fresh aggregation over the post-update document state.
+    "q41_mr_index_update" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val store = Files.createTempDirectory("graft-q41").toString
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").as[OrderDoc]
+      val ex = new Executer(OrdersByPriority, store, ExecuterConfig(fanIn = 64, finalParts = 16))
+      ex.execute(orders)
+      // The update: every order with orderkey % 97 == 0 doubles its price
+      // and moves to priority '1-URGENT'.
+      val updates = orders.filter(_.o_orderkey % 97 == 0)
+        .map(o => OrderDoc(o.o_orderkey, "1-URGENT", o.o_totalprice * 2))
+      ex.execute(updates)
+      ex.queryAll()
+        .select($"reduce_key", $"cnt", toDouble($"total") as "total")
+    })
+
+  case class TagAgg(tag: String, cnt: Long, total: BigDecimal)
+
+  /** One document emits MULTIPLE map entries with different reduce keys
+    * (the UDTF nature of `Map`, `MapReduceTask.cs:8` — 0..n entries per
+    * doc): each order contributes to both a `priority:` and a `status:`
+    * aggregate in the same index. */
+  object OrdersMultiTag extends MapReduceTask[OrderDoc2, TagAgg] {
+    def map(docs: Iterator[OrderDoc2]): Iterator[(String, TagAgg)] =
+      docs.flatMap(o => Iterator(
+        (s"orders-${o.o_orderkey}",
+          TagAgg(s"priority:${o.o_orderpriority}", 1L, BigDecimal(o.o_totalprice))),
+        (s"orders-${o.o_orderkey}",
+          TagAgg(s"status:${o.o_orderstatus}", 1L, BigDecimal(o.o_totalprice)))))
+    def reduce(entries: Iterator[TagAgg]): Iterator[TagAgg] =
+      entries.toSeq.groupBy(_.tag).map { case (tg, es) =>
+        TagAgg(tg, es.map(_.cnt).sum, es.map(_.total).sum)
+      }.iterator
+    def reduceKey(e: TagAgg): String = e.tag
+    def documentId(d: OrderDoc2): String = s"orders-${d.o_orderkey}"
+  }
+
+  lazy val queries2: Map[String, Q] = Map(
+    "q42_mr_multi_emit" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val store = Files.createTempDirectory("graft-q42").toString
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus", $"o_totalprice")
+        .as[OrderDoc2]
+      val ex = new Executer(OrdersMultiTag, store, ExecuterConfig(fanIn = 64, finalParts = 16))
+      ex.execute(orders)
+      ex.queryAll()
+        .select($"reduce_key", $"cnt", toDouble($"total") as "total")
+    },
+
+    // Full-key delete (the reference's public `Delete` utility,
+    // `Executer.cs:222-238`): build, then drop one reduce key entirely.
+    "q43_mr_delete_key" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val store = Files.createTempDirectory("graft-q43").toString
+      val custs = t(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey", $"c_acctbal").as[CustDoc]
+      val ex = new Executer(CustByNation, store, ExecuterConfig(fanIn = 64, finalParts = 16))
+      ex.execute(custs)
+      ex.delete("7")
+      ex.queryAll()
+        .select($"reduce_key", $"cnt", toDouble($"acctbal") as "acctbal")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q42_mr_multi_emit" ->
+      s"""SELECT 'priority:' || o_orderpriority AS reduce_key, count(*) AS cnt,
+         |CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS total
+         |FROM orders GROUP BY 1
+         |UNION ALL
+         |SELECT 'status:' || o_orderstatus AS reduce_key, count(*) AS cnt,
+         |CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS total
+         |FROM orders GROUP BY 1""".stripMargin,
+    "q43_mr_delete_key" ->
+      s"""SELECT CAST(c_nationkey AS VARCHAR) AS reduce_key, count(*) AS cnt,
+         |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal
+         |FROM customer WHERE c_nationkey <> 7 GROUP BY 1""".stripMargin,
+    "q40_mr_index_build" ->
+      s"""SELECT CAST(c_nationkey AS VARCHAR) AS reduce_key, count(*) AS cnt,
+         |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal
+         |FROM customer GROUP BY 1""".stripMargin,
+    "q41_mr_index_update" ->
+      s"""SELECT CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
+         |            ELSE o_orderpriority END AS reduce_key,
+         |count(*) AS cnt,
+         |CAST(sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS total
+         |FROM orders GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+object Tables {
+  /** One query in the driver contract: (session, sf-dir) => result. */
+  type Q = (SparkSession, String) => DataFrame
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
+    * Read nanos as long and rebuild a microsecond timestamp (floor-div,
+    * matching how nanosecond-to-microsecond truncation behaves in the
+    * DuckDB oracle). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exact-decimal view of a 2-decimal money column. The synthetic data
+    * generates all money columns as exact 2-decimal doubles, so the
+    * double→decimal cast is exact and decimal sums are order-independent —
+    * which is what makes Spark results hash-identical to the DuckDB
+    * oracle regardless of partitioning / aggregation order. Results are
+    * cast back to double at the end ([[toDouble]]). */
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  def toDouble(c: Column): Column = c.cast("double")
+
+  /** SQL-side mirror of [[dec]] for oracle strings. */
+  def decSql(expr: String): String = s"CAST($expr AS DECIMAL(18,2))"
+}

@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Text-analysis operators for LLM training-data pipelines, over the
+  * `documents` table (north-star extensions beyond the reference surface;
+  * see BASELINE.json).
+  *
+  * Every operator is expressed with codegen'd built-in functions only —
+  * no UDFs — so the whole pipeline stays inside WholeStageCodegen and
+  * scales linearly with input splits. Each has an exact DuckDB oracle:
+  * the heuristics are deterministic functions of the text computed
+  * identically in both engines (integer counts and ratios of integers —
+  * no float-order hazards).
+  */
+object TextOps {
+
+  /** Whitespace tokenization, shared by several operators. */
+  private def nTokens(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\S+"), lit(0)))
+
+  private def nMatches(c: Column, pat: String): Column =
+    size(regexp_extract_all(c, lit(pat), lit(0)))
+
+  /** Stopword occurrences (token-exact). */
+  private val StopPat = "\\b(the|a|of|and|to|in)\\b"
+  /** BPE-ish subword segmentation: runs of letters, digits, or single
+    * punctuation — an approximation of byte-pair pretokenization. */
+  private val BpePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  val queries: Map[String, Q] = Map(
+    // Token counting: whitespace tokens + BPE-ish regex tokens, per lang.
+    "q20_token_count" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"lang",
+          nTokens($"text") as "toks",
+          nMatches($"text", BpePat) as "bpe_toks",
+          length($"text") as "chars")
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)) as "docs",
+          sum($"toks") as "tokens",
+          sum($"bpe_toks") as "bpe_tokens",
+          sum($"chars") as "total_chars",
+          max($"toks") as "max_tokens")
+    },
+
+    // Exact deduplication: hash-groupBy on normalized content; keep the
+    // smallest doc_id as the canonical representative.
+    "q21_dedup_exact" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy(md5(lower(regexp_replace($"text", "\\s+", " "))) as "content_hash")
+        .agg(
+          min($"doc_id") as "keep_id",
+          count(lit(1)) as "copies")
+    },
+
+    // Document fingerprinting: content-normalized hash + 1-permutation
+    // MinHash over the word set (min of md5(word) — a real MinHash whose
+    // hash permutation is md5, computable in any engine).
+    "q22_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          md5(lower(regexp_replace($"text", "\\s+", " "))) as "fp",
+          array_min(transform(
+            split($"text", "\\s+"), w => md5(w))) as "minhash1")
+    },
+
+    // Quality scoring: integer counts + ratios of integers (identical
+    // float result in any engine: single division of exact ints).
+    "q23_quality" -> { (s, dir) =>
+      import s.implicits._
+      val toks = nTokens($"text")
+      val stops = nMatches($"text", StopPat)
+      t(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          toks as "tokens",
+          stops as "stopwords",
+          (stops.cast("double") / toks) as "stop_ratio",
+          (length($"text").cast("double") / toks) as "avg_tok_len",
+          (toks >= 20 && stops >= 1) as "passes")
+    },
+
+    // Language identification: argmax of marker-token counts with a
+    // deterministic priority order (en > de > fr > es > zh on ties).
+    "q24_lang_id" -> { (s, dir) =>
+      import s.implicits._
+      val en = nMatches($"text", "\\b(the|a|of|and)\\b")
+      val de = nMatches($"text", "\\b(der|die|das|und)\\b")
+      val fr = nMatches($"text", "\\b(le|la|les|et)\\b")
+      val es = nMatches($"text", "\\b(el|los|las|y)\\b")
+      val zh = nMatches($"text", "[\\u4e00-\\u9fff]")
+      val best = greatest(en, de, fr, es, zh)
+      val pred = when(best === 0, "und")
+        .when(en === best, "en")
+        .when(de === best, "de")
+        .when(fr === best, "fr")
+        .when(es === best, "es")
+        .otherwise("zh")
+      t(s, dir, "documents")
+        .select($"doc_id", $"lang", pred as "pred_lang",
+          (pred === $"lang") as "agrees")
+    },
+
+    // N-gram (3-shingle) Jaccard-style profile: distinct word-trigram
+    // count per doc — the shingle table that near-dup Jaccard builds on.
+    "q25_shingles" -> { (s, dir) =>
+      import s.implicits._
+      val words = split($"text", "\\s+")
+      val n = size(words)
+      val shingles = transform(
+        sequence(lit(0), n - lit(3)),
+        i => concat_ws(" ", element_at(words, i + 1),
+          element_at(words, i + 2), element_at(words, i + 3)))
+      t(s, dir, "documents")
+        .where(n >= 3)
+        .select($"doc_id",
+          size(array_distinct(shingles)) as "distinct_shingles",
+          (n - lit(2)) as "total_shingles")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q20_token_count" ->
+      """SELECT lang, count(*) AS docs,
+        |CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens,
+        |CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+        |CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |CAST(max(len(regexp_extract_all(text, '\S+'))) AS INT) AS max_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q21_dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+        |min(doc_id) AS keep_id, count(*) AS copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q22_fingerprint" ->
+      """SELECT doc_id,
+        |md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |list_min(list_transform(string_split_regex(text, '\s+'), w -> md5(w))) AS minhash1
+        |FROM documents""".stripMargin,
+    "q23_quality" ->
+      """SELECT doc_id, lang,
+        |CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS tokens,
+        |CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS INT) AS stopwords,
+        |CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS DOUBLE)
+        |  / len(regexp_extract_all(text, '\S+')) AS stop_ratio,
+        |CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\S+')) AS avg_tok_len,
+        |(len(regexp_extract_all(text, '\S+')) >= 20
+        |  AND len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) >= 1) AS passes
+        |FROM documents""".stripMargin,
+    "q24_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS en,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und)\b')) AS de,
+        |    len(regexp_extract_all(text, '\b(le|la|les|et)\b')) AS fr,
+        |    len(regexp_extract_all(text, '\b(el|los|las|y)\b')) AS es,
+        |    len(regexp_extract_all(text, '[一-鿿]')) AS zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
+        |       WHEN en = greatest(en, de, fr, es, zh) THEN 'en'
+        |       WHEN de = greatest(en, de, fr, es, zh) THEN 'de'
+        |       WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
+        |       WHEN es = greatest(en, de, fr, es, zh) THEN 'es'
+        |       ELSE 'zh' END AS pred_lang,
+        |  (CASE WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
+        |       WHEN en = greatest(en, de, fr, es, zh) THEN 'en'
+        |       WHEN de = greatest(en, de, fr, es, zh) THEN 'de'
+        |       WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
+        |       WHEN es = greatest(en, de, fr, es, zh) THEN 'es'
+        |       ELSE 'zh' END) = lang AS agrees
+        |FROM scored""".stripMargin,
+    "q25_shingles" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS words
+        |  FROM documents WHERE len(string_split_regex(text, '\s+')) >= 3)
+        |SELECT doc_id,
+        |  CAST(len(list_distinct(list_transform(
+        |    generate_series(1, len(words) - 2),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS INT)
+        |    AS distinct_shingles,
+        |  CAST(len(words) - 2 AS INT) AS total_shingles
+        |FROM w""".stripMargin
+  )
+}
