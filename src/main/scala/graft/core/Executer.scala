@@ -112,9 +112,8 @@ class Executer[D, R <: Product: TypeTag](
     if (!exists(mapResultsPath)) {
       // Initial build: no invalidation, write map results directly.
       mapped.write.partitionBy("parent").mode("overwrite").parquet(mapResultsPath)
-      val dirty = readMapResults().select("reduce_key", "parent").distinct()
-      writeDirtyLog(dirty)
-      rereduce(dirty)
+      writeDirtyLog(readMapResults().select("reduce_key", "parent").distinct())
+      rereduce(readDirtyLog())
       clearDirtyLog()
     } else {
       // A document's bucket (hence `parent` partition) is a pure function
@@ -131,13 +130,15 @@ class Executer[D, R <: Product: TypeTag](
       val existing = readMapResults()
         .where($"parent".isin(incomingParents.map(Integer.valueOf): _*))
       // Prior contributions of incoming ids — across ALL reduce keys the
-      // doc previously mapped to (`Executer.cs:253-258`).
+      // doc previously mapped to (`Executer.cs:253-258`). The dirty set
+      // is written straight to the WAL and read back — the WAL parquet
+      // doubles as the materialization barrier (one job, not a
+      // checkpoint job plus a log write).
       val stale = existing.join(incomingIds, Seq("doc_id"), "left_semi")
-      val dirty = stale.select("reduce_key", "parent")
+      writeDirtyLog(stale.select("reduce_key", "parent")
         .union(mapped.select("reduce_key", "parent"))
-        .distinct()
-        .localCheckpoint(eager = true)
-      writeDirtyLog(dirty)
+        .distinct())
+      val dirty = readDirtyLog()
 
       // Rewrite only the affected `parent` partitions of map_results:
       // retained rows (same partitions, doc not incoming) + new rows.
@@ -343,6 +344,8 @@ class Executer[D, R <: Product: TypeTag](
     * cleared after the re-reduce completes. */
   private def writeDirtyLog(dirty: DataFrame): Unit =
     dirty.write.mode("overwrite").parquet(dirtyPath)
+
+  private def readDirtyLog(): DataFrame = spark.read.parquet(dirtyPath)
 
   private def clearDirtyLog(): Unit =
     if (exists(dirtyPath)) fs.delete(new Path(dirtyPath), true)

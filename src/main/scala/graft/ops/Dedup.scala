@@ -35,44 +35,66 @@ object Dedup {
         element_at(words, i + 2), element_at(words, i + 3))))
   }
 
-  /** MinHash signature slot `seed`: min md5 over seeded shingles. */
-  private def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, x => md5(concat(lit(s"$seed:"), x))))
-
-  private def bandHash(sh: Column, band: Int): Column = {
-    val rows = NumHashes / Bands
-    md5(concat_ws("|",
-      (0 until rows).map(r => minhash(sh, band * rows + r)): _*))
-  }
 
   val queries: Map[String, Q] = Map(
     // Full MinHash signature table (the persisted artifact an
     // incremental dedup index maintains per doc).
     "q26_minhash_signatures" -> { (s, dir) =>
       import s.implicits._
-      val sh = shingles($"text")
       t(s, dir, "documents")
         .where(size(split($"text", "\\s+")) >= 3)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          graft.functions.MinHashSigs.minhashSigs(shingles($"text"), NumHashes) as "mh")
+        .localCheckpoint() // barrier: see q27
         .select($"doc_id" +:
-          (0 until NumHashes).map(i => minhash(sh, i) as s"mh$i"): _*)
+          (0 until NumHashes).map(i => element_at($"mh", i + 1) as s"mh$i"): _*)
     },
 
     // LSH banded candidate pairs + exact Jaccard re-rank: the scalable
-    // near-dup join. Output = candidate pairs with their true Jaccard.
+    // near-dup join. Candidate generation shuffles only (band, hash,
+    // doc_id) — never the shingle payloads; shingles are joined back for
+    // the few surviving pairs only. The per-doc signature is computed in
+    // ONE pass over the shingle array (nested transform over seeds), not
+    // once per band column.
     "q27_lsh_candidate_pairs" -> { (s, dir) =>
       import s.implicits._
+      // Parallelize the CPU-bound signature stage across cores (a single
+      // parquet file otherwise pins it to one task), and materialize the
+      // tiny banded table once — Catalyst's projection collapse would
+      // otherwise inline the full 8-seed MinHash computation into every
+      // band expression on BOTH sides of the self-join (~8x the work).
+      val par = s.sparkContext.defaultParallelism
+      // Shingling is interpreted HOF work over ~n_words elements per doc
+      // and `docs` feeds three consumers (signatures + both sides of the
+      // pair join-back) — materialize it once.
       val docs = t(s, dir, "documents")
         .where(size(split($"text", "\\s+")) >= 3)
+        .repartition(par)
         .select($"doc_id", shingles($"text") as "sh")
-      val banded = docs.select($"doc_id", $"sh",
-        explode(array((0 until Bands).map(b =>
-          struct(lit(b) as "band", bandHash($"sh", b) as "bh")): _*)) as "e")
-        .select($"doc_id", $"sh", $"e.band", $"e.bh")
-      val a = banded.select($"band", $"bh", $"doc_id" as "id_a", $"sh" as "sh_a")
-      val b = banded.select($"band", $"bh", $"doc_id" as "id_b", $"sh" as "sh_b")
-      a.join(b, Seq("band", "bh"))
-        .where($"id_a" < $"id_b")
-        .select($"id_a", $"id_b", $"sh_a", $"sh_b").distinct()
+        .localCheckpoint()
+      // Checkpoint = projection-collapse barrier: the 8 element_at
+      // references below would otherwise each inline the full signature
+      // computation.
+      val sigs = docs.select($"doc_id",
+        graft.functions.MinHashSigs.minhashSigs($"sh", NumHashes) as "mh")
+        .localCheckpoint()
+      val banded = sigs.select($"doc_id",
+          explode(array((0 until Bands).map(b =>
+            struct(lit(b) as "band",
+              md5(concat_ws("|",
+                element_at($"mh", 2 * b + 1),
+                element_at($"mh", 2 * b + 2))) as "bh")): _*)) as "e")
+        .select($"doc_id", $"e.band", $"e.bh")
+        .localCheckpoint()
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id") as "id_a", col("y.doc_id") as "id_b")
+        .distinct()
+      cand
+        .join(docs.select($"doc_id" as "id_a", $"sh" as "sh_a"), "id_a")
+        .join(docs.select($"doc_id" as "id_b", $"sh" as "sh_b"), "id_b")
         .select($"id_a", $"id_b",
           (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
             size(array_union($"sh_a", $"sh_b"))) as "jaccard")
@@ -93,7 +115,9 @@ object Dedup {
           lit(0), (acc, v) => acc + v)
         when(votes >= 0, lit(1 << bit)).otherwise(lit(0))
       }.reduce(_ + _)
-      t(s, dir, "documents").select($"doc_id", sig as "simhash")
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", sig as "simhash")
     })
 
   private def shinglesSql(tbl: String): String =

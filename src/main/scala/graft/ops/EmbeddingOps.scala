@@ -21,59 +21,74 @@ import Tables._
   */
 object EmbeddingOps {
 
-  /** Σ aᵢ·bᵢ with double accumulation in array order. */
+  /** Σ aᵢ·bᵢ with double accumulation in array order — codegen'd
+    * expression, bit-compatible with the HOF formulation and the oracle
+    * (see [[graft.functions.DotProduct]]). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.DotProduct.dot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
-
-  /** Deterministic pseudo-random hyperplanes for SimHash bucketing:
-    * plane p component i = hash-derived value in [-1, 1], identical in
-    * any engine that can evaluate the closed form. We use
-    * sin(9973·(p·64 + i)) which is deterministic IEEE double math. */
-  private def hyperplaneBit(e: Column, p: Int, dim: Int): Column = {
-    val proj = aggregate(
-      zip_with(e,
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => sin((i + lit(p * dim)) * lit(9973.0))),
-        (x, h) => x.cast("double") * h),
-      lit(0.0), (acc, v) => acc + v)
-    when(proj >= 0, lit(1)).otherwise(lit(0))
-  }
+  // Hyperplane LSH signatures live in a custom codegen'd expression —
+  // see graft.functions.HyperplaneBuckets (Catalyst neither
+  // constant-folds nor codegens higher-order functions, so the
+  // zip_with/aggregate formulation costs ~10M interpreted lambda calls
+  // at sf0.1).
 
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-k: the correctness baseline for ANN.
+    // Norms are computed ONCE per vector before the join (carried as a
+    // column), not per pair — same arithmetic, 3× less work; the cosine
+    // formula stays dot/(na*nb) so results are bit-identical to the
+    // oracle.
     "q30_knn_bruteforce" -> { (s, dir) =>
       import s.implicits._
       val e = t(s, dir, "embeddings")
       val q = e.where($"vec_id" < 8)
-        .select($"vec_id" as "query_id", $"embedding" as "qe")
-      val c = e.select($"vec_id" as "neighbor_id", $"embedding" as "ce")
+        .select($"vec_id" as "query_id", $"embedding" as "qe",
+          norm($"embedding") as "qn")
+      val c = e.select($"vec_id" as "neighbor_id", $"embedding" as "ce",
+        norm($"embedding") as "cn")
       val w = Window.partitionBy($"query_id")
         .orderBy($"cos".desc, $"neighbor_id".asc)
       q.crossJoin(c)
         .where($"query_id" =!= $"neighbor_id")
-        .withColumn("cos", cosine($"qe", $"ce"))
+        .withColumn("cos", dot($"qe", $"ce") / ($"qn" * $"cn"))
         .withColumn("rnk", row_number().over(w))
         .where($"rnk" <= 5)
         .select($"query_id", $"neighbor_id", $"rnk", $"cos")
     },
 
-    // Embedding near-duplicate detection: unordered pairs above a cosine
-    // threshold (the "embedding-cosine near-dup" dedup family).
+    // Embedding near-duplicate detection AT SCALE: multi-table
+    // random-hyperplane LSH generates candidates via an equi-join on
+    // (table, bucket) — O(collisions), never the all-pairs cross join —
+    // then exact cosine verifies candidates. 4 tables × 8 bits:
+    // ~75% recall at cos 0.9 with ~1/64 of the brute-force work; more
+    // tables buy recall linearly. The brute-force all-pairs form exists
+    // as q30's cross-join machinery but cannot survive 100 TB.
     "q31_embedding_neardup" -> { (s, dir) =>
       import s.implicits._
+      import graft.functions.HyperplaneBuckets.hyperplaneBuckets
       val e = t(s, dir, "embeddings")
-      val a = e.select($"vec_id" as "id_a", $"embedding" as "ea", $"label" as "label_a")
-      val b = e.select($"vec_id" as "id_b", $"embedding" as "eb")
-      a.join(b, $"id_a" < $"id_b")
-        .withColumn("cos", cosine($"ea", $"eb"))
+      // Signature stage: one codegen'd expression computes all 4 table
+      // buckets in a single pass over the vector; repartitioned across
+      // cores and materialized once for the two-sided self-join.
+      val tabs = e.repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id",
+          posexplode(hyperplaneBuckets($"embedding", 4, 8, 64)))
+        .select($"vec_id", $"pos" as "tbl", $"col" as "bkt")
+        .localCheckpoint()
+      val cand = tabs.as("x").join(tabs.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id") as "id_a", col("y.vec_id") as "id_b")
+        .distinct()
+      val a = e.select($"vec_id" as "id_a", $"embedding" as "ea",
+        $"label" as "label_a", norm($"embedding") as "na")
+      val b = e.select($"vec_id" as "id_b", $"embedding" as "eb",
+        norm($"embedding") as "nb")
+      cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("cos", dot($"ea", $"eb") / ($"na" * $"nb"))
         .where($"cos" > 0.9)
         .select($"id_a", $"id_b", $"label_a", $"cos")
     },
@@ -82,11 +97,11 @@ object EmbeddingOps {
     // near-dup search into an equi-join at scale.
     "q32_ann_lsh_signature" -> { (s, dir) =>
       import s.implicits._
+      import graft.functions.HyperplaneBuckets.hyperplaneBuckets
       val e = t(s, dir, "embeddings")
-      val dim = 64
-      val sig = (0 until 8).map(p => hyperplaneBit($"embedding", p, dim) * lit(1 << p))
-        .reduce(_ + _)
-      val sigged = e.select($"vec_id", $"label", sig as "bucket")
+      val sigged = e.repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", $"label",
+          element_at(hyperplaneBuckets($"embedding", 1, 8, 64), 1) as "bucket")
       // Bucket sizes — the skew diagnostic an ANN pipeline monitors.
       sigged.groupBy($"bucket").agg(
         count(lit(1)) as "n",
@@ -108,13 +123,27 @@ object EmbeddingOps {
         |      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk
         |  FROM d) t WHERE rnk <= 5""".stripMargin,
     "q31_embedding_neardup" ->
-      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label_a,
-        |  list_dot_product(a.e, b.e) /
-        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
-        |FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.e, b.e) /
-        |  (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) > 0.9""".stripMargin,
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |sig AS (
+        |  SELECT vec_id, t.tbl,
+        |    (SELECT CAST(sum(CASE WHEN
+        |        (SELECT sum(ei.emb * sin((ei.i - 1 + (t.tbl * 8 + b.bit) * 64) * 9973.0))
+        |         FROM (SELECT unnest(e) AS emb,
+        |                      generate_subscripts(e, 1) AS i) ei) >= 0
+        |        THEN power(2, b.bit) ELSE 0 END) AS INT)
+        |     FROM (SELECT unnest(generate_series(0, 7)) AS bit) b) AS bkt
+        |  FROM v, (SELECT unnest(generate_series(0, 3)) AS tbl) t),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bkt = b.bkt
+        |    AND a.vec_id < b.vec_id)
+        |SELECT c.id_a, c.id_b, na.label AS label_a,
+        |  list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) AS cos
+        |FROM cand c
+        |JOIN n na ON na.vec_id = c.id_a
+        |JOIN n nb ON nb.vec_id = c.id_b
+        |WHERE list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) > 0.9""".stripMargin,
     "q32_ann_lsh_signature" ->
       """WITH sig AS (
         |  SELECT vec_id, label,

@@ -113,6 +113,20 @@ object IndexQueries {
   }
 
   lazy val queries2: Map[String, Q] = Map(
+    // Point query by reduce key — the reference's ONLY read API
+    // (`Executer.cs:370-377`): prunes to one fpart partition.
+    "q44_mr_point_query" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val store = Files.createTempDirectory("graft-q44").toString
+      val custs = t(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey", $"c_acctbal").as[CustDoc]
+      val ex = new Executer(CustByNation, store, ExecuterConfig(fanIn = 64, finalParts = 16))
+      ex.execute(custs)
+      ex.query("3").toDF()
+        .select($"nation", $"cnt", toDouble($"acctbal") as "acctbal")
+    },
+
     "q42_mr_multi_emit" -> { (s, dir) =>
       implicit val spark: SparkSession = s
       import s.implicits._
@@ -142,6 +156,10 @@ object IndexQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "q44_mr_point_query" ->
+      s"""SELECT CAST(c_nationkey AS VARCHAR) AS nation, count(*) AS cnt,
+         |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal
+         |FROM customer WHERE c_nationkey = 3 GROUP BY 1""".stripMargin,
     "q42_mr_multi_emit" ->
       s"""SELECT 'priority:' || o_orderpriority AS reduce_key, count(*) AS cnt,
          |CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS total
