@@ -65,6 +65,14 @@ class Executer[D, R <: Product: TypeTag](
 
   import spark.implicits._
 
+  /** Sentinel `parent` value in the dirty WAL meaning "full rebuild". */
+  private val FullRebuild = -1
+
+  /** Above this many dirty (key, parent) pairs, incremental maintenance
+    * switches from driver-side pruning (isin pushdown, zero extra jobs)
+    * to the distributed join path. */
+  private val DriverDirtyLimit = 1000
+
   implicit private val encR: Encoder[R] = Encoders.product[R]
   implicit private val encKR: Encoder[(String, String, R)] =
     Encoders.tuple(Encoders.STRING, Encoders.STRING, encR)
@@ -110,10 +118,15 @@ class Executer[D, R <: Product: TypeTag](
       .select(upper($"doc_id") as "doc_id").distinct()
 
     if (!exists(mapResultsPath)) {
-      // Initial build: no invalidation, write map results directly.
-      mapped.write.partitionBy("parent").mode("overwrite").parquet(mapResultsPath)
-      writeDirtyLog(readMapResults().select("reduce_key", "parent").distinct())
-      rereduce(readDirtyLog())
+      // Initial build fast path: everything is dirty, so skip the dirty
+      // set entirely — no WAL round-trip, no semi-join pruning, no
+      // staging renames (the partials/finals tables don't exist yet).
+      // Crash safety: a one-row sentinel WAL marks "full rebuild
+      // pending"; recover() re-runs rereduceAll for it.
+      writePartitioned(mapped, mapResultsPath, "parent")
+      writeDirtyLog(spark.createDataFrame(Seq(("", FullRebuild)))
+        .toDF("reduce_key", "parent"))
+      rereduceAll()
       clearDirtyLog()
     } else {
       // A document's bucket (hence `parent` partition) is a pure function
@@ -132,30 +145,103 @@ class Executer[D, R <: Product: TypeTag](
       // Prior contributions of incoming ids — across ALL reduce keys the
       // doc previously mapped to (`Executer.cs:253-258`). The dirty set
       // is written straight to the WAL and read back — the WAL parquet
-      // doubles as the materialization barrier (one job, not a
-      // checkpoint job plus a log write).
+      // doubles as the materialization barrier. The WAL carries a
+      // provenance flag (pair seen on a stale row vs only on new map
+      // output) so the driver can pick the append fast path below.
       val stale = existing.join(incomingIds, Seq("doc_id"), "left_semi")
-      writeDirtyLog(stale.select("reduce_key", "parent")
-        .union(mapped.select("reduce_key", "parent"))
-        .distinct())
-      val dirty = readDirtyLog()
+      writeDirtyLog(
+        stale.select($"reduce_key", $"parent", lit(true) as "is_stale")
+          .union(mapped.select($"reduce_key", $"parent", lit(false) as "is_stale"))
+          .distinct())
 
-      // Rewrite only the affected `parent` partitions of map_results:
-      // retained rows (same partitions, doc not incoming) + new rows.
-      // Staged through a scratch dir so we never overwrite a path we are
-      // still reading from.
-      val dirtyParents = dirty.select("parent").distinct()
-        .as[Int].collect().sorted // ≤ fanIn values
-      val retained = existing
-        .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
-        .join(incomingIds, Seq("doc_id"), "left_anti")
-      stageAndOverwrite(
-        retained.unionByName(mapped), mapResultsPath, "parent",
-        dirtyParents.toSeq)
+      val walProbe = readDirtyLog().limit(DriverDirtyLimit + 1).collect()
+      if (walProbe.length <= DriverDirtyLimit) {
+        // Small dirty set — the common incremental case. Everything is
+        // derived driver-side from the probe: no further joins, distinct
+        // jobs, or collects; downstream scans use pushed-down isin
+        // filters (which parquet row-group stats can skip, thanks to the
+        // reduce_key sort order of writePartitioned).
+        val pairs = walProbe.map(r => (r.getString(0), r.getInt(1))).distinct.toSeq
+        val anyStale = walProbe.exists(_.getBoolean(2))
+        val dirtyParents = pairs.map(_._2).distinct.sorted
 
-      rereduce(dirty)
+        if (!anyStale) {
+          // Pure insert: nothing to invalidate — the new rows become
+          // additional files in their partition directories. No
+          // read-rewrite of existing state at all.
+          mapped.repartition($"parent")
+            .sortWithinPartitions($"parent", $"reduce_key")
+            .write.partitionBy("parent").mode("append").parquet(mapResultsPath)
+        } else {
+          val ids = incomingIds.limit(DriverDirtyLimit + 1)
+            .as[String].collect()
+          val retained = existing
+            .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
+          val retainedMinusIncoming =
+            if (ids.length <= DriverDirtyLimit)
+              retained.where(!$"doc_id".isin(ids.toIndexedSeq: _*))
+            else retained.join(incomingIds, Seq("doc_id"), "left_anti")
+          stageAndOverwrite(
+            retainedMinusIncoming.unionByName(mapped), mapResultsPath,
+            "parent", dirtyParents)
+        }
+        rereducePruned(pairs)
+      } else {
+        // Large dirty set: distributed path (joins against the WAL).
+        val dirty = readDirtyLog().select("reduce_key", "parent").distinct()
+        val dirtyParents = dirty.select("parent").distinct()
+          .as[Int].collect().sorted // ≤ fanIn values
+        val retained = existing
+          .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
+          .join(incomingIds, Seq("doc_id"), "left_anti")
+        stageAndOverwrite(
+          retained.unionByName(mapped), mapResultsPath, "parent",
+          dirtyParents.toSeq)
+        rereduce(dirty)
+      }
       clearDirtyLog()
     }
+  }
+
+  /** Driver-pruned incremental re-reduce for small dirty sets: the exact
+    * (key, parent) pairs are known on the driver, so scans filter with
+    * pushed-down predicates instead of joins. Semantics identical to
+    * [[rereduce]] (sibling inclusion per parent, empty groups disappear,
+    * finals rebuilt per dirty key). */
+  private def rereducePruned(pairs: Seq[(String, Int)]): Unit = {
+    if (pairs.isEmpty) return
+    val dirtyParents = pairs.map(_._2).distinct.sorted
+    val dirtyKeys = pairs.map(_._1).distinct.sorted
+    def pairPred = pairs.map { case (k, p) =>
+      $"reduce_key" === k && $"parent" === p
+    }.reduce(_ || _)
+
+    val level0 = readMapResults()
+      .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
+      .where(pairPred)
+    val newPartials = reduceByKeyParent(level0)
+      .select("parent", "reduce_key", "payload")
+    val partialsOut =
+      if (!exists(partialsPath)) newPartials
+      else readPartials()
+        .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
+        .where(!pairPred)
+        .unionByName(newPartials)
+    stageAndOverwrite(partialsOut, partialsPath, "parent", dirtyParents)
+
+    val level1 = readPartials()
+      .where($"reduce_key".isin(dirtyKeys: _*))
+    val newFinals = reduceByKey(level1)
+      .withColumn("fpart", pmod(hash($"reduce_key"), lit(config.finalParts)))
+      .select("fpart", "reduce_key", "payload")
+    val dirtyFparts = dirtyKeys.map(fpartOf).distinct.sorted
+    val finalsOut =
+      if (!exists(finalsPath)) newFinals
+      else readFinals()
+        .where($"fpart".isin(dirtyFparts.map(Integer.valueOf): _*))
+        .where(!$"reduce_key".isin(dirtyKeys: _*))
+        .unionByName(newFinals)
+    stageAndOverwrite(finalsOut, finalsPath, "fpart", dirtyFparts)
   }
 
   /** Incrementally rebuild level-1 partials for the dirty (key, parent)
@@ -164,6 +250,18 @@ class Executer[D, R <: Product: TypeTag](
     * groupBy passes. Dirty level-1 parents are rebuilt from scratch from
     * all their children (sibling inclusion, `Executer.cs:323-333`), never
     * diffed. */
+  /** Full (re)build of both reduce levels from the whole map_results
+    * table — the initial-build path, and crash recovery for it. */
+  private def rereduceAll(): Unit = {
+    val newPartials = reduceByKeyParent(readMapResults())
+      .select("parent", "reduce_key", "payload")
+    writePartitioned(newPartials, partialsPath, "parent")
+    val newFinals = reduceByKey(readPartials())
+      .withColumn("fpart", pmod(hash($"reduce_key"), lit(config.finalParts)))
+      .select("fpart", "reduce_key", "payload")
+    writePartitioned(newFinals, finalsPath, "fpart")
+  }
+
   private def rereduce(dirty: DataFrame): Unit = {
     val dirtyParents = dirty.select("parent").distinct()
       .as[Int].collect().sorted
@@ -322,11 +420,22 @@ class Executer[D, R <: Product: TypeTag](
     * staged ones renamed in — an O(#partitions) metadata operation, no
     * data copy. A crash mid-swap is covered by the dirty-set WAL
     * (`recover()` re-runs the re-reduce; SURVEY.md §2.3.4). */
+  /** Partitioned write that first clusters rows BY the partition column
+    * (and sorts by reduce_key inside each cluster): each task then writes
+    * only its own partition directories — file count stays O(#partition
+    * values), not O(tasks × values) — and parquet row-group min/max stats
+    * on reduce_key let key-filtered scans skip row groups. */
+  private def writePartitioned(
+      df: DataFrame, destPath: String, partitionCol: String): Unit =
+    df.repartition(col(partitionCol))
+      .sortWithinPartitions(col(partitionCol), $"reduce_key")
+      .write.partitionBy(partitionCol).mode("overwrite").parquet(destPath)
+
   private def stageAndOverwrite(
       df: DataFrame, destPath: String, partitionCol: String,
       partitions: Seq[Int]): Unit = {
     val staging = s"$destPath.staging"
-    df.write.partitionBy(partitionCol).mode("overwrite").parquet(staging)
+    writePartitioned(df, staging, partitionCol)
     fs.mkdirs(new Path(destPath))
     partitions.foreach { p =>
       fs.delete(new Path(s"$destPath/$partitionCol=$p"), true)
@@ -352,10 +461,14 @@ class Executer[D, R <: Product: TypeTag](
 
   /** Crash recovery: if a dirty log survives from an interrupted execute,
     * re-run the re-reduce for it (idempotent — level-1 parents are rebuilt
-    * from scratch, §2.3.3/§2.3.4 of SURVEY.md). */
+    * from scratch, §2.3.3/§2.3.4 of SURVEY.md). A [[FullRebuild]]
+    * sentinel replays the whole-build reduce. */
   def recover(): Unit =
     if (exists(dirtyPath)) {
-      rereduce(spark.read.parquet(dirtyPath))
+      val dirty = readDirtyLog()
+      if (dirty.where($"parent" === FullRebuild).limit(1).count() > 0)
+        rereduceAll()
+      else rereduce(dirty)
       clearDirtyLog()
     }
 }

@@ -28,11 +28,19 @@ case class MinHashSigs(child: Expression, numHashes: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
 
+  // Seed prefixes ("0:", "1:", …) computed once per task, not per shingle.
+  @transient private lazy val seedPrefixes: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(k => s"$k:".getBytes("UTF-8"))
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val md = MessageDigest.getInstance("MD5")
-    val mins = new Array[String](numHashes)
+    // Track minima as raw digest bytes (unsigned-lexicographic order ==
+    // lowercase-hex string order); hex-encode only the final winners —
+    // avoids one 32-char String per (shingle, seed).
+    val mins = Array.fill[Array[Byte]](numHashes)(null)
+    val scratch = new Array[Byte](16)
     var i = 0
     while (i < n) {
       val sh = arr.getUTF8String(i)
@@ -41,17 +49,20 @@ case class MinHashSigs(child: Expression, numHashes: Int)
         var k = 0
         while (k < numHashes) {
           md.reset()
-          md.update(s"$k:".getBytes("UTF-8"))
+          md.update(seedPrefixes(k))
           md.update(shBytes)
-          val hex = MinHashSigs.toHex(md.digest())
-          if (mins(k) == null || hex.compareTo(mins(k)) < 0) mins(k) = hex
+          md.digest(scratch, 0, 16)
+          if (mins(k) == null || MinHashSigs.unsignedLt(scratch, mins(k))) {
+            if (mins(k) == null) mins(k) = new Array[Byte](16)
+            System.arraycopy(scratch, 0, mins(k), 0, 16)
+          }
           k += 1
         }
       }
       i += 1
     }
     new GenericArrayData(mins.map(m =>
-      if (m == null) null else UTF8String.fromString(m)))
+      if (m == null) null else UTF8String.fromString(MinHashSigs.toHex(m))))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -62,6 +73,16 @@ case class MinHashSigs(child: Expression, numHashes: Int)
 
 object MinHashSigs {
   private val HexChars = "0123456789abcdef".toCharArray
+
+  def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
 
   def toHex(bytes: Array[Byte]): String = {
     val out = new Array[Char](bytes.length * 2)

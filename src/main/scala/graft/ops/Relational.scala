@@ -269,6 +269,26 @@ object Relational {
           ($"ts".cast("long") - $"last_click_ts".cast("long")) as "gap_s")
     },
 
+    // Skew-resistant two-stage aggregation (salting): partial-aggregate
+    // on (key, salt) to spread a hot key over many reducers, then merge
+    // partials by key. Result is identical to a direct groupBy — that IS
+    // the oracle — but no single reducer ever sees a whole hot key's
+    // rows. The pattern for skewed keys at 100 TB (alongside AQE
+    // skew-join splitting).
+    "q35_salted_agg" -> { (s, dir) =>
+      import s.implicits._
+      val salted = events(s, dir)
+        .withColumn("salt", pmod(hash($"event_id"), lit(16)))
+        .groupBy($"user_id", $"salt")
+        .agg(
+          count(lit(1)) as "pcnt",
+          sum(dec($"value")) as "pval")
+      salted.groupBy($"user_id")
+        .agg(
+          sum($"pcnt") as "cnt",
+          toDouble(sum($"pval")) as "total_value")
+    },
+
     // Range (non-equi) join: orders against a tiny in-memory band
     // dimension — broadcast nested-loop, the right plan for a
     // bounded-size band table at any fact-side scale.
@@ -413,6 +433,10 @@ object Relational {
         |SELECT event_id AS purchase_id, user_id, last_click_id AS click_id,
         |  CAST(date_diff('second', last_click_ts, ts) AS BIGINT) AS gap_s
         |FROM m WHERE is_click = 0 AND last_click_id IS NOT NULL""".stripMargin,
+    "q35_salted_agg" ->
+      s"""SELECT user_id, count(*) AS cnt,
+         |CAST(sum(${D("value")}) AS DOUBLE) AS total_value
+         |FROM events GROUP BY user_id""".stripMargin,
     "q34_range_join" ->
       s"""WITH bands(band, lo, hi) AS (VALUES
          |  ('b0', 0.0, 50000.0), ('b1', 50000.0, 100000.0),

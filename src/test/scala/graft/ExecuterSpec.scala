@@ -124,6 +124,20 @@ class ExecuterSpec extends AnyFunSuite {
     assert(counts(ex) == Map("CA" -> 24L, "TX" -> 26L))
   }
 
+  /** Pure-insert batches (no incoming id previously seen) take the
+    * append fast path — no partition rewrite; results must still be
+    * exactly maintained, and a following mixed batch must still
+    * invalidate correctly. */
+  test("pure-insert append path, then mixed insert+update") {
+    val store = tmp()
+    val ex = new Executer(PeopleCountByState, store)
+    ex.execute(spark.createDataset(Seq(Person("a", "CA"), Person("b", "TX"))))
+    ex.execute(spark.createDataset(Seq(Person("c", "CA"), Person("d", "NY"))))
+    assert(counts(ex) == Map("CA" -> 2L, "TX" -> 1L, "NY" -> 1L))
+    ex.execute(spark.createDataset(Seq(Person("a", "TX"), Person("e", "NY"))))
+    assert(counts(ex) == Map("CA" -> 1L, "TX" -> 2L, "NY" -> 2L))
+  }
+
   test("delete drops all state for a key") {
     val store = tmp()
     val ex = new Executer(PeopleCountByState, store)

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality assertions — the scale story made testable: broadcasts on
+  * bounded dimensions, column pruning and filter pushdown reaching the
+  * parquet scan, whole-stage codegen on the hot relational paths. These
+  * run against the real sf0.001 data through the public query surface.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("broadcast joins on bounded dimensions") {
+    assert(plan("q04_join_broadcast").contains("BroadcastHashJoin"))
+    assert(plan("q05_join_multiway").contains("BroadcastHashJoin"))
+    // Bands dimension: broadcast nested loop for the non-equi join.
+    assert(plan("q34_range_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("column pruning reaches the lineitem scan") {
+    val p = plan("q01_pricing_summary")
+    // Only the 5 needed columns of 11 should be read.
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_shipdate"), s"unpruned scan: $readSchema")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"),
+      s"no pushed filter in: ${p.take(2000)}")
+  }
+
+  test("whole-stage codegen spans the aggregation path") {
+    // Codegen'd operators carry the `*(stageId)` prefix — visible only in
+    // the FINAL adaptive plan, so execute first.
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(") && p.contains("HashAggregate"), p.take(1500))
+  }
+
+  test("semi/anti joins plan as joins, not subquery re-scans") {
+    assert(plan("q06_semi_join").contains("LeftSemi"))
+    assert(plan("q07_anti_join").contains("LeftAnti"))
+  }
+}

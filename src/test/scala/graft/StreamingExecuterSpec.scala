@@ -41,4 +41,28 @@ class StreamingExecuterSpec extends AnyFunSuite {
     assert(sx.query("CA").collect().toSeq == Seq(StatePop("CA", 1L)))
     assert(sx.query("TX").collect().toSeq == Seq(StatePop("TX", 2L)))
   }
+
+  test("watermarked event-time window aggregation over a stream") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft-wm-in").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
+    spark.createDataset(Seq(
+      (ts(0), 1.0), (ts(2), 2.0), (ts(6), 3.0), (ts(11), 4.0)))
+      .toDF("ts", "v").write.mode("append").parquet(in)
+
+    val stream = spark.readStream.schema("ts TIMESTAMP, v DOUBLE").parquet(in)
+    val agg = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(count(lit(1)) as "n", sum($"v") as "sv")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("wm_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT date_format(window.start, 'HH:mm') s, n, sv FROM wm_out ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("10:00", 2L, 3.0), ("10:05", 1L, 3.0), ("10:10", 1L, 4.0)))
+  }
 }
