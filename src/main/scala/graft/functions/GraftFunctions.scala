@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL registration of the engine's custom expressions, so they are
+  * usable from `spark.sql(...)` as well as the Column API:
+  *
+  *   - `stable_bucket(str, numBuckets)`       → int
+  *   - `dot_product(arr, arr)`                → double
+  *   - `hyperplane_buckets(arr, tables, bits, dim)` → array<int>
+  *   - `minhash_sigs(arr<string>, numHashes)` → array<string>
+  *
+  * Two entry points: [[GraftExtensions]] for
+  * `SparkSession.builder().withExtensions(...)` (the production path),
+  * and [[GraftFunctions.register]] to add them to an already-running
+  * session (tests, shells).
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "stable_bucket" -> { args =>
+      require(args.size == 2, "stable_bucket(str, numBuckets)")
+      StableBucket(args.head, intArg(args(1), "numBuckets"))
+    },
+    "dot_product" -> { args =>
+      require(args.size == 2, "dot_product(a, b)")
+      DotProduct(args.head, args(1))
+    },
+    "hyperplane_buckets" -> { args =>
+      require(args.size == 4, "hyperplane_buckets(arr, tables, bits, dim)")
+      val (tables, bits, dim) = (intArg(args(1), "tables"),
+        intArg(args(2), "bits"), intArg(args(3), "dim"))
+      HyperplaneBuckets(args.head,
+        HyperplaneBuckets.sinPlanes(tables * bits, dim), tables, bits, dim)
+    },
+    "minhash_sigs" -> { args =>
+      require(args.size == 2, "minhash_sigs(shingles, numHashes)")
+      MinHashSigs(args.head, intArg(args(1), "numHashes"))
+    })
+
+  /** Register as temp functions on a live session. */
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    val registry = castToImpl(spark).sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
+
+/** `SparkSession.builder().withExtensions(new GraftExtensions)` — the
+  * registration path for production sessions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}

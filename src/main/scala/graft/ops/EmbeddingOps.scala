@@ -93,6 +93,35 @@ object EmbeddingOps {
         .select($"id_a", $"id_b", $"label_a", $"cos")
     },
 
+    // IVF-style ANN, probe-1: vectors are coarsely quantized into cells
+    // (here: the 8-bit hyperplane signature as the cell id); a query
+    // searches only its own cell. The candidate join is an equi-join on
+    // cell id — the inverted-file search shape that scales to arbitrary
+    // corpus size (probing more cells = joining on a small cell-id
+    // expansion). Brute-force q30 is the recall-100% baseline.
+    "q36_ann_ivf_probe" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.HyperplaneBuckets.hyperplaneBuckets
+      val v = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", $"embedding", norm($"embedding") as "nrm",
+          element_at(hyperplaneBuckets($"embedding", 1, 8, 64), 1) as "cell")
+        .localCheckpoint()
+      val q = v.where($"vec_id" < 8)
+        .select($"vec_id" as "query_id", $"embedding" as "qe",
+          $"nrm" as "qn", $"cell")
+      val c = v.select($"vec_id" as "neighbor_id", $"embedding" as "ce",
+        $"nrm" as "cn", $"cell")
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"cos".desc, $"neighbor_id".asc)
+      q.join(c, "cell")
+        .where($"query_id" =!= $"neighbor_id")
+        .withColumn("cos", dot($"qe", $"ce") / ($"qn" * $"cn"))
+        .withColumn("rnk", row_number().over(w))
+        .where($"rnk" <= 3)
+        .select($"query_id", $"neighbor_id", $"rnk", $"cos")
+    },
+
     // SimHash / random-hyperplane signature: the LSH bucketing that turns
     // near-dup search into an equi-join at scale.
     "q32_ann_lsh_signature" -> { (s, dir) =>
@@ -144,6 +173,27 @@ object EmbeddingOps {
         |JOIN n na ON na.vec_id = c.id_a
         |JOIN n nb ON nb.vec_id = c.id_b
         |WHERE list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) > 0.9""".stripMargin,
+    "q36_ann_ivf_probe" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+        |    (SELECT CAST(sum(CASE WHEN
+        |        (SELECT sum(ei.emb * sin((ei.i - 1 + b.bit * 64) * 9973.0))
+        |         FROM (SELECT unnest(e) AS emb,
+        |                      generate_subscripts(e, 1) AS i) ei) >= 0
+        |        THEN power(2, b.bit) ELSE 0 END) AS INT)
+        |     FROM (SELECT unnest(generate_series(0, 7)) AS bit) b) AS cell
+        |  FROM v),
+        |d AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+        |  FROM n q JOIN n c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 8)
+        |SELECT query_id, neighbor_id, rnk, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk
+        |  FROM d) t WHERE rnk <= 3""".stripMargin,
     "q32_ann_lsh_signature" ->
       """WITH sig AS (
         |  SELECT vec_id, label,

@@ -289,6 +289,29 @@ object Relational {
           toDouble(sum($"pval")) as "total_value")
     },
 
+    // Source/sink formats beyond parquet (§2.2 scans/sources row): half
+    // the orders round-trip through CSV, half through JSON lines, then
+    // both feed one aggregation. Readers get explicit schemas (never
+    // inferSchema at scale — it double-reads the input).
+    "q51_csv_json_sources" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q51").toString
+      val o = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      o.where($"o_orderkey" % 2 === 0)
+        .write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      o.where($"o_orderkey" % 2 === 1)
+        .write.mode("overwrite").json(s"$tmp/json")
+      val schema = "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE"
+      val fromCsv = s.read.schema(schema).option("header", "true").csv(s"$tmp/csv")
+      val fromJson = s.read.schema(schema).json(s"$tmp/json")
+      fromCsv.unionByName(fromJson)
+        .groupBy($"o_orderstatus")
+        .agg(
+          count(lit(1)) as "cnt",
+          toDouble(sum(dec($"o_totalprice"))) as "total")
+    },
+
     // Range (non-equi) join: orders against a tiny in-memory band
     // dimension — broadcast nested-loop, the right plan for a
     // bounded-size band table at any fact-side scale.
@@ -433,6 +456,10 @@ object Relational {
         |SELECT event_id AS purchase_id, user_id, last_click_id AS click_id,
         |  CAST(date_diff('second', last_click_ts, ts) AS BIGINT) AS gap_s
         |FROM m WHERE is_click = 0 AND last_click_id IS NOT NULL""".stripMargin,
+    "q51_csv_json_sources" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+         |CAST(sum(${D("o_totalprice")}) AS DOUBLE) AS total
+         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q35_salted_agg" ->
       s"""SELECT user_id, count(*) AS cnt,
          |CAST(sum(${D("value")}) AS DOUBLE) AS total_value

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftFunctions, StableBucketHash}
+
+class GraftFunctionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT stable_bucket('People-30', 65536) AS b,
+        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       hyperplane_buckets(array(CAST(0.5 AS FLOAT)), 1, 2, 1) AS hb,
+        |       minhash_sigs(array('a b c', 'b c d'), 2) AS mh
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == StableBucketHash.hash("PEOPLE-30", 65536))
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getSeq[Int](2).length == 1)
+    assert(r.getSeq[String](3).forall(_.length == 32))
+  }
+
+  test("non-literal config argument is rejected with a clear error") {
+    GraftFunctions.register(spark)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT stable_bucket('x', CAST(rand()*10 AS INT))").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("literal"))
+  }
+}
