@@ -16,7 +16,11 @@ import graft.core.{Executer, ExecuterConfig}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default 8, not nproc: this container advertises 32 CPUs but its
+    // effective CPU quota is far lower (measured: local[32] runs the
+    // md5/shingle-heavy queries ~10-20x SLOWER than local[8] from
+    // oversubscription). The driver can override via SPARK_GRAFT_CPUS.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     implicit val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
