@@ -14,6 +14,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Driver-side partition discovery for the ≤256-directory index
+      // stores (no listing Spark jobs), and nanos-timestamp handling set
+      // once at session build (not per-call; see Tables.events).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -27,6 +27,18 @@ final case class ExecuterConfig(
   val buckets: Int = fanIn * fanIn
 }
 
+/** Per-batch maintenance observability — the reference's NLog step trace
+  * (`MapReduce/Executer.cs:65-78,98-104`) re-expressed as metrics: which
+  * maintenance mode ran, how many Spark actions it issued, and how much
+  * state was dirty. Exposed via [[Executer.lastStats]] and logged. */
+final case class MaintenanceStats(
+    mode: String,
+    sparkJobs: Int,
+    incomingDocs: Long,
+    dirtyPairs: Int,
+    dirtyParents: Int,
+    millis: Long)
+
 /** Updatable, persistent, queryable map/reduce index on Spark.
   *
   * Spark-first re-expression of the reference engine
@@ -81,6 +93,80 @@ class Executer[D, R <: Product: TypeTag](
   private val partialsPath = s"$storePath/reduce_partials"
   private val finalsPath = s"$storePath/final_results"
   private val dirtyPath = s"$storePath/dirty"
+  private val leasePath = s"$storePath/_writer.lease"
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[Executer[_, _]])
+
+  @volatile private var _lastStats: Option[MaintenanceStats] = None
+
+  /** Stats of the most recent maintenance batch run through this
+    * instance — mode chosen, Spark actions issued, dirty-set size. */
+  def lastStats: Option[MaintenanceStats] = _lastStats
+
+  // ---------------------------------------------------------------------
+  // Single-writer lease — the reference is single-process by construction
+  // (`MapReduce/Program.cs:13-45`); on a shared store the same contract
+  // must be enforced, or two concurrent executes would interleave staging
+  // renames and corrupt state. `FileSystem.create(overwrite = false)` is
+  // the atomic claim (works on HDFS and local; object stores need their
+  // own conditional-put, documented limitation).
+  // ---------------------------------------------------------------------
+
+  private def acquireLease(): Unit = {
+    fs.mkdirs(new Path(storePath))
+    try {
+      val out = fs.create(new Path(leasePath), false)
+      out.writeUTF(s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}")
+      out.close()
+    } catch {
+      case _: java.io.IOException => throw new IllegalStateException(
+        s"another writer holds $leasePath — concurrent maintenance on one " +
+          "store is not supported (single-writer contract). If the " +
+          "previous writer crashed, run recover() then breakLease().")
+    }
+  }
+
+  /** Force-release a lease left behind by a crashed writer (call
+    * [[recover]] first to replay its WAL). */
+  def breakLease(): Unit = fs.delete(new Path(leasePath), false)
+
+  private def withLease[A](f: => A): A = {
+    acquireLease()
+    try f finally breakLease()
+  }
+
+  /** Run tiny maintenance queries with 1-partition, non-adaptive
+    * shuffles. In the driver-pruned path every shuffle moves ≤
+    * [[DriverDirtyLimit]] rows by construction, but at the session's
+    * defaults each action still fans out into one Spark job per AQE
+    * stage at the full shuffle width — measured 25 jobs (~6 s of pure
+    * scheduler/commit latency) for a 1-document update. With AQE off and
+    * one shuffle partition the same update is a handful of single-stage
+    * jobs; the update cost becomes O(dirty), not O(session width).
+    * Safe to scope via session conf: the store lease guarantees no
+    * concurrent maintenance, and reads (query/queryAll) never pass
+    * through here. */
+  private def withTinyShuffle[A](parts: Int = 1)(f: => A): A = {
+    val saved = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> parts.toString,
+      // Whole-stage codegen compiles a new class per plan, and the
+      // maintenance plans embed per-batch pruning literals — so every
+      // update would pay Janino compilation for rows it can count on one
+      // hand. Interpreted execution is faster below ~10^5 rows.
+      "spark.sql.codegen.wholeStage" -> "false",
+      // Keep partition discovery of the (≤ fanIn-directory) state tables
+      // on the driver: below this threshold no listing Spark job is
+      // launched, and listing ≤256 directories driver-side is microseconds
+      // on any filesystem worth running on.
+      "spark.sql.sources.parallelPartitionDiscovery.threshold" -> "4096"
+    ).map { case (k, v) =>
+      val old = spark.conf.getOption(k); spark.conf.set(k, v); k -> old
+    }
+    try f finally saved.foreach { case (k, old) =>
+      old.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 
   private def fs: FileSystem =
     FileSystem.get(URI.create(storePath), spark.sparkContext.hadoopConfiguration)
@@ -97,110 +183,183 @@ class Executer[D, R <: Product: TypeTag](
 
   /** One ingest-or-update batch: delete-and-invalidate prior contributions
     * of the incoming document ids (`Executer.cs:240-261`), persist new map
-    * output, then incrementally re-reduce only the dirty subtrees. */
-  def execute(docs: Dataset[D]): Unit = {
+    * output, then incrementally re-reduce only the dirty subtrees.
+    *
+    * Job-count discipline (the incremental-latency contract): an update
+    * must cost O(dirty) *plus a bounded number of Spark actions* — fixed
+    * per-job scheduler/commit latency, not data volume, dominates a small
+    * update, so the batch is organized as few, pushdown-pruned actions:
+    * the incoming docs are persisted once and every downstream scan of
+    * existing state uses driver-side `isin` pruning (partition values +
+    * doc ids + reduce keys), which parquet row-group stats can skip. */
+  def execute(docs: Dataset[D]): Unit = withLease {
+    val t0 = System.nanoTime()
+    var jobs = 0
     val t = task // local val: closures must not capture `this`
-    val mapped: DataFrame = docs
-      .mapPartitions { it => t.map(it).map { case (id, r) => (id, t.reduceKey(r), r) } }
-      .toDF("doc_id", "reduce_key", "payload")
-      .withColumn("doc_id", upper($"doc_id"))
-      .withColumn(
-        "bucket",
-        StableBucketHash.stableBucket($"doc_id", config.buckets))
-      .withColumn("parent", $"bucket" / lit(config.fanIn) cast "int")
-      .select("parent", "bucket", "reduce_key", "doc_id", "payload")
+    val docsP = docs.persist()
+    try {
+      val mapped: DataFrame = docsP
+        .mapPartitions { it => t.map(it).map { case (id, r) => (id, t.reduceKey(r), r) } }
+        .toDF("doc_id", "reduce_key", "payload")
+        .withColumn("doc_id", upper($"doc_id"))
+        .withColumn(
+          "bucket",
+          StableBucketHash.stableBucket($"doc_id", config.buckets))
+        .withColumn("parent", $"bucket" / lit(config.fanIn) cast "int")
+        .select("parent", "bucket", "reduce_key", "doc_id", "payload")
 
-    // Incoming ids come from documentId over the *documents*, not from map
-    // output: a doc that now maps to zero entries must still invalidate
-    // its previous contributions (`Executer.cs:89-91`).
-    val incomingIds = docs
-      .map(d => t.documentId(d)).toDF("doc_id")
-      .select(upper($"doc_id") as "doc_id").distinct()
+      // Incoming ids come from documentId over the *documents*, not from
+      // map output: a doc that now maps to zero entries must still
+      // invalidate its previous contributions (`Executer.cs:89-91`).
+      val incomingIds = docsP
+        .map(d => t.documentId(d)).toDF("doc_id")
+        .select(upper($"doc_id") as "doc_id").distinct()
 
-    if (!exists(mapResultsPath)) {
-      // Initial build fast path: everything is dirty, so skip the dirty
-      // set entirely — no WAL round-trip, no semi-join pruning, no
-      // staging renames (the partials/finals tables don't exist yet).
-      // Crash safety: a one-row sentinel WAL marks "full rebuild
-      // pending"; recover() re-runs rereduceAll for it.
-      writePartitioned(mapped, mapResultsPath, "parent")
-      writeDirtyLog(spark.createDataFrame(Seq(("", FullRebuild)))
-        .toDF("reduce_key", "parent"))
-      rereduceAll()
-      clearDirtyLog()
-    } else {
-      // A document's bucket (hence `parent` partition) is a pure function
-      // of its id — so every prior contribution of the incoming ids lives
-      // in the parents of the incoming ids. Partition-prune the stale
-      // lookup to those parents (≤ fanIn values collected): a k-doc
-      // update scans O(k/fanIn of the table), never all of it. This
-      // replaces the reference's per-doc directory lookup
-      // (`Executer.cs:245-250`) with a pruned semi join.
-      val incomingParents = incomingIds
-        .select((StableBucketHash.stableBucket($"doc_id", config.buckets)
-          / lit(config.fanIn)).cast("int") as "parent")
-        .distinct().as[Int].collect().sorted
-      val existing = readMapResults()
-        .where($"parent".isin(incomingParents.map(Integer.valueOf): _*))
-      // Prior contributions of incoming ids — across ALL reduce keys the
-      // doc previously mapped to (`Executer.cs:253-258`). The dirty set
-      // is written straight to the WAL and read back — the WAL parquet
-      // doubles as the materialization barrier. The WAL carries a
-      // provenance flag (pair seen on a stale row vs only on new map
-      // output) so the driver can pick the append fast path below.
-      val stale = existing.join(incomingIds, Seq("doc_id"), "left_semi")
-      writeDirtyLog(
-        stale.select($"reduce_key", $"parent", lit(true) as "is_stale")
-          .union(mapped.select($"reduce_key", $"parent", lit(false) as "is_stale"))
-          .distinct())
-
-      val walProbe = readDirtyLog().limit(DriverDirtyLimit + 1).collect()
-      if (walProbe.length <= DriverDirtyLimit) {
-        // Small dirty set — the common incremental case. Everything is
-        // derived driver-side from the probe: no further joins, distinct
-        // jobs, or collects; downstream scans use pushed-down isin
-        // filters (which parquet row-group stats can skip, thanks to the
-        // reduce_key sort order of writePartitioned).
-        val pairs = walProbe.map(r => (r.getString(0), r.getInt(1))).distinct.toSeq
-        val anyStale = walProbe.exists(_.getBoolean(2))
-        val dirtyParents = pairs.map(_._2).distinct.sorted
-
-        if (!anyStale) {
-          // Pure insert: nothing to invalidate — the new rows become
-          // additional files in their partition directories. No
-          // read-rewrite of existing state at all.
-          mapped.repartition($"parent")
-            .sortWithinPartitions($"parent", $"reduce_key")
-            .write.partitionBy("parent").mode("append").parquet(mapResultsPath)
-        } else {
-          val ids = incomingIds.limit(DriverDirtyLimit + 1)
-            .as[String].collect()
-          val retained = existing
-            .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
-          val retainedMinusIncoming =
-            if (ids.length <= DriverDirtyLimit)
-              retained.where(!$"doc_id".isin(ids.toIndexedSeq: _*))
-            else retained.join(incomingIds, Seq("doc_id"), "left_anti")
-          stageAndOverwrite(
-            retainedMinusIncoming.unionByName(mapped), mapResultsPath,
-            "parent", dirtyParents)
-        }
-        rereducePruned(pairs)
+      if (!exists(mapResultsPath)) {
+        // Initial build fast path: everything is dirty, so skip the dirty
+        // set entirely — no WAL round-trip, no semi-join pruning, no
+        // staging renames (the partials/finals tables don't exist yet).
+        // Crash safety: a one-row sentinel WAL marks "full rebuild
+        // pending"; recover() re-runs rereduceAll for it.
+        writePartitioned(mapped, mapResultsPath, "parent"); jobs += 1
+        writeDirtyLog(spark.createDataFrame(Seq(("", FullRebuild)))
+          .toDF("reduce_key", "parent")); jobs += 1
+        rereduceAll(); jobs += 2
+        clearDirtyLog()
+        _lastStats = Some(MaintenanceStats("build", jobs, -1, -1, -1,
+          (System.nanoTime() - t0) / 1000000))
       } else {
-        // Large dirty set: distributed path (joins against the WAL).
-        val dirty = readDirtyLog().select("reduce_key", "parent").distinct()
-        val dirtyParents = dirty.select("parent").distinct()
-          .as[Int].collect().sorted // ≤ fanIn values
-        val retained = existing
-          .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
-          .join(incomingIds, Seq("doc_id"), "left_anti")
-        stageAndOverwrite(
-          retained.unionByName(mapped), mapResultsPath, "parent",
-          dirtyParents.toSeq)
-        rereduce(dirty)
+        // ---- probe 1: the incoming ids (bounded collect) --------------
+        val idsProbe = incomingIds.limit(DriverDirtyLimit + 1)
+          .as[String].collect(); jobs += 1
+        val idsSmall = idsProbe.length <= DriverDirtyLimit
+
+        // A document's bucket (hence `parent` partition) is a pure
+        // function of its id — so every prior contribution of the
+        // incoming ids lives in the parents of the incoming ids
+        // (≤ fanIn values). Small batches compute them driver-side from
+        // the probed ids (zero extra jobs); large batches pay one
+        // bounded distinct/collect. This replaces the reference's
+        // per-doc directory lookup (`Executer.cs:245-250`).
+        val incomingParents: Seq[Int] =
+          if (idsSmall)
+            idsProbe.map(id =>
+              StableBucketHash.hash(id, config.buckets) / config.fanIn)
+              .distinct.sorted.toSeq
+          else {
+            jobs += 1
+            incomingIds
+              .select((StableBucketHash.stableBucket($"doc_id", config.buckets)
+                / lit(config.fanIn)).cast("int") as "parent")
+              .distinct().as[Int].collect().sorted.toSeq
+          }
+        val existing = readMapResults()
+          .where($"parent".isin(incomingParents.map(Integer.valueOf): _*))
+
+        // ---- probe 2: the dirty (key, parent) set ---------------------
+        // Prior contributions of incoming ids — across ALL reduce keys
+        // the doc previously mapped to (`Executer.cs:253-258`) — plus the
+        // pairs of the new map output. Small batches find stale rows with
+        // pushed-down id filters (no join, no shuffle); this action also
+        // materializes `mapped` into the block cache so the map function
+        // runs exactly once per batch. The provenance flag (pair seen on
+        // a stale row vs only on new map output) picks the append fast
+        // path below.
+        val mappedP = mapped.persist()
+        def maintain(): Unit = {
+          val stale =
+            if (idsSmall) existing.where($"doc_id".isin(idsProbe.toIndexedSeq: _*))
+            else existing.join(incomingIds, Seq("doc_id"), "left_semi")
+          val dirtyDF = stale
+            .select($"reduce_key", $"parent", lit(true) as "is_stale")
+            .union(mappedP.select($"reduce_key", $"parent", lit(false) as "is_stale"))
+            .distinct()
+          val pairsProbe =
+            if (idsSmall) withTinyShuffle(1)(dirtyDF.limit(DriverDirtyLimit + 1).collect())
+            else dirtyDF.limit(DriverDirtyLimit + 1).collect()
+          jobs += 1
+
+          if (pairsProbe.length <= DriverDirtyLimit) withTinyShuffle(if (idsSmall) 1 else 8) {
+            // Small dirty set — the common incremental case. Everything
+            // downstream is derived from the probe: the WAL is written
+            // from driver rows (a no-scan local-relation write), and all
+            // state scans use pushed-down isin filters.
+            val pairs = pairsProbe.map(r => (r.getString(0), r.getInt(1)))
+              .distinct.toSeq
+            val anyStale = pairsProbe.exists(_.getBoolean(2))
+            val dirtyParents = pairs.map(_._2).distinct.sorted
+            // The dirty set is on the driver — write the WAL directly to
+            // the store filesystem (no Spark job, no commit protocol).
+            writeDirtyLogLocal(pairs)
+
+            // The post-update map rows of the dirty parents, as an
+            // in-memory plan over the PRE-update file snapshot plus the
+            // cached new map output — rereducePruned reduces from this
+            // instead of re-reading (and re-listing) the just-rewritten
+            // table.
+            var level0Source: DataFrame = null
+            if (!anyStale) {
+              // Pure insert: nothing to invalidate — the new rows become
+              // additional files in their partition directories. No
+              // read-rewrite of existing state at all.
+              mappedP.repartition($"parent")
+                .sortWithinPartitions($"parent", $"reduce_key")
+                .write.partitionBy("parent").mode("append")
+                .parquet(mapResultsPath); jobs += 1
+              level0Source = existing
+                .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
+                .unionByName(mappedP)
+            } else {
+              val retained = existing
+                .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
+              val retainedMinusIncoming =
+                if (idsSmall)
+                  retained.where(!$"doc_id".isin(idsProbe.toIndexedSeq: _*))
+                else retained.join(incomingIds, Seq("doc_id"), "left_anti")
+              stageAndOverwrite(retainedMinusIncoming.unionByName(mappedP),
+                mapResultsPath, "parent", dirtyParents,
+                clustered = idsSmall); jobs += 1
+              // Must re-read from disk: the pre-update snapshot's files
+              // were just deleted by the overwrite, so any plan over
+              // `existing` is no longer executable.
+              level0Source = readMapResults()
+                .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
+            }
+            rereducePruned(pairs, level0Source,
+              clustered = idsSmall); jobs += 2
+            _lastStats = Some(MaintenanceStats(
+              if (anyStale) "incremental-pruned" else "append",
+              jobs, if (idsSmall) idsProbe.length else -1,
+              pairs.size, dirtyParents.size,
+              (System.nanoTime() - t0) / 1000000))
+          } else {
+            // Large dirty set: distributed path (joins against the WAL).
+            writeDirtyLog(dirtyDF); jobs += 1
+            val dirty = readDirtyLog().select("reduce_key", "parent").distinct()
+            val dirtyParents = dirty.select("parent").distinct()
+              .as[Int].collect().sorted; jobs += 1 // ≤ fanIn values
+            val retained = existing
+              .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
+              .join(incomingIds, Seq("doc_id"), "left_anti")
+            stageAndOverwrite(
+              retained.unionByName(mappedP), mapResultsPath, "parent",
+              dirtyParents.toSeq); jobs += 1
+            rereduce(dirty); jobs += 3
+            _lastStats = Some(MaintenanceStats("incremental-distributed",
+              jobs, -1, -1, dirtyParents.length,
+              (System.nanoTime() - t0) / 1000000))
+          }
+          clearDirtyLog()
+        }
+        // Shuffle-width policy lives inside maintain(): the pairs probe
+        // and the small-pairs branch run at tiny-shuffle settings
+        // (1 partition for tiny batches, a fixed narrow width for larger
+        // batches whose dirty pair set still collapsed); the distributed
+        // branch keeps the session's AQE planning.
+        try maintain() finally mappedP.unpersist()
       }
-      clearDirtyLog()
-    }
+    } finally docsP.unpersist()
+    _lastStats.foreach(s => log.info(s"execute: $s"))
   }
 
   /** Driver-pruned incremental re-reduce for small dirty sets: the exact
@@ -208,26 +367,35 @@ class Executer[D, R <: Product: TypeTag](
     * pushed-down predicates instead of joins. Semantics identical to
     * [[rereduce]] (sibling inclusion per parent, empty groups disappear,
     * finals rebuilt per dirty key). */
-  private def rereducePruned(pairs: Seq[(String, Int)]): Unit = {
+  /** @param level0Source the post-update map rows of the dirty parents
+    *   (either an in-memory plan over still-live file snapshots + cached
+    *   map output, or a pruned re-read of the rewritten table). */
+  private def rereducePruned(
+      pairs: Seq[(String, Int)], level0Source: DataFrame,
+      clustered: Boolean = true): Unit = {
     if (pairs.isEmpty) return
     val dirtyParents = pairs.map(_._2).distinct.sorted
     val dirtyKeys = pairs.map(_._1).distinct.sorted
-    def pairPred = pairs.map { case (k, p) =>
-      $"reduce_key" === k && $"parent" === p
-    }.reduce(_ || _)
+    // Superset pruning: rebuild (key ∈ dirtyKeys) × (parent ∈
+    // dirtyParents) ⊇ the exact dirty pairs. Rebuilding a clean group is
+    // idempotent (level-1 partials are always rebuilt from scratch from
+    // all their children), and two isin filters push down to parquet
+    // row-group stats — where the exact pair set would need a deep
+    // Or-tree that neither pushes down nor survives Catalyst's analyzer
+    // recursion (observed StackOverflowError at ~600 pairs).
+    val keyPred = $"reduce_key".isin(dirtyKeys: _*)
 
-    val level0 = readMapResults()
-      .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
-      .where(pairPred)
+    val level0 = level0Source.where(keyPred)
     val newPartials = reduceByKeyParent(level0)
       .select("parent", "reduce_key", "payload")
     val partialsOut =
       if (!exists(partialsPath)) newPartials
       else readPartials()
         .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
-        .where(!pairPred)
+        .where(!keyPred)
         .unionByName(newPartials)
-    stageAndOverwrite(partialsOut, partialsPath, "parent", dirtyParents)
+    stageAndOverwrite(partialsOut, partialsPath, "parent", dirtyParents,
+      clustered = clustered)
 
     val level1 = readPartials()
       .where($"reduce_key".isin(dirtyKeys: _*))
@@ -241,7 +409,8 @@ class Executer[D, R <: Product: TypeTag](
         .where($"fpart".isin(dirtyFparts.map(Integer.valueOf): _*))
         .where(!$"reduce_key".isin(dirtyKeys: _*))
         .unionByName(newFinals)
-    stageAndOverwrite(finalsOut, finalsPath, "fpart", dirtyFparts)
+    stageAndOverwrite(finalsOut, finalsPath, "fpart", dirtyFparts,
+      clustered = clustered)
   }
 
   /** Incrementally rebuild level-1 partials for the dirty (key, parent)
@@ -363,24 +532,26 @@ class Executer[D, R <: Product: TypeTag](
 
   /** Drop all stored state for one reduce key — the reference's public
     * utility `Delete` (`Executer.cs:222-238`). */
-  def delete(key: String): Unit = {
-    for ((path, part) <- Seq(
-        (mapResultsPath, "parent"), (partialsPath, "parent"))) {
+  def delete(key: String): Unit = withLease {
+    for ((path, part, reader) <- Seq(
+        (mapResultsPath, "parent", () => readMapResults()),
+        (partialsPath, "parent", () => readPartials()))) {
       if (exists(path)) {
-        val t = spark.read.parquet(path)
+        val t = reader()
         val parts = t.where($"reduce_key" === key)
           .select(part).distinct().as[Int].collect()
         if (parts.nonEmpty) {
           val kept = t.where(col(part).isin(parts.map(Integer.valueOf): _*))
             .where($"reduce_key" =!= key)
-          stageAndOverwrite(kept, path, part, parts.toSeq)
+          stageAndOverwrite(kept, path, part, parts.toSeq, clustered = true)
         }
       }
     }
     if (exists(finalsPath)) {
       val kept = readFinals()
         .where($"fpart" === fpartOf(key)).where($"reduce_key" =!= key)
-      stageAndOverwrite(kept, finalsPath, "fpart", Seq(fpartOf(key)))
+      stageAndOverwrite(kept, finalsPath, "fpart", Seq(fpartOf(key)),
+        clustered = true)
     }
   }
 
@@ -397,15 +568,34 @@ class Executer[D, R <: Product: TypeTag](
   // Storage plumbing
   // ---------------------------------------------------------------------
 
+  // Explicit schemas on every state read: schema inference would read a
+  // parquet footer per table open (several opens per maintenance batch),
+  // and the payload struct schema is statically known from the task's
+  // result encoder anyway.
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType, StructField, StructType}
+
+  private lazy val mapReadSchema = StructType(Seq(
+    StructField("bucket", IntegerType), StructField("reduce_key", StringType),
+    StructField("doc_id", StringType), StructField("payload", encR.schema),
+    StructField("parent", IntegerType)))
+  private lazy val partialReadSchema = StructType(Seq(
+    StructField("reduce_key", StringType), StructField("payload", encR.schema),
+    StructField("parent", IntegerType)))
+  private lazy val finalReadSchema = StructType(Seq(
+    StructField("reduce_key", StringType), StructField("payload", encR.schema),
+    StructField("fpart", IntegerType)))
+
   private def readMapResults(): DataFrame =
-    spark.read.parquet(mapResultsPath)
+    spark.read.schema(mapReadSchema).parquet(mapResultsPath)
       .select("parent", "bucket", "reduce_key", "doc_id", "payload")
 
   private def readPartials(): DataFrame =
-    spark.read.parquet(partialsPath).select("parent", "reduce_key", "payload")
+    spark.read.schema(partialReadSchema).parquet(partialsPath)
+      .select("parent", "reduce_key", "payload")
 
   private def readFinals(): DataFrame =
-    spark.read.parquet(finalsPath).select("fpart", "reduce_key", "payload")
+    spark.read.schema(finalReadSchema).parquet(finalsPath)
+      .select("fpart", "reduce_key", "payload")
 
   /** Partition-level overwrite via a scratch staging dir: the rewritten
     * content of the affected partitions is fully materialized to staging
@@ -431,11 +621,23 @@ class Executer[D, R <: Product: TypeTag](
       .sortWithinPartitions(col(partitionCol), $"reduce_key")
       .write.partitionBy(partitionCol).mode("overwrite").parquet(destPath)
 
+  /** @param clustered pass true only when the input's task partitioning
+    *   already clusters rows by the partition column (narrow
+    *   filter-on-scan plans, or single-partition tiny-shuffle plans):
+    *   then the repartition shuffle is skipped and each task writes the
+    *   directories its rows already belong to. A plan with a join or a
+    *   wide shuffle in it must keep the repartition, or every task
+    *   writes a sliver of every directory (task-count × dir-count tiny
+    *   files). */
   private def stageAndOverwrite(
       df: DataFrame, destPath: String, partitionCol: String,
-      partitions: Seq[Int]): Unit = {
+      partitions: Seq[Int], clustered: Boolean = false): Unit = {
     val staging = s"$destPath.staging"
-    writePartitioned(df, staging, partitionCol)
+    val arranged =
+      if (clustered) df.sortWithinPartitions(col(partitionCol), $"reduce_key")
+      else df.repartition(col(partitionCol))
+        .sortWithinPartitions(col(partitionCol), $"reduce_key")
+    arranged.write.partitionBy(partitionCol).mode("overwrite").parquet(staging)
     fs.mkdirs(new Path(destPath))
     partitions.foreach { p =>
       fs.delete(new Path(s"$destPath/$partitionCol=$p"), true)
@@ -450,25 +652,64 @@ class Executer[D, R <: Product: TypeTag](
 
   /** WAL for the dirty set — replaces the reference's `Schedules tree`
     * marker files (`Executer.cs:115-151`): written before state mutation,
-    * cleared after the re-reduce completes. */
+    * cleared after the re-reduce completes.
+    *
+    * Two spellings: large dirty sets are written distributed as parquet;
+    * small (driver-known) dirty sets are written directly to the store
+    * filesystem ([[writeDirtyLogLocal]]) — a single create+close, no
+    * Spark job, no commit protocol. */
   private def writeDirtyLog(dirty: DataFrame): Unit =
     dirty.write.mode("overwrite").parquet(dirtyPath)
 
+  private val dirtyLocalPath = s"$storePath/dirty.pairs"
+
+  private def writeDirtyLogLocal(pairs: Seq[(String, Int)]): Unit = {
+    val out = new java.io.DataOutputStream(
+      fs.create(new Path(dirtyLocalPath), true))
+    try {
+      out.writeInt(pairs.length)
+      pairs.foreach { case (k, p) => out.writeUTF(k); out.writeInt(p) }
+    } finally out.close()
+  }
+
+  private def readDirtyLogLocal(): Seq[(String, Int)] = {
+    val in = new java.io.DataInputStream(fs.open(new Path(dirtyLocalPath)))
+    try {
+      val n = in.readInt()
+      (0 until n).map(_ => (in.readUTF(), in.readInt()))
+    } finally in.close()
+  }
+
   private def readDirtyLog(): DataFrame = spark.read.parquet(dirtyPath)
 
-  private def clearDirtyLog(): Unit =
+  private def clearDirtyLog(): Unit = {
     if (exists(dirtyPath)) fs.delete(new Path(dirtyPath), true)
+    if (exists(dirtyLocalPath)) fs.delete(new Path(dirtyLocalPath), false)
+  }
 
   /** Crash recovery: if a dirty log survives from an interrupted execute,
     * re-run the re-reduce for it (idempotent — level-1 parents are rebuilt
     * from scratch, §2.3.3/§2.3.4 of SURVEY.md). A [[FullRebuild]]
     * sentinel replays the whole-build reduce. */
-  def recover(): Unit =
-    if (exists(dirtyPath)) {
+  def recover(): Unit = {
+    if (exists(dirtyLocalPath)) {
+      // Small-update WAL: the exact dirty pairs, replayed through the
+      // pruned path against whatever map_results state the crash left
+      // (old, new, or partially swapped partitions — each partition is
+      // internally consistent, and partials are rebuilt from scratch).
+      val pairs = readDirtyLogLocal()
+      val dirtyParents = pairs.map(_._2).distinct.sorted
+      withTinyShuffle(1) {
+        rereducePruned(pairs, readMapResults()
+          .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*)))
+      }
+      clearDirtyLog()
+    } else if (exists(dirtyPath)) {
       val dirty = readDirtyLog()
       if (dirty.where($"parent" === FullRebuild).limit(1).count() > 0)
         rereduceAll()
-      else rereduce(dirty)
+      else rereduce(dirty.select("reduce_key", "parent").distinct())
       clearDirtyLog()
     }
+  }
 }

@@ -43,7 +43,7 @@ object Dedup {
       import s.implicits._
       t(s, dir, "documents")
         .where(size(split($"text", "\\s+")) >= 3)
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(cpuWidth(s))
         .select($"doc_id",
           graft.functions.MinHashSigs.minhashSigs(shingles($"text"), NumHashes) as "mh")
         .localCheckpoint() // barrier: see q27
@@ -64,7 +64,7 @@ object Dedup {
       // tiny banded table once — Catalyst's projection collapse would
       // otherwise inline the full 8-seed MinHash computation into every
       // band expression on BOTH sides of the self-join (~8x the work).
-      val par = s.sparkContext.defaultParallelism
+      val par = cpuWidth(s)
       // Shingling is interpreted HOF work over ~n_words elements per doc
       // and `docs` feeds three consumers (signatures + both sides of the
       // pair join-back) — materialize it once.
@@ -116,7 +116,7 @@ object Dedup {
         when(votes >= 0, lit(1 << bit)).otherwise(lit(0))
       }.reduce(_ + _)
       t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(cpuWidth(s))
         .select($"doc_id", sig as "simhash")
     })
 

@@ -73,7 +73,7 @@ object EmbeddingOps {
       // Signature stage: one codegen'd expression computes all 4 table
       // buckets in a single pass over the vector; repartitioned across
       // cores and materialized once for the two-sided self-join.
-      val tabs = e.repartition(s.sparkContext.defaultParallelism)
+      val tabs = e.repartition(cpuWidth(s))
         .select($"vec_id",
           posexplode(hyperplaneBuckets($"embedding", 4, 8, 64)))
         .select($"vec_id", $"pos" as "tbl", $"col" as "bkt")
@@ -103,7 +103,7 @@ object EmbeddingOps {
       import s.implicits._
       import graft.functions.HyperplaneBuckets.hyperplaneBuckets
       val v = t(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(cpuWidth(s))
         .select($"vec_id", $"embedding", norm($"embedding") as "nrm",
           element_at(hyperplaneBuckets($"embedding", 1, 8, 64), 1) as "cell")
         .localCheckpoint()
@@ -128,7 +128,7 @@ object EmbeddingOps {
       import s.implicits._
       import graft.functions.HyperplaneBuckets.hyperplaneBuckets
       val e = t(s, dir, "embeddings")
-      val sigged = e.repartition(s.sparkContext.defaultParallelism)
+      val sigged = e.repartition(cpuWidth(s))
         .select($"vec_id", $"label",
           element_at(hyperplaneBuckets($"embedding", 1, 8, 64), 1) as "bucket")
       // Bucket sizes — the skew diagnostic an ANN pipeline monitors.

@@ -91,6 +91,27 @@ object IndexQueries {
         .select($"reduce_key", $"cnt", toDouble($"total") as "total")
     })
 
+  case class LineitemDoc(l_orderkey: Long, l_linenumber: Int,
+      l_returnflag: String, l_linestatus: String, l_quantity: Double)
+  case class FlagStatusAgg(flag_status: String, cnt: Long, qty: BigDecimal)
+
+  /** TPC-H Q1's grouped aggregate as an updatable persistent index over
+    * `lineitem` — the largest synthetic table, used by Bench for the
+    * incremental-maintenance headline (full build over every row vs
+    * k-document updates). */
+  object LineitemByFlagStatus extends MapReduceTask[LineitemDoc, FlagStatusAgg] {
+    def map(docs: Iterator[LineitemDoc]): Iterator[(String, FlagStatusAgg)] =
+      docs.map(l => (s"lineitem-${l.l_orderkey}-${l.l_linenumber}",
+        FlagStatusAgg(l.l_returnflag + l.l_linestatus, 1L, BigDecimal(l.l_quantity))))
+    def reduce(entries: Iterator[FlagStatusAgg]): Iterator[FlagStatusAgg] =
+      entries.toSeq.groupBy(_.flag_status).map { case (fs, es) =>
+        FlagStatusAgg(fs, es.map(_.cnt).sum, es.map(_.qty).sum)
+      }.iterator
+    def reduceKey(e: FlagStatusAgg): String = e.flag_status
+    def documentId(d: LineitemDoc): String =
+      s"lineitem-${d.l_orderkey}-${d.l_linenumber}"
+  }
+
   case class TagAgg(tag: String, cnt: Long, total: BigDecimal)
 
   /** One document emits MULTIPLE map entries with different reduce keys

@@ -10,6 +10,21 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Partition width for CPU-bound kernel stages (digests, signatures).
+    *
+    * Clamped to 8: these stages are compute-saturated long before 8-way
+    * parallelism on one host, and running them at the session's full
+    * advertised width is actively harmful when the host's effective CPU
+    * quota is below its advertised core count (measured here: local[32]
+    * on a throttled host runs the digest kernels 5-50× slower than
+    * local[8]). The repartition exists only to spread a single local
+    * parquet file across cores; at 100 TB the input already arrives as
+    * many file splits and the same kernels run at the scan's natural
+    * width — the clamp governs this local re-split, not cluster
+    * parallelism. */
+  def cpuWidth(spark: SparkSession): Int =
+    math.min(8, spark.sparkContext.defaultParallelism)
+
   /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which
     * Spark's vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
     * Read nanos as long and rebuild a microsecond timestamp (floor-div,
