@@ -94,12 +94,16 @@ object Bench {
       // a real delete-and-reinsert. One untimed warmup update first: the
       // very first incremental batch pays one-off plan/codegen
       // initialization that is amortized in any real maintenance loop.
-      def batchOf(k: Int) = lineitem
-        .orderBy($"l_orderkey", $"l_linenumber").limit(k)
-        .map(l => l.copy(l_quantity = l.l_quantity * 2))
+      // Batches are materialized to a local dataset before the clock
+      // starts: the timed number is the engine's maintenance cost, not
+      // the cost of sorting the source table to pick k rows.
+      def batchOf(k: Int) = spark.createDataset(
+        lineitem.orderBy($"l_orderkey", $"l_linenumber").limit(k)
+          .map(l => l.copy(l_quantity = l.l_quantity * 2)).collect().toSeq)
       ex.execute(batchOf(1))
       for (k <- incKs) {
-        inc(k) = time { ex.execute(batchOf(k)) }
+        val batch = batchOf(k)
+        inc(k) = time { ex.execute(batch) }
       }
     }
 

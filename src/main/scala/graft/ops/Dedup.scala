@@ -25,6 +25,11 @@ object Dedup {
   private val NumHashes = 8
   private val Bands = 4 // 4 bands × 2 rows
 
+  /** Hot-bucket cap for the LSH self-join (see [[capHotBuckets]]): a
+    * bucket with more than this many members contributes no candidate
+    * pairs. 64² bounds any one bucket's pair fan-out at ~2k. */
+  private[ops] val MaxBucket = 64
+
   /** Distinct 3-word shingles of a text column. */
   private def shingles(text: Column): Column = {
     val words = split(text, "\\s+")
@@ -33,6 +38,39 @@ object Dedup {
       sequence(lit(0), n - lit(3)),
       i => concat_ws(" ", element_at(words, i + 1),
         element_at(words, i + 2), element_at(words, i + 3))))
+  }
+
+  /** Drop LSH buckets with more than `cap` members before a bucket
+    * self-join. The join is quadratic WITHIN a bucket, so one degenerate
+    * bucket (e.g. near-empty docs sharing a signature) turns a linear
+    * candidate-generation pass into an O(n²) task at 100 TB; an
+    * over-`cap` bucket is by definition not discriminating — its members
+    * collide on the other bands too if they are real near-dups, so the
+    * recall cost is small and the worst-case work becomes cap² per
+    * bucket, bounded. The size count rides the same hash partitioning
+    * the self-join needs (a window over the join keys — no extra table,
+    * no broadcast of an unbounded bucket-count table). */
+  private[ops] def capHotBuckets(
+      df: org.apache.spark.sql.DataFrame, keys: Seq[Column],
+      cap: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__bn", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .where(col("__bn") <= cap).drop("__bn")
+  }
+
+  /** Lineage-preserving materialization barrier (vs `localCheckpoint`,
+    * which truncates lineage into unreplicated executor-local blocks — a
+    * lost executor then fails the query instead of recomputing). Persist
+    * keeps the lineage, so a lost block is recomputed from source, and
+    * the InMemoryRelation boundary still stops Catalyst's projection
+    * collapse from inlining the expensive signature expression into
+    * every downstream reference. The eager count materializes once up
+    * front so a self-join's two scans never race to populate the cache. */
+  private[ops] def barrier(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
   }
 
 
@@ -46,7 +84,7 @@ object Dedup {
         .repartition(cpuWidth(s))
         .select($"doc_id",
           graft.functions.MinHashSigs.minhashSigs(shingles($"text"), NumHashes) as "mh")
-        .localCheckpoint() // barrier: see q27
+        .transform(barrier)
         .select($"doc_id" +:
           (0 until NumHashes).map(i => element_at($"mh", i + 1) as s"mh$i"): _*)
     },
@@ -72,13 +110,13 @@ object Dedup {
         .where(size(split($"text", "\\s+")) >= 3)
         .repartition(par)
         .select($"doc_id", shingles($"text") as "sh")
-        .localCheckpoint()
-      // Checkpoint = projection-collapse barrier: the 8 element_at
+        .transform(barrier)
+      // Barrier = projection-collapse stop: the 8 element_at
       // references below would otherwise each inline the full signature
       // computation.
       val sigs = docs.select($"doc_id",
         graft.functions.MinHashSigs.minhashSigs($"sh", NumHashes) as "mh")
-        .localCheckpoint()
+        .transform(barrier)
       val banded = sigs.select($"doc_id",
           explode(array((0 until Bands).map(b =>
             struct(lit(b) as "band",
@@ -86,8 +124,10 @@ object Dedup {
                 element_at($"mh", 2 * b + 1),
                 element_at($"mh", 2 * b + 2))) as "bh")): _*)) as "e")
         .select($"doc_id", $"e.band", $"e.bh")
-        .localCheckpoint()
-      val cand = banded.as("x").join(banded.as("y"),
+      // Cap degenerate buckets before the quadratic self-join, then
+      // materialize: the capped table is scanned from both sides.
+      val capped = barrier(capHotBuckets(banded, Seq($"band", $"bh"), MaxBucket))
+      val cand = capped.as("x").join(capped.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id") as "id_a", col("y.doc_id") as "id_b")
@@ -144,9 +184,13 @@ object Dedup {
                s"WHEN $bd THEN md5(${mhSql(bd * 2)} || '|' || ${mhSql(bd * 2 + 1)})").mkString(" ")}
          |    END AS bh
          |  FROM d, (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bh) AS bn FROM banded) t
+         |  WHERE bn <= $MaxBucket),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+         |  FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh
          |  WHERE a.doc_id < b.doc_id)
          |SELECT id_a, id_b,
          |  CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /

@@ -21,6 +21,10 @@ import Tables._
   */
 object EmbeddingOps {
 
+  /** Hot-cell cap for the hyperplane-LSH self-join — same rationale and
+    * mechanism as [[Dedup.MaxBucket]]/[[Dedup.capHotBuckets]]. */
+  private val MaxBucketVecs = 256
+
   /** Σ aᵢ·bᵢ with double accumulation in array order — codegen'd
     * expression, bit-compatible with the HOF formulation and the oracle
     * (see [[graft.functions.DotProduct]]). */
@@ -77,8 +81,12 @@ object EmbeddingOps {
         .select($"vec_id",
           posexplode(hyperplaneBuckets($"embedding", 4, 8, 64)))
         .select($"vec_id", $"pos" as "tbl", $"col" as "bkt")
-        .localCheckpoint()
-      val cand = tabs.as("x").join(tabs.as("y"),
+      // Cap degenerate (table, bucket) cells before the quadratic
+      // self-join (see Dedup.capHotBuckets), then materialize once for
+      // both sides of the join.
+      val capped = Dedup.barrier(
+        Dedup.capHotBuckets(tabs, Seq($"tbl", $"bkt"), MaxBucketVecs))
+      val cand = capped.as("x").join(capped.as("y"),
           col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id") as "id_a", col("y.vec_id") as "id_b")
@@ -106,7 +114,7 @@ object EmbeddingOps {
         .repartition(cpuWidth(s))
         .select($"vec_id", $"embedding", norm($"embedding") as "nrm",
           element_at(hyperplaneBuckets($"embedding", 1, 8, 64), 1) as "cell")
-        .localCheckpoint()
+        .transform(Dedup.barrier)
       val q = v.where($"vec_id" < 8)
         .select($"vec_id" as "query_id", $"embedding" as "qe",
           $"nrm" as "qn", $"cell")
@@ -163,9 +171,13 @@ object EmbeddingOps {
         |        THEN power(2, b.bit) ELSE 0 END) AS INT)
         |     FROM (SELECT unnest(generate_series(0, 7)) AS bit) b) AS bkt
         |  FROM v, (SELECT unnest(generate_series(0, 3)) AS tbl) t),
+        |capped AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY tbl, bkt) AS bn FROM sig) t
+        |  WHERE bn <= 256),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bkt = b.bkt
+        |  FROM capped a JOIN capped b ON a.tbl = b.tbl AND a.bkt = b.bkt
         |    AND a.vec_id < b.vec_id)
         |SELECT c.id_a, c.id_b, na.label AS label_a,
         |  list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) AS cos
