@@ -82,8 +82,12 @@ class Executer[D, R <: Product: TypeTag](
 
   /** Above this many dirty (key, parent) pairs, incremental maintenance
     * switches from driver-side pruning (isin pushdown, zero extra jobs)
-    * to the distributed join path. */
-  private val DriverDirtyLimit = 1000
+    * to the distributed join path. 4096 ≈ a few hundred KB of driver
+    * strings at worst — far below any driver-memory concern — while
+    * keeping per-doc-keyed indexes (signature tables, cell assignments,
+    * where dirty pairs ≈ 2 × batch docs) on the cheap path for
+    * multi-thousand-doc update batches. */
+  private val DriverDirtyLimit = 4096
 
   implicit private val encR: Encoder[R] = Encoders.product[R]
   implicit private val encKR: Encoder[(String, String, R)] =
