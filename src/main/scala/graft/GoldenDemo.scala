@@ -54,6 +54,7 @@ object GoldenDemo {
       (1 to 397).map(i => Person(s"people-$i", "CA")) ++
       (398 to 653).map(i => Person(s"people-$i", "TX"))
     ex.execute(spark.createDataset(people))
+    println(s"build stats:  ${ex.lastStats.getOrElse("?")}")
     val ca0 = ex.query("CA").collect().toSeq
     val tx0 = ex.query("TX").collect().toSeq
     println(s"after build:  CA=$ca0 TX=$tx0")
@@ -61,6 +62,7 @@ object GoldenDemo {
 
     // people-30 moves to TX (update = delete + insert).
     ex.execute(spark.createDataset(Seq(Person("people-30", "TX"))))
+    println(s"update stats: ${ex.lastStats.getOrElse("?")}")
     val ca1 = ex.query("CA").collect().toSeq
     val tx1 = ex.query("TX").collect().toSeq
     println(s"after update: CA=$ca1 TX=$tx1")

@@ -695,6 +695,21 @@ class Executer[D, R <: Product: TypeTag](
     * re-run the re-reduce for it (idempotent — level-1 parents are rebuilt
     * from scratch, §2.3.3/§2.3.4 of SURVEY.md). A [[FullRebuild]]
     * sentinel replays the whole-build reduce. */
+  /** Maintenance-state visibility (the reference's operators could watch
+    * its Schedules tree; ours ask the index): false iff an interrupted
+    * batch left a dirty WAL behind — [[recover]] would replay it. Reads
+    * ([[query]]/[[queryAll]]) are always served from the last completed
+    * reduce either way (`Executer.cs:370-377` semantics). */
+  def isClean: Boolean = !exists(dirtyPath) && !exists(dirtyLocalPath)
+
+  /** Number of (reduce key, parent partition) pairs a pending recovery
+    * would re-reduce; 0 when [[isClean]]. */
+  def pendingDirtyPairs(): Long =
+    if (exists(dirtyLocalPath)) readDirtyLogLocal().size.toLong
+    else if (exists(dirtyPath))
+      readDirtyLog().select("reduce_key", "parent").distinct().count()
+    else 0L
+
   def recover(): Unit = {
     if (exists(dirtyLocalPath)) {
       // Small-update WAL: the exact dirty pairs, replayed through the
