@@ -102,9 +102,41 @@ object Bench {
           .map(l => l.copy(l_quantity = l.l_quantity * 2)).collect().toSeq)
       ex.execute(batchOf(1))
       for (k <- incKs) {
-        val batch = batchOf(k)
-        inc(k) = time { ex.execute(batch) }
+        if (k == 1) {
+          // The headline number: median of 3 — a single shot on a shared
+          // host carries multi-hundred-ms scheduler noise, which is the
+          // same order as the update itself.
+          val samples = (1 to 3).map { _ => val b = batchOf(1); time { ex.execute(b) } }
+          inc(k) = samples.sorted.apply(1)
+        } else {
+          val batch = batchOf(k)
+          inc(k) = time { ex.execute(batch) }
+        }
       }
+    }
+
+    // Second incremental headline: the MinHash SIGNATURE index over
+    // `documents` (q29's artifact as a maintained index). Its build pays
+    // the real per-document shingle+hash cost — exactly the work a 1-doc
+    // update provably avoids — so this ratio isolates O(data) map cost
+    // vs O(dirty) maintenance, complementing the aggregation index above.
+    var sigBuild = 0.0
+    var sigUpdate = -1.0
+    if (wanted.isEmpty || wanted.exists("inc".startsWith)) {
+      import graft.ops.IncrementalIndexes
+      val store = Files.createTempDirectory("graft-bench-sig").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select($"doc_id".cast("long") as "doc_id", $"text")
+        .repartition(graft.ops.Tables.cpuWidth(spark))
+        .as[IncrementalIndexes.DocText]
+      val sx = new Executer(IncrementalIndexes.MinHashIndex, store,
+        ExecuterConfig(fanIn = 16, finalParts = 8))
+      sigBuild = time { sx.execute(docs) }
+      val doc0 = docs.filter(_.doc_id == 0L).collect().head
+      def rev(i: Int) = spark.createDataset(Seq(doc0.copy(text = doc0.text + s" rev$i")))
+      sx.execute(rev(0)) // warmup
+      val samples = (1 to 3).map { i => val b = rev(i); time { sx.execute(b) } }
+      sigUpdate = samples.sorted.apply(1)
     }
 
     val qs = results.map(r => "\"" + r.name + f"""\":${r.sec}%.3f""")
@@ -118,7 +150,9 @@ object Bench {
       if (inc.isEmpty) ""
       else {
         val upd = incKs.map(k => f""""inc_update_${k}doc_sec":${inc(k)}%.3f""").mkString(",")
-        f""","inc_full_build_sec":$fullBuild%.3f,$upd,"inc_speedup":${fullBuild / math.max(inc(1), 1e-9)}%.2f"""
+        val sig = if (sigUpdate < 0) "" else
+          f""","inc_sig_build_sec":$sigBuild%.3f,"inc_sig_update_1doc_sec":$sigUpdate%.3f,"inc_sig_speedup":${sigBuild / math.max(sigUpdate, 1e-9)}%.2f"""
+        f""","inc_full_build_sec":$fullBuild%.3f,$upd,"inc_speedup":${fullBuild / math.max(inc(1), 1e-9)}%.2f$sig"""
       }
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rows":$rows,"errs":$errs,"threads":$cpus,"sf":"$sfDir"$incFields}""")

@@ -154,6 +154,18 @@ object Relational {
           sum($"l_quantity") as "sum_qty")
     },
 
+    // Full CUBE over two dimensions — all 4 grouping-set combinations in
+    // one pass (Spark expands grouping sets inside a single shuffle, not
+    // one job per set).
+    "q38_cube" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderpriority", $"o_orderstatus")
+        .agg(
+          count(lit(1)) as "cnt",
+          toDouble(sum(dec($"o_totalprice"))) as "total")
+    },
+
     // Distinct aggregation.
     "q13_distinct_agg" -> { (s, dir) =>
       import s.implicits._
@@ -401,6 +413,14 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q38_cube" ->
+      s"""SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+         |CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS total
+         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q38_cube" ->
+      s"""SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+         |CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS total
+         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
     "q13_distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |count(DISTINCT l_suppkey) AS n_supps, count(*) AS cnt
