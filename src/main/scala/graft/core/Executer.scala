@@ -49,10 +49,12 @@ final case class MaintenanceStats(
   *
   *   - `map_results/`     partitioned by `parent` (= bucket/fanIn, ≤256
   *     values) — replaces `MapResults/<key>/<bucket>/<docId>`.
-  *   - `reduce_partials/` partitioned by `parent` — replaces
-  *     `ReduceResults/One/<key>/<levelBucket>/<seq>`.
-  *   - `final_results/`   partitioned by `fpart` (= hash(key) mod
-  *     finalParts) — replaces `FinalResults/<key>`.
+  *   - `reduce_tree/`     BOTH reduce levels in one table partitioned by
+  *     (`level`, `part`): level=1/part=parent replaces
+  *     `ReduceResults/One/<key>/<levelBucket>/<seq>`; level=2/part=fpart
+  *     (= hash(key) mod finalParts) replaces `FinalResults/<key>`. One
+  *     table means one incremental update rewrites the whole reduce tree
+  *     in a SINGLE write job + partition swap.
   *   - `dirty/`           write-ahead dirty-set log — replaces the
   *     `Schedules tree` marker files (`Executer.cs:115-151`); written before
   *     any state mutation so a crash leaves buckets conservatively marked
@@ -94,8 +96,7 @@ class Executer[D, R <: Product: TypeTag](
     Encoders.tuple(Encoders.STRING, Encoders.STRING, encR)
 
   private val mapResultsPath = s"$storePath/map_results"
-  private val partialsPath = s"$storePath/reduce_partials"
-  private val finalsPath = s"$storePath/final_results"
+  private val treePath = s"$storePath/reduce_tree"
   private val dirtyPath = s"$storePath/dirty"
   private val leasePath = s"$storePath/_writer.lease"
 
@@ -225,7 +226,7 @@ class Executer[D, R <: Product: TypeTag](
         // staging renames (the partials/finals tables don't exist yet).
         // Crash safety: a one-row sentinel WAL marks "full rebuild
         // pending"; recover() re-runs rereduceAll for it.
-        writePartitioned(mapped, mapResultsPath, "parent"); jobs += 1
+        writePartitioned(mapped, mapResultsPath, Seq("parent")); jobs += 1
         writeDirtyLog(spark.createDataFrame(Seq(("", FullRebuild)))
           .toDF("reduce_key", "parent")); jobs += 1
         rereduceAll(); jobs += 2
@@ -330,7 +331,7 @@ class Executer[D, R <: Product: TypeTag](
                 .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
             }
             rereducePruned(pairs, level0Source,
-              clustered = idsSmall); jobs += 2
+              clustered = idsSmall); jobs += 1
             _lastStats = Some(MaintenanceStats(
               if (anyStale) "incremental-pruned" else "append",
               jobs, if (idsSmall) idsProbe.length else -1,
@@ -348,7 +349,7 @@ class Executer[D, R <: Product: TypeTag](
             stageAndOverwrite(
               retained.unionByName(mappedP), mapResultsPath, "parent",
               dirtyParents.toSeq); jobs += 1
-            rereduce(dirty); jobs += 3
+            rereduce(dirty); jobs += 2
             _lastStats = Some(MaintenanceStats("incremental-distributed",
               jobs, -1, -1, dirtyParents.length,
               (System.nanoTime() - t0) / 1000000))
@@ -392,29 +393,31 @@ class Executer[D, R <: Product: TypeTag](
     val level0 = level0Source.where(keyPred)
     val newPartials = reduceByKeyParent(level0)
       .select("parent", "reduce_key", "payload")
-    val partialsOut =
-      if (!exists(partialsPath)) newPartials
-      else readPartials()
-        .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
-        .where(!keyPred)
-        .unionByName(newPartials)
-    stageAndOverwrite(partialsOut, partialsPath, "parent", dirtyParents,
-      clustered = clustered)
-
-    val level1 = readPartials()
-      .where($"reduce_key".isin(dirtyKeys: _*))
-    val newFinals = reduceByKey(level1)
+    val partialsOut = readPartials()
+      .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
+      .where(!keyPred)
+      .unionByName(newPartials)
+    // Finals for the dirty keys take their level-1 inputs from the
+    // non-dirty parents ON DISK plus the just-computed in-memory
+    // partials (no write/read-back barrier between the two reduce
+    // levels): both levels land in ONE staged write below.
+    val level1ForKeys = readPartials()
+      .where(!$"parent".isin(dirtyParents.map(Integer.valueOf): _*))
+      .where(keyPred)
+      .unionByName(newPartials)
+    val newFinals = reduceByKey(level1ForKeys)
       .withColumn("fpart", pmod(hash($"reduce_key"), lit(config.finalParts)))
       .select("fpart", "reduce_key", "payload")
     val dirtyFparts = dirtyKeys.map(fpartOf).distinct.sorted
-    val finalsOut =
-      if (!exists(finalsPath)) newFinals
-      else readFinals()
-        .where($"fpart".isin(dirtyFparts.map(Integer.valueOf): _*))
-        .where(!$"reduce_key".isin(dirtyKeys: _*))
-        .unionByName(newFinals)
-    stageAndOverwrite(finalsOut, finalsPath, "fpart", dirtyFparts,
-      clustered = clustered)
+    val finalsOut = readFinals()
+      .where($"fpart".isin(dirtyFparts.map(Integer.valueOf): _*))
+      .where(!keyPred)
+      .unionByName(newFinals)
+    stageAndOverwriteTree(
+      tagLevel1(partialsOut).unionByName(tagLevel2(finalsOut)),
+      dirtyParents.map(p => s"level=1/part=$p") ++
+        dirtyFparts.map(fp => s"level=2/part=$fp"),
+      clustered)
   }
 
   /** Incrementally rebuild level-1 partials for the dirty (key, parent)
@@ -428,11 +431,14 @@ class Executer[D, R <: Product: TypeTag](
   private def rereduceAll(): Unit = {
     val newPartials = reduceByKeyParent(readMapResults())
       .select("parent", "reduce_key", "payload")
-    writePartitioned(newPartials, partialsPath, "parent")
+    writePartitioned(tagLevel1(newPartials), treePath, Seq("level", "part"))
     val newFinals = reduceByKey(readPartials())
       .withColumn("fpart", pmod(hash($"reduce_key"), lit(config.finalParts)))
       .select("fpart", "reduce_key", "payload")
-    writePartitioned(newFinals, finalsPath, "fpart")
+    // Level 2 appends fresh level=2 directories into the same tree.
+    tagLevel2(newFinals).repartition(col("part"))
+      .sortWithinPartitions(col("part"), $"reduce_key")
+      .write.partitionBy("level", "part").mode("append").parquet(treePath)
   }
 
   private def rereduce(dirty: DataFrame): Unit = {
@@ -447,39 +453,38 @@ class Executer[D, R <: Product: TypeTag](
     val newPartials = reduceByKeyParent(level0)
       .select("parent", "reduce_key", "payload")
 
-    val partialsOut =
-      if (!exists(partialsPath)) newPartials
-      else {
-        // Retain partials in the dirty parent partitions that belong to
-        // (key, parent) pairs NOT being rebuilt; dirty pairs that produced
-        // no output simply disappear (doc remapped away → empty group).
-        val retained = readPartials()
-          .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
-          .join(dirty, Seq("reduce_key", "parent"), "left_anti")
-        retained.unionByName(newPartials)
-      }
-    stageAndOverwrite(partialsOut, partialsPath, "parent", dirtyParents.toSeq)
+    val retainedPartials = readPartials()
+      .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
+      .join(dirty, Seq("reduce_key", "parent"), "left_anti")
+    // Retained = partials in the dirty parent partitions whose (key,
+    // parent) pair is NOT being rebuilt; dirty pairs that produced no
+    // output simply disappear (doc remapped away, empty group).
+    val partialsOut = retainedPartials.unionByName(newPartials)
 
-    // ---- level 1 → final: rebuild finals for dirty keys ----------------
+    // ---- level 1 -> final: rebuild finals for dirty keys, reading
+    // level-1 inputs from non-dirty parents on disk plus the in-memory
+    // post-update partials of the dirty parents ------------------------
     val dirtyKeys = dirty.select("reduce_key").distinct()
-    val level1 = readPartials()
+    val level1ForKeys = readPartials()
+      .where(!$"parent".isin(dirtyParents.map(Integer.valueOf): _*))
       .join(dirtyKeys, Seq("reduce_key"), "left_semi")
-    val newFinals = reduceByKey(level1)
+      .unionByName(partialsOut.join(dirtyKeys, Seq("reduce_key"), "left_semi"))
+    val newFinals = reduceByKey(level1ForKeys)
       .withColumn("fpart", pmod(hash($"reduce_key"), lit(config.finalParts)))
       .select("fpart", "reduce_key", "payload")
 
     val dirtyFparts = dirtyKeys
       .select(pmod(hash($"reduce_key"), lit(config.finalParts)) as "fpart")
-      .distinct().as[Int].collect().sorted // ≤ finalParts values
-    val finalsOut =
-      if (!exists(finalsPath)) newFinals
-      else {
-        val retained = readFinals()
-          .where($"fpart".isin(dirtyFparts.map(Integer.valueOf): _*))
-          .join(dirtyKeys, Seq("reduce_key"), "left_anti")
-        retained.unionByName(newFinals)
-      }
-    stageAndOverwrite(finalsOut, finalsPath, "fpart", dirtyFparts.toSeq)
+      .distinct().as[Int].collect().sorted // bounded by finalParts
+    val finalsOut = readFinals()
+      .where($"fpart".isin(dirtyFparts.map(Integer.valueOf): _*))
+      .join(dirtyKeys, Seq("reduce_key"), "left_anti")
+      .unionByName(newFinals)
+    stageAndOverwriteTree(
+      tagLevel1(partialsOut).unionByName(tagLevel2(finalsOut)),
+      dirtyParents.toSeq.map(p => s"level=1/part=$p") ++
+        dirtyFparts.toSeq.map(fp => s"level=2/part=$fp"),
+      clustered = false)
   }
 
   /** Run the user's re-reducible `reduce` over each (key, parent) group.
@@ -515,7 +520,7 @@ class Executer[D, R <: Product: TypeTag](
   /** Final reduced values for one key; empty if absent
     * (`Executer.cs:373-375`). Prunes to a single `fpart` partition. */
   def query(key: String): Dataset[R] = {
-    if (!exists(finalsPath)) return spark.emptyDataset[R]
+    if (!exists(treePath)) return spark.emptyDataset[R]
     val f = readFinals()
     f.where($"fpart" === fpartOf(key) && $"reduce_key" === key)
       .select("payload.*").as[R]
@@ -525,7 +530,7 @@ class Executer[D, R <: Product: TypeTag](
     * reference's point read: range scans, joins, further aggregation. */
   def queryAll(): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    if (!exists(finalsPath)) {
+    if (!exists(treePath)) {
       val schema = StructType(
         StructField("reduce_key", StringType) +: encR.schema.fields)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -537,24 +542,29 @@ class Executer[D, R <: Product: TypeTag](
   /** Drop all stored state for one reduce key — the reference's public
     * utility `Delete` (`Executer.cs:222-238`). */
   def delete(key: String): Unit = withLease {
-    for ((path, part, reader) <- Seq(
-        (mapResultsPath, "parent", () => readMapResults()),
-        (partialsPath, "parent", () => readPartials()))) {
-      if (exists(path)) {
-        val t = reader()
-        val parts = t.where($"reduce_key" === key)
-          .select(part).distinct().as[Int].collect()
-        if (parts.nonEmpty) {
-          val kept = t.where(col(part).isin(parts.map(Integer.valueOf): _*))
-            .where($"reduce_key" =!= key)
-          stageAndOverwrite(kept, path, part, parts.toSeq, clustered = true)
-        }
+    if (exists(mapResultsPath)) {
+      val t = readMapResults()
+      val parts = t.where($"reduce_key" === key)
+        .select("parent").distinct().as[Int].collect()
+      if (parts.nonEmpty) {
+        val kept = t.where($"parent".isin(parts.map(Integer.valueOf): _*))
+          .where($"reduce_key" =!= key)
+        stageAndOverwrite(kept, mapResultsPath, "parent", parts.toSeq,
+          clustered = true)
       }
     }
-    if (exists(finalsPath)) {
-      val kept = readFinals()
-        .where($"fpart" === fpartOf(key)).where($"reduce_key" =!= key)
-      stageAndOverwrite(kept, finalsPath, "fpart", Seq(fpartOf(key)),
+    if (exists(treePath)) {
+      val pparts = readPartials().where($"reduce_key" === key)
+        .select("parent").distinct().as[Int].collect().sorted
+      val fp = fpartOf(key)
+      val keptPartials = readPartials()
+        .where($"parent".isin(pparts.map(Integer.valueOf): _*))
+        .where($"reduce_key" =!= key)
+      val keptFinals = readFinals()
+        .where($"fpart" === fp).where($"reduce_key" =!= key)
+      stageAndOverwriteTree(
+        tagLevel1(keptPartials).unionByName(tagLevel2(keptFinals)),
+        pparts.toSeq.map(p => s"level=1/part=$p") :+ s"level=2/part=$fp",
         clustered = true)
     }
   }
@@ -582,24 +592,32 @@ class Executer[D, R <: Product: TypeTag](
     StructField("bucket", IntegerType), StructField("reduce_key", StringType),
     StructField("doc_id", StringType), StructField("payload", encR.schema),
     StructField("parent", IntegerType)))
-  private lazy val partialReadSchema = StructType(Seq(
+  private lazy val treeReadSchema = StructType(Seq(
     StructField("reduce_key", StringType), StructField("payload", encR.schema),
-    StructField("parent", IntegerType)))
-  private lazy val finalReadSchema = StructType(Seq(
-    StructField("reduce_key", StringType), StructField("payload", encR.schema),
-    StructField("fpart", IntegerType)))
+    StructField("level", IntegerType), StructField("part", IntegerType)))
 
   private def readMapResults(): DataFrame =
     spark.read.schema(mapReadSchema).parquet(mapResultsPath)
       .select("parent", "bucket", "reduce_key", "doc_id", "payload")
 
+  private def readTree(): DataFrame =
+    spark.read.schema(treeReadSchema).parquet(treePath)
+
   private def readPartials(): DataFrame =
-    spark.read.schema(partialReadSchema).parquet(partialsPath)
-      .select("parent", "reduce_key", "payload")
+    readTree().where($"level" === 1)
+      .select($"part" as "parent", $"reduce_key", $"payload")
 
   private def readFinals(): DataFrame =
-    spark.read.schema(finalReadSchema).parquet(finalsPath)
-      .select("fpart", "reduce_key", "payload")
+    readTree().where($"level" === 2)
+      .select($"part" as "fpart", $"reduce_key", $"payload")
+
+  private def tagLevel1(partials: DataFrame): DataFrame =
+    partials.select($"reduce_key", $"payload",
+      lit(1) as "level", $"parent".cast("int") as "part")
+
+  private def tagLevel2(finals: DataFrame): DataFrame =
+    finals.select($"reduce_key", $"payload",
+      lit(2) as "level", $"fpart".cast("int") as "part")
 
   /** Partition-level overwrite via a scratch staging dir: the rewritten
     * content of the affected partitions is fully materialized to staging
@@ -620,10 +638,12 @@ class Executer[D, R <: Product: TypeTag](
     * values), not O(tasks × values) — and parquet row-group min/max stats
     * on reduce_key let key-filtered scans skip row groups. */
   private def writePartitioned(
-      df: DataFrame, destPath: String, partitionCol: String): Unit =
-    df.repartition(col(partitionCol))
-      .sortWithinPartitions(col(partitionCol), $"reduce_key")
-      .write.partitionBy(partitionCol).mode("overwrite").parquet(destPath)
+      df: DataFrame, destPath: String, partitionCols: Seq[String]): Unit = {
+    val pcols = partitionCols.map(col)
+    df.repartition(pcols: _*)
+      .sortWithinPartitions(pcols :+ $"reduce_key": _*)
+      .write.partitionBy(partitionCols: _*).mode("overwrite").parquet(destPath)
+  }
 
   /** @param clustered pass true only when the input's task partitioning
     *   already clusters rows by the partition column (narrow
@@ -635,21 +655,39 @@ class Executer[D, R <: Product: TypeTag](
     *   files). */
   private def stageAndOverwrite(
       df: DataFrame, destPath: String, partitionCol: String,
-      partitions: Seq[Int], clustered: Boolean = false): Unit = {
+      partitions: Seq[Int], clustered: Boolean = false): Unit =
+    stageAndOverwriteDirs(df, destPath, Seq(partitionCol),
+      partitions.map(p => s"$partitionCol=$p"), clustered)
+
+  /** Both reduce levels in one staged write + swap (see `reduce_tree`
+    * layout note in the class doc). */
+  private def stageAndOverwriteTree(
+      df: DataFrame, dirs: Seq[String], clustered: Boolean): Unit =
+    stageAndOverwriteDirs(df, treePath, Seq("level", "part"), dirs, clustered)
+
+  private def stageAndOverwriteDirs(
+      df: DataFrame, destPath: String, partitionCols: Seq[String],
+      dirs: Seq[String], clustered: Boolean): Unit = {
     val staging = s"$destPath.staging"
+    val pcols = partitionCols.map(col)
     val arranged =
-      if (clustered) df.sortWithinPartitions(col(partitionCol), $"reduce_key")
-      else df.repartition(col(partitionCol))
-        .sortWithinPartitions(col(partitionCol), $"reduce_key")
-    arranged.write.partitionBy(partitionCol).mode("overwrite").parquet(staging)
+      if (clustered) df.sortWithinPartitions(pcols :+ $"reduce_key": _*)
+      else df.repartition(pcols: _*)
+        .sortWithinPartitions(pcols :+ $"reduce_key": _*)
+    arranged.write.partitionBy(partitionCols: _*).mode("overwrite")
+      .parquet(staging)
     fs.mkdirs(new Path(destPath))
-    partitions.foreach { p =>
-      fs.delete(new Path(s"$destPath/$partitionCol=$p"), true)
-    }
-    val stagedParts = fs.listStatus(new Path(staging))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
-    stagedParts.foreach { s =>
-      fs.rename(s.getPath, new Path(s"$destPath/${s.getPath.getName}"))
+    // Swap the exact caller-named partition directories: stale content is
+    // dropped even when the rewritten partition came out EMPTY (staging
+    // has no dir for it), which dynamic partition overwrite cannot do.
+    dirs.foreach { d =>
+      fs.delete(new Path(s"$destPath/$d"), true)
+      val staged = new Path(s"$staging/$d")
+      if (fs.exists(staged)) {
+        val dest = new Path(s"$destPath/$d")
+        fs.mkdirs(dest.getParent)
+        fs.rename(staged, dest)
+      }
     }
     fs.delete(new Path(staging), true)
   }
