@@ -64,7 +64,7 @@ object IndexQueries {
       val store = Files.createTempDirectory("graft-q40").toString
       val docs = t(s, dir, "customer")
         .select($"c_custkey", $"c_nationkey", $"c_acctbal").as[CustDoc]
-      val ex = new Executer(CustByNation, store, ExecuterConfig(fanIn = 64, finalParts = 16))
+      val ex = new Executer(CustByNation, store, ExecuterConfig(fanIn = 16, finalParts = 8))
       ex.execute(docs)
       ex.queryAll()
         .select($"reduce_key", $"cnt", toDouble($"acctbal") as "acctbal")
@@ -142,7 +142,7 @@ object IndexQueries {
       val store = Files.createTempDirectory("graft-q44").toString
       val custs = t(s, dir, "customer")
         .select($"c_custkey", $"c_nationkey", $"c_acctbal").as[CustDoc]
-      val ex = new Executer(CustByNation, store, ExecuterConfig(fanIn = 64, finalParts = 16))
+      val ex = new Executer(CustByNation, store, ExecuterConfig(fanIn = 16, finalParts = 8))
       ex.execute(custs)
       ex.query("3").toDF()
         .select($"nation", $"cnt", toDouble($"acctbal") as "acctbal")
@@ -169,7 +169,7 @@ object IndexQueries {
       val store = Files.createTempDirectory("graft-q43").toString
       val custs = t(s, dir, "customer")
         .select($"c_custkey", $"c_nationkey", $"c_acctbal").as[CustDoc]
-      val ex = new Executer(CustByNation, store, ExecuterConfig(fanIn = 64, finalParts = 16))
+      val ex = new Executer(CustByNation, store, ExecuterConfig(fanIn = 16, finalParts = 8))
       ex.execute(custs)
       ex.delete("7")
       ex.queryAll()

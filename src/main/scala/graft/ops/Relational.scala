@@ -166,6 +166,20 @@ object Relational {
           toDouble(sum(dec($"o_totalprice"))) as "total")
     },
 
+    // Exact interpolated percentiles (sort-based `percentile`, not the
+    // sketch-based approx variant — bit-identical to the oracle's
+    // quantile_cont; use approx_percentile when a t-digest sketch is the
+    // right scale/accuracy trade).
+    "q39_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)") as "qty_p50",
+          expr("percentile(l_quantity, 0.9)") as "qty_p90",
+          expr("percentile(l_extendedprice, 0.5)") as "price_p50")
+    },
+
     // Distinct aggregation.
     "q13_distinct_agg" -> { (s, dir) =>
       import s.implicits._
@@ -413,10 +427,30 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q39_percentiles" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS qty_p50,
+        |quantile_cont(l_quantity, 0.9) AS qty_p90,
+        |quantile_cont(l_extendedprice, 0.5) AS price_p50
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q39_percentiles" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS qty_p50,
+        |quantile_cont(l_quantity, 0.9) AS qty_p90,
+        |quantile_cont(l_extendedprice, 0.5) AS price_p50
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q38_cube" ->
       s"""SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
          |CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS total
          |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q39_percentiles" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS qty_p50,
+        |quantile_cont(l_quantity, 0.9) AS qty_p90,
+        |quantile_cont(l_extendedprice, 0.5) AS price_p50
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q39_percentiles" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS qty_p50,
+        |quantile_cont(l_quantity, 0.9) AS qty_p90,
+        |quantile_cont(l_extendedprice, 0.5) AS price_p50
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q38_cube" ->
       s"""SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
          |CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS total
