@@ -151,15 +151,18 @@ class Executer[D, R <: Product: TypeTag](
     * Safe to scope via session conf: the store lease guarantees no
     * concurrent maintenance, and reads (query/queryAll) never pass
     * through here. */
-  private def withTinyShuffle[A](parts: Int = 1)(f: => A): A = {
+  private def withTinyShuffle[A](
+      parts: Int = 1, codegenOff: Boolean = true)(f: => A): A = {
     val saved = Seq(
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.shuffle.partitions" -> parts.toString,
       // Whole-stage codegen compiles a new class per plan, and the
-      // maintenance plans embed per-batch pruning literals — so every
+      // maintenance plans embed per-batch pruning literals — so a TINY
       // update would pay Janino compilation for rows it can count on one
-      // hand. Interpreted execution is faster below ~10^5 rows.
-      "spark.sql.codegen.wholeStage" -> "false",
+      // hand; interpreted execution wins there. A multi-hundred-doc batch
+      // rewrites enough rows that compiled row processing wins instead —
+      // the caller picks per batch size.
+      "spark.sql.codegen.wholeStage" -> (!codegenOff).toString,
       // Keep partition discovery of the (≤ fanIn-directory) state tables
       // on the driver: below this threshold no listing Spark job is
       // launched, and listing ≤256 directories driver-side is microseconds
@@ -279,12 +282,19 @@ class Executer[D, R <: Product: TypeTag](
             .select($"reduce_key", $"parent", lit(true) as "is_stale")
             .union(mappedP.select($"reduce_key", $"parent", lit(false) as "is_stale"))
             .distinct()
+          // A "tiny" batch (couple dozen docs) also runs interpreted and
+          // single-partition; larger driver-pruned batches keep codegen
+          // and a narrow fixed width.
+          val tinyBatch = idsSmall && idsProbe.length <= 64
           val pairsProbe =
-            if (idsSmall) withTinyShuffle(1)(dirtyDF.limit(DriverDirtyLimit + 1).collect())
+            if (idsSmall)
+              withTinyShuffle(if (tinyBatch) 1 else 8, codegenOff = tinyBatch)(
+                dirtyDF.limit(DriverDirtyLimit + 1).collect())
             else dirtyDF.limit(DriverDirtyLimit + 1).collect()
           jobs += 1
 
-          if (pairsProbe.length <= DriverDirtyLimit) withTinyShuffle(if (idsSmall) 1 else 8) {
+          if (pairsProbe.length <= DriverDirtyLimit)
+            withTinyShuffle(if (tinyBatch) 1 else 8, codegenOff = tinyBatch) {
             // Small dirty set — the common incremental case. Everything
             // downstream is derived from the probe: the WAL is written
             // from driver rows (a no-scan local-relation write), and all
@@ -323,7 +333,7 @@ class Executer[D, R <: Product: TypeTag](
                 else retained.join(incomingIds, Seq("doc_id"), "left_anti")
               stageAndOverwrite(retainedMinusIncoming.unionByName(mappedP),
                 mapResultsPath, "parent", dirtyParents,
-                clustered = idsSmall); jobs += 1
+                clustered = tinyBatch); jobs += 1
               // Must re-read from disk: the pre-update snapshot's files
               // were just deleted by the overwrite, so any plan over
               // `existing` is no longer executable.
@@ -331,7 +341,7 @@ class Executer[D, R <: Product: TypeTag](
                 .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
             }
             rereducePruned(pairs, level0Source,
-              clustered = idsSmall); jobs += 1
+              clustered = tinyBatch); jobs += 1
             _lastStats = Some(MaintenanceStats(
               if (anyStale) "incremental-pruned" else "append",
               jobs, if (idsSmall) idsProbe.length else -1,
@@ -540,7 +550,15 @@ class Executer[D, R <: Product: TypeTag](
   }
 
   /** Drop all stored state for one reduce key — the reference's public
-    * utility `Delete` (`Executer.cs:222-238`). */
+    * utility `Delete` (`Executer.cs:222-238`).
+    *
+    * Deliberate cost note: finding the key's map rows scans `map_results`
+    * with only a `reduce_key` filter — there is no key→parents index.
+    * Every data file is written sorted by `reduce_key` within its
+    * partition, so parquet row-group min/max stats skip the bulk of each
+    * file; what remains is one footer+stats pass over the table, which is
+    * the right trade for an operation as rare as a whole-key purge (vs
+    * maintaining another state table on every update). */
   def delete(key: String): Unit = withLease {
     if (exists(mapResultsPath)) {
       val t = readMapResults()

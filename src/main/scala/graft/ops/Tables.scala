@@ -31,7 +31,11 @@ object Tables {
     * matching how nanosecond-to-microsecond truncation behaves in the
     * DuckDB oracle). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Set once per session, not unconditionally per call: a no-op set is
+    // still a session-state write, and concurrent queries shouldn't race
+    // on it (Bench/Verify also set it at session build).
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
