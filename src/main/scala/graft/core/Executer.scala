@@ -23,7 +23,8 @@ import graft.functions.StableBucketHash
   */
 final case class ExecuterConfig(
     fanIn: Int = 256,
-    finalParts: Int = 64) {
+    finalParts: Int = 64,
+    driverDirtyLimit: Int = 4096) {
   val buckets: Int = fanIn * fanIn
 }
 
@@ -82,14 +83,13 @@ class Executer[D, R <: Product: TypeTag](
   /** Sentinel `parent` value in the dirty WAL meaning "full rebuild". */
   private val FullRebuild = -1
 
-  /** Above this many dirty (key, parent) pairs, incremental maintenance
-    * switches from driver-side pruning (isin pushdown, zero extra jobs)
-    * to the distributed join path. 4096 ≈ a few hundred KB of driver
-    * strings at worst — far below any driver-memory concern — while
-    * keeping per-doc-keyed indexes (signature tables, cell assignments,
-    * where dirty pairs ≈ 2 × batch docs) on the cheap path for
-    * multi-thousand-doc update batches. */
-  private val DriverDirtyLimit = 4096
+  /** Above `config.driverDirtyLimit` dirty (key, parent) pairs,
+    * incremental maintenance switches from driver-side pruning (isin
+    * pushdown, zero extra jobs) to the distributed join path. The 4096
+    * default ≈ a few hundred KB of driver strings at worst, while keeping
+    * per-doc-keyed indexes (signature/cell tables, dirty pairs ≈ 2 ×
+    * batch docs) on the cheap path for multi-thousand-doc batches. */
+  private val DriverDirtyLimit = config.driverDirtyLimit
 
   implicit private val encR: Encoder[R] = Encoders.product[R]
   implicit private val encKR: Encoder[(String, String, R)] =
