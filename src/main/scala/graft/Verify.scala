@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [queryNamePrefix...] — the optional prefixes
+    // restrict the dump for local iteration; the driver passes none.
+    val Array(sfDir, outDir) = args.take(2)
+    val wanted = args.drop(2).toSeq
+    def selected(name: String): Boolean =
+      wanted.isEmpty || wanted.exists(name.startsWith)
     // Default 8, not nproc: this container advertises 32 CPUs but its
     // effective CPU quota is far lower (measured: local[32] runs the
     // md5/shingle-heavy queries ~10-20x SLOWER than local[8] from
@@ -24,7 +29,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -113,8 +113,11 @@ object Relational {
     // Analytic window: running sum per supplier over a unique total order.
     "q09_window_running" -> { (s, dir) =>
       import s.implicits._
+      // l_quantity closes the sort: the synthetic lineitem contains
+      // duplicate (orderkey, linenumber) rows, and a tie in the full
+      // window order makes a running sum nondeterministic in ANY engine.
       val w = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
@@ -408,7 +411,7 @@ object Relational {
     "q09_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |       sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem""".stripMargin,
     "q10_topk" ->

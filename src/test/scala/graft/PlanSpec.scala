@@ -52,4 +52,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q06_semi_join").contains("LeftSemi"))
     assert(plan("q07_anti_join").contains("LeftAnti"))
   }
+
+  test("similarity candidate generation is an equi-join, never cartesian") {
+    // The scale claim of the dedup/ANN family: candidates come from
+    // joins on LSH signatures/cells; only q30 (the labeled brute-force
+    // baseline) may contain a cartesian product.
+    val p27 = plan("q27_lsh_candidate_pairs")
+    assert(!p27.contains("CartesianProduct"), p27.take(1500))
+    val p36 = plan("q36_ann_ivf_probe")
+    assert(!p36.contains("CartesianProduct") &&
+      !p36.contains("BroadcastNestedLoop"), p36.take(1500))
+  }
+
+  test("index point query prunes to one reduce-tree partition") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-planspec").toString
+    val ex = new graft.core.Executer(PeopleCountByState, store)
+    ex.execute(spark.createDataset(Seq(
+      Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
+    val p = ex.query("CA").queryExecution.executedPlan.toString
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("level") && pf.contains("part"),
+      s"point query does not partition-prune the reduce tree: $pf")
+  }
 }
