@@ -751,6 +751,36 @@ class Executer[D, R <: Product: TypeTag](
     * re-run the re-reduce for it (idempotent — level-1 parents are rebuilt
     * from scratch, §2.3.3/§2.3.4 of SURVEY.md). A [[FullRebuild]]
     * sentinel replays the whole-build reduce. */
+  /** Consolidate fragmented `map_results` partitions. The pure-insert
+    * fast path appends one file per batch per touched partition (that is
+    * what makes inserts O(batch) — no read-rewrite), so a long
+    * append-mostly workload fragments the map table; reads stay correct
+    * but pay per-file open costs and lose row-group-skip efficiency
+    * (each small file is its own row group). `compact()` rewrites every
+    * partition holding more than `maxFilesPerPartition` data files into
+    * one file, through the same staged swap as incremental maintenance —
+    * an offline ops utility (driver lists ≤ fanIn directories; the data
+    * rewrite itself is a distributed job), safe to run between batches
+    * under the writer lease. */
+  def compact(maxFilesPerPartition: Int = 8): Unit = withLease {
+    if (exists(mapResultsPath)) {
+      val fragmented = fs.listStatus(new Path(mapResultsPath))
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("parent="))
+        .filter(d => fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >
+          maxFilesPerPartition)
+        .map(_.getPath.getName.stripPrefix("parent=").toInt).sorted.toSeq
+      if (fragmented.nonEmpty) {
+        val rows = readMapResults()
+          .where($"parent".isin(fragmented.map(Integer.valueOf): _*))
+        // repartition(col): one shuffle partition per parent value → one
+        // consolidated file per directory.
+        stageAndOverwrite(rows, mapResultsPath, "parent", fragmented)
+        log.info(s"compact: rewrote ${fragmented.size} map partitions")
+      }
+    }
+  }
+
   /** Maintenance-state visibility (the reference's operators could watch
     * its Schedules tree; ours ask the index): false iff an interrupted
     * batch left a dirty WAL behind — [[recover]] would replay it. Reads
