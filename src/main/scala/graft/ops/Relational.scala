@@ -341,6 +341,37 @@ object Relational {
           toDouble(sum(dec($"o_totalprice"))) as "total")
     },
 
+    // Columnar source beyond parquet: ORC round-trip (write a slice as
+    // ORC, read it back with an explicit schema, aggregate) — same
+    // pushdown/pruning machinery as the parquet scans.
+    "q52_orc_source" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q52").toString
+      t(s, dir, "supplier")
+        .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+        .write.mode("overwrite").orc(s"$tmp/orc")
+      s.read.schema("s_suppkey LONG, s_nationkey INT, s_acctbal DOUBLE")
+        .orc(s"$tmp/orc")
+        .groupBy($"s_nationkey")
+        .agg(
+          count(lit(1)) as "cnt",
+          toDouble(sum(dec($"s_acctbal"))) as "total_bal")
+    },
+
+    // Explicit GROUPING SETS (beyond rollup/cube): two hand-picked sets
+    // plus grouping_id to tell them apart — one shuffle, not one job per
+    // set.
+    "q47_grouping_sets" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders").createOrReplaceTempView("graft_q47_orders")
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+          |  CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT) AS gid,
+          |  count(*) AS cnt
+          |FROM graft_q47_orders
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin)
+    },
+
     // Range (non-equi) join: orders against a tiny in-memory band
     // dimension — broadcast nested-loop, the right plan for a
     // bounded-size band table at any fact-side scale.
@@ -517,6 +548,16 @@ object Relational {
       s"""SELECT o_orderstatus, count(*) AS cnt,
          |CAST(sum(${D("o_totalprice")}) AS DOUBLE) AS total
          |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q52_orc_source" ->
+      s"""SELECT s_nationkey, count(*) AS cnt,
+         |CAST(sum(${D("s_acctbal")}) AS DOUBLE) AS total_bal
+         |FROM supplier GROUP BY s_nationkey""".stripMargin,
+    "q47_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT) AS gid,
+        |  count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin,
     "q35_salted_agg" ->
       s"""SELECT user_id, count(*) AS cnt,
          |CAST(sum(${D("value")}) AS DOUBLE) AS total_value

@@ -72,6 +72,37 @@ object TextOps {
             split($"text", "\\s+"), w => md5(w))) as "minhash1")
     },
 
+    // Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    // algorithm): hash every k-gram, slide a w-window over the hash
+    // sequence, keep the minimum per window, emit the distinct minima as
+    // the document's fingerprint set. Near-identical documents share
+    // most fingerprints regardless of alignment; each doc's cost is
+    // linear in its length, so the op is a narrow per-row map at any
+    // corpus scale. Hashes stay md5-hex strings (lexicographic minima)
+    // so both engines agree bit-for-bit.
+    "q53_winnow_fingerprints" -> { (s, dir) =>
+      import s.implicits._
+      val k = 4; val w = 5
+      val words = split($"text", "\\s+")
+      val kgrams = transform(
+        sequence(lit(0), size(words) - lit(k)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(words, i + j + 1)): _*))
+      // Materialize the k-gram hash array BEFORE the windowed-minimum
+      // pass: Catalyst's projection collapse would otherwise inline the
+      // whole hash computation into every window's slice (O(n·w) md5
+      // re-evaluations per doc instead of O(n) — observed minutes vs
+      // seconds at sf0.1).
+      val hashed = t(s, dir, "documents")
+        .where(size(split($"text", "\\s+")) >= k + w - 1)
+        .repartition(cpuWidth(s))
+        .select($"doc_id", transform(kgrams, g => md5(g)) as "hs")
+        .transform(Dedup.barrier)
+      val minima = transform(
+        sequence(lit(1), size($"hs") - lit(w - 1)),
+        i => array_min(slice($"hs", i, lit(w))))
+      hashed.select($"doc_id", explode(array_distinct(minima)) as "fp")
+    },
+
     // Quality scoring: integer counts + ratios of integers (identical
     // float result in any engine: single division of exact ints).
     "q23_quality" -> { (s, dir) =>
@@ -126,6 +157,21 @@ object TextOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "q53_winnow_fingerprints" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(
+        |    generate_series(1, len(w) - 3),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS kg
+        |  FROM ws WHERE len(w) >= 8),
+        |h AS (SELECT doc_id, list_transform(kg, x -> md5(x)) AS hs FROM g),
+        |m AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(hs) - 4),
+        |    i -> list_min(hs[i:i+4]))) AS fps
+        |  FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM m""".stripMargin,
     "q20_token_count" ->
       """SELECT lang, count(*) AS docs,
         |CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens,
