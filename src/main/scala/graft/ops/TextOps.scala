@@ -103,6 +103,32 @@ object TextOps {
       hashed.select($"doc_id", explode(array_distinct(minima)) as "fp")
     },
 
+    // The stages composed as ONE pipeline — what a training-data run
+    // actually executes: normalize → exact-dedup (canonical = min doc_id
+    // per content hash) → quality gate (length + stopword-ratio) →
+    // per-language corpus stats. One declarative plan: the dedup is a
+    // hash aggregation, the gates are codegen'd filters, and Catalyst
+    // fuses the rest — nothing here shuffles more than the dedup and the
+    // final group-by at any corpus size.
+    "q54_pipeline_compose" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"lang", $"text",
+          md5(lower(regexp_replace($"text", "\\s+", " "))) as "chash")
+      val canonical = docs.groupBy($"chash")
+        .agg(min($"doc_id") as "doc_id")
+      val kept = docs.join(canonical, Seq("chash", "doc_id"))
+        .withColumn("toks", nTokens($"text"))
+        .withColumn("stops", nMatches($"text", StopPat))
+        .where($"toks" >= 20 &&
+          $"stops" * lit(100) >= $"toks") // stopword ratio ≥ 1%
+      kept.groupBy($"lang")
+        .agg(
+          count(lit(1)) as "docs",
+          sum($"toks") as "tokens",
+          max($"toks") as "max_tokens")
+    },
+
     // Quality scoring: integer counts + ratios of integers (identical
     // float result in any engine: single division of exact ints).
     "q23_quality" -> { (s, dir) =>
@@ -157,6 +183,22 @@ object TextOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "q54_pipeline_compose" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS chash
+        |  FROM documents),
+        |canon AS (SELECT chash, min(doc_id) AS doc_id FROM d GROUP BY chash),
+        |kept AS (
+        |  SELECT d.lang,
+        |    len(regexp_extract_all(d.text, '\S+')) AS toks,
+        |    len(regexp_extract_all(d.text, '\b(the|a|of|and|to|in)\b')) AS stops
+        |  FROM d JOIN canon ON d.chash = canon.chash AND d.doc_id = canon.doc_id)
+        |SELECT lang, count(*) AS docs,
+        |  CAST(sum(toks) AS BIGINT) AS tokens,
+        |  CAST(max(toks) AS INT) AS max_tokens
+        |FROM kept WHERE toks >= 20 AND stops * 100 >= toks
+        |GROUP BY lang""".stripMargin,
     "q53_winnow_fingerprints" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
