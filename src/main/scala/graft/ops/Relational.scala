@@ -183,6 +183,19 @@ object Relational {
           expr("percentile(l_extendedprice, 0.5)") as "price_p50")
     },
 
+    // PIVOT: long-to-wide reshape with an explicit value list (the
+    // bounded-cardinality form that plans as ONE aggregation — no second
+    // distinct-values job, no dynamic schema at scale).
+    "q55_pivot" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(toDouble(sum(dec($"o_totalprice"))))
+        .select($"o_orderpriority",
+          $"O" as "st_O", $"F" as "st_F", $"P" as "st_P")
+    },
+
     // Distinct aggregation.
     "q13_distinct_agg" -> { (s, dir) =>
       import s.implicits._
@@ -461,11 +474,35 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q55_pivot" ->
+      s"""SELECT o_orderpriority,
+         |CAST(sum(CASE WHEN o_orderstatus='O' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_O,
+         |CAST(sum(CASE WHEN o_orderstatus='F' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_F,
+         |CAST(sum(CASE WHEN o_orderstatus='P' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_P
+         |FROM orders GROUP BY 1""".stripMargin,
+    "q55_pivot" ->
+      s"""SELECT o_orderpriority,
+         |CAST(sum(CASE WHEN o_orderstatus='O' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_O,
+         |CAST(sum(CASE WHEN o_orderstatus='F' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_F,
+         |CAST(sum(CASE WHEN o_orderstatus='P' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_P
+         |FROM orders GROUP BY 1""".stripMargin,
     "q39_percentiles" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS qty_p50,
         |quantile_cont(l_quantity, 0.9) AS qty_p90,
         |quantile_cont(l_extendedprice, 0.5) AS price_p50
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q55_pivot" ->
+      s"""SELECT o_orderpriority,
+         |CAST(sum(CASE WHEN o_orderstatus='O' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_O,
+         |CAST(sum(CASE WHEN o_orderstatus='F' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_F,
+         |CAST(sum(CASE WHEN o_orderstatus='P' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_P
+         |FROM orders GROUP BY 1""".stripMargin,
+    "q55_pivot" ->
+      s"""SELECT o_orderpriority,
+         |CAST(sum(CASE WHEN o_orderstatus='O' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_O,
+         |CAST(sum(CASE WHEN o_orderstatus='F' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_F,
+         |CAST(sum(CASE WHEN o_orderstatus='P' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_P
+         |FROM orders GROUP BY 1""".stripMargin,
     "q39_percentiles" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS qty_p50,
         |quantile_cont(l_quantity, 0.9) AS qty_p90,
@@ -475,11 +512,35 @@ object Relational {
       s"""SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
          |CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS total
          |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q55_pivot" ->
+      s"""SELECT o_orderpriority,
+         |CAST(sum(CASE WHEN o_orderstatus='O' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_O,
+         |CAST(sum(CASE WHEN o_orderstatus='F' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_F,
+         |CAST(sum(CASE WHEN o_orderstatus='P' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_P
+         |FROM orders GROUP BY 1""".stripMargin,
+    "q55_pivot" ->
+      s"""SELECT o_orderpriority,
+         |CAST(sum(CASE WHEN o_orderstatus='O' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_O,
+         |CAST(sum(CASE WHEN o_orderstatus='F' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_F,
+         |CAST(sum(CASE WHEN o_orderstatus='P' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_P
+         |FROM orders GROUP BY 1""".stripMargin,
     "q39_percentiles" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS qty_p50,
         |quantile_cont(l_quantity, 0.9) AS qty_p90,
         |quantile_cont(l_extendedprice, 0.5) AS price_p50
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q55_pivot" ->
+      s"""SELECT o_orderpriority,
+         |CAST(sum(CASE WHEN o_orderstatus='O' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_O,
+         |CAST(sum(CASE WHEN o_orderstatus='F' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_F,
+         |CAST(sum(CASE WHEN o_orderstatus='P' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_P
+         |FROM orders GROUP BY 1""".stripMargin,
+    "q55_pivot" ->
+      s"""SELECT o_orderpriority,
+         |CAST(sum(CASE WHEN o_orderstatus='O' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_O,
+         |CAST(sum(CASE WHEN o_orderstatus='F' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_F,
+         |CAST(sum(CASE WHEN o_orderstatus='P' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_P
+         |FROM orders GROUP BY 1""".stripMargin,
     "q39_percentiles" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS qty_p50,
         |quantile_cont(l_quantity, 0.9) AS qty_p90,
