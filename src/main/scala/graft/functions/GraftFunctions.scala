@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   - `dot_product(arr, arr)`                → double
   *   - `hyperplane_buckets(arr, tables, bits, dim)` → array<int>
   *   - `minhash_sigs(arr<string>, numHashes)` → array<string>
+  *   - `winnow_fps(arr<string>, k, w)`        → array<string>
   *
   * Two entry points: [[GraftExtensions]] for
   * `SparkSession.builder().withExtensions(...)` (the production path),
@@ -44,6 +45,10 @@ object GraftFunctions {
     "minhash_sigs" -> { args =>
       require(args.size == 2, "minhash_sigs(shingles, numHashes)")
       MinHashSigs(args.head, intArg(args(1), "numHashes"))
+    },
+    "winnow_fps" -> { args =>
+      require(args.size == 3, "winnow_fps(words, k, w)")
+      WinnowFingerprints(args.head, intArg(args(1), "k"), intArg(args(2), "w"))
     })
 
   /** Register as temp functions on a live session. */

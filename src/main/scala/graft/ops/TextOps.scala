@@ -76,31 +76,21 @@ object TextOps {
     // algorithm): hash every k-gram, slide a w-window over the hash
     // sequence, keep the minimum per window, emit the distinct minima as
     // the document's fingerprint set. Near-identical documents share
-    // most fingerprints regardless of alignment; each doc's cost is
-    // linear in its length, so the op is a narrow per-row map at any
-    // corpus scale. Hashes stay md5-hex strings (lexicographic minima)
-    // so both engines agree bit-for-bit.
+    // most fingerprints regardless of alignment. The whole per-doc pass
+    // runs in one O(n) codegen-era kernel ([[graft.functions
+    // .WinnowFingerprints]]: one md5 per k-gram + monotonic-deque sliding
+    // minimum) — a narrow per-row map at any corpus scale. Hashes stay
+    // md5-hex strings (lexicographic minima) so both engines agree
+    // bit-for-bit.
     "q53_winnow_fingerprints" -> { (s, dir) =>
       import s.implicits._
       val k = 4; val w = 5
-      val words = split($"text", "\\s+")
-      val kgrams = transform(
-        sequence(lit(0), size(words) - lit(k)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(words, i + j + 1)): _*))
-      // Materialize the k-gram hash array BEFORE the windowed-minimum
-      // pass: Catalyst's projection collapse would otherwise inline the
-      // whole hash computation into every window's slice (O(n·w) md5
-      // re-evaluations per doc instead of O(n) — observed minutes vs
-      // seconds at sf0.1).
-      val hashed = t(s, dir, "documents")
+      t(s, dir, "documents")
         .where(size(split($"text", "\\s+")) >= k + w - 1)
         .repartition(cpuWidth(s))
-        .select($"doc_id", transform(kgrams, g => md5(g)) as "hs")
-        .transform(Dedup.barrier)
-      val minima = transform(
-        sequence(lit(1), size($"hs") - lit(w - 1)),
-        i => array_min(slice($"hs", i, lit(w))))
-      hashed.select($"doc_id", explode(array_distinct(minima)) as "fp")
+        .select($"doc_id",
+          explode(graft.functions.WinnowFingerprints
+            .winnowFps(split($"text", "\\s+"), k, w)) as "fp")
     },
 
     // The stages composed as ONE pipeline — what a training-data run
