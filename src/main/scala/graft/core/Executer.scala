@@ -227,12 +227,12 @@ class Executer[D, R <: Product: TypeTag](
         // Initial build fast path: everything is dirty, so skip the dirty
         // set entirely — no WAL round-trip, no semi-join pruning, no
         // staging renames (the partials/finals tables don't exist yet).
-        // Crash safety: a one-row sentinel WAL marks "full rebuild
-        // pending"; recover() re-runs rereduceAll for it.
+        // Crash safety: a one-row sentinel in the driver-local WAL marks
+        // "full rebuild pending" (a single create+close, not a Spark
+        // write job); recover() re-runs rereduceAll for it.
         writePartitioned(mapped, mapResultsPath, Seq("parent")); jobs += 1
-        writeDirtyLog(spark.createDataFrame(Seq(("", FullRebuild)))
-          .toDF("reduce_key", "parent")); jobs += 1
-        rereduceAll(); jobs += 2
+        writeDirtyLogLocal(Seq(("", FullRebuild)))
+        rereduceAll(); jobs += 1
         clearDirtyLog()
         _lastStats = Some(MaintenanceStats("build", jobs, -1, -1, -1,
           (System.nanoTime() - t0) / 1000000))
@@ -437,18 +437,24 @@ class Executer[D, R <: Product: TypeTag](
     * all their children (sibling inclusion, `Executer.cs:323-333`), never
     * diffed. */
   /** Full (re)build of both reduce levels from the whole map_results
-    * table — the initial-build path, and crash recovery for it. */
+    * table — the initial-build path, and crash recovery for it. Both
+    * levels land in ONE overwrite job (same shape as the incremental
+    * path's single staged write): partials are persisted in memory —
+    * they are the already-reduced data, ≤ keys × fanIn rows — so the
+    * level-2 branch of the union reuses them instead of a write +
+    * read-back barrier, and the tree is never visible with only one
+    * level present. */
   private def rereduceAll(): Unit = {
     val newPartials = reduceByKeyParent(readMapResults())
-      .select("parent", "reduce_key", "payload")
-    writePartitioned(tagLevel1(newPartials), treePath, Seq("level", "part"))
-    val newFinals = reduceByKey(readPartials())
-      .withColumn("fpart", pmod(hash($"reduce_key"), lit(config.finalParts)))
-      .select("fpart", "reduce_key", "payload")
-    // Level 2 appends fresh level=2 directories into the same tree.
-    tagLevel2(newFinals).repartition(col("part"))
-      .sortWithinPartitions(col("part"), $"reduce_key")
-      .write.partitionBy("level", "part").mode("append").parquet(treePath)
+      .select("parent", "reduce_key", "payload").persist()
+    try {
+      val newFinals = reduceByKey(newPartials)
+        .withColumn("fpart", pmod(hash($"reduce_key"), lit(config.finalParts)))
+        .select("fpart", "reduce_key", "payload")
+      writePartitioned(
+        tagLevel1(newPartials).unionByName(tagLevel2(newFinals)),
+        treePath, Seq("level", "part"))
+    } finally newPartials.unpersist()
   }
 
   private def rereduce(dirty: DataFrame): Unit = {
@@ -802,11 +808,16 @@ class Executer[D, R <: Product: TypeTag](
       // pruned path against whatever map_results state the crash left
       // (old, new, or partially swapped partitions — each partition is
       // internally consistent, and partials are rebuilt from scratch).
+      // A FullRebuild sentinel (interrupted initial build) replays the
+      // whole-build reduce instead.
       val pairs = readDirtyLogLocal()
-      val dirtyParents = pairs.map(_._2).distinct.sorted
-      withTinyShuffle(1) {
-        rereducePruned(pairs, readMapResults()
-          .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*)))
+      if (pairs.exists(_._2 == FullRebuild)) rereduceAll()
+      else {
+        val dirtyParents = pairs.map(_._2).distinct.sorted
+        withTinyShuffle(1) {
+          rereducePruned(pairs, readMapResults()
+            .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*)))
+        }
       }
       clearDirtyLog()
     } else if (exists(dirtyPath)) {

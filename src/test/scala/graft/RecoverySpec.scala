@@ -43,4 +43,27 @@ class RecoverySpec extends AnyFunSuite {
     // WAL consumed.
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$store/dirty")))
   }
+
+  test("recover() after a crash mid-initial-build replays the full rebuild") {
+    val store = Files.createTempDirectory("graft-rec3").toString
+    val ex = new Executer(PeopleCountByState, store)
+    ex.execute(spark.createDataset(Seq(
+      Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
+
+    // Simulate a crash between the map write and the reduce of an initial
+    // build: map_results exists, the reduce tree does not, and the
+    // driver-local WAL holds the full-rebuild sentinel.
+    val fsPath = java.nio.file.Paths.get(store)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      fsPath.resolve("reduce_tree").toFile)
+    val out = new java.io.DataOutputStream(
+      java.nio.file.Files.newOutputStream(fsPath.resolve("dirty.pairs")))
+    out.writeInt(1); out.writeUTF(""); out.writeInt(-1); out.close()
+
+    assert(!ex.isClean)
+    ex.recover()
+    assert(ex.isClean)
+    assert(ex.query("CA").collect().toSeq == Seq(StatePop("CA", 2L)))
+    assert(ex.query("TX").collect().toSeq == Seq(StatePop("TX", 1L)))
+  }
 }
