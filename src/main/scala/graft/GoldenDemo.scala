@@ -22,6 +22,7 @@ object GoldenDemo {
       entries.toSeq.groupBy(_.state)
         .map { case (s, es) => StatePop(s, es.map(_.count).sum) }.iterator
     def reduceKey(e: StatePop): String = e.state
+    override def singleOutput: Boolean = true
     def documentId(p: Person): String = p.id
   }
 

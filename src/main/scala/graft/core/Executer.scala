@@ -504,29 +504,54 @@ class Executer[D, R <: Product: TypeTag](
   }
 
   /** Run the user's re-reducible `reduce` over each (key, parent) group.
-    * General path: `flatMapGroups`, because the contract is `R* => R*`
-    * (multi-output), which `Aggregator` cannot express
-    * (`MapReduceTask.cs:10`). */
+    * Two strategies:
+    *   - `singleOutput` tasks (SURVEY §7.2.5): a native [[ReduceAggregator]]
+    *     typed aggregation — Spark plans it partial+final, so each map-side
+    *     task pre-combines its rows and only per-group partials cross the
+    *     shuffle (valid exactly because reduce is re-reducible).
+    *   - general path: `flatMapGroups`, because the full contract is
+    *     `R* => R*` (multi-output), which `Aggregator` cannot express
+    *     (`MapReduceTask.cs:10`). */
   private def reduceByKeyParent(df: DataFrame): DataFrame = {
     val t = task
     implicit val encIn: Encoder[(String, Int, R)] =
       Encoders.tuple(Encoders.STRING, Encoders.scalaInt, encR)
-    df.select($"reduce_key", $"parent", $"payload").as[(String, Int, R)]
+    val grouped = df.select($"reduce_key", $"parent", $"payload")
+      .as[(String, Int, R)]
       .groupByKey(x => (x._1, x._2))
-      .flatMapGroups { (kp: (String, Int), rows: Iterator[(String, Int, R)]) =>
-        t.reduce(rows.map(_._3)).map(r => (kp._1, kp._2, r))
-      }
-      .toDF("reduce_key", "parent", "payload")
+    if (t.singleOutput) {
+      implicit val encKP: Encoder[(String, Int)] =
+        Encoders.tuple(Encoders.STRING, Encoders.scalaInt)
+      implicit val encOut: Encoder[((String, Int), R)] =
+        Encoders.tuple(encKP, encR)
+      grouped.mapValues(_._3)
+        .agg(new ReduceAggregator[R](t.reduce(_)).toColumn)
+        .map { case ((k, p), r) => (k, p, r) }
+        .toDF("reduce_key", "parent", "payload")
+    } else {
+      grouped.flatMapGroups {
+        (kp: (String, Int), rows: Iterator[(String, Int, R)]) =>
+          t.reduce(rows.map(_._3)).map(r => (kp._1, kp._2, r))
+      }.toDF("reduce_key", "parent", "payload")
+    }
   }
 
   private def reduceByKey(df: DataFrame): DataFrame = {
     val t = task
     implicit val encIn: Encoder[(String, R)] =
       Encoders.tuple(Encoders.STRING, encR)
-    df.select($"reduce_key", $"payload").as[(String, R)]
+    val grouped = df.select($"reduce_key", $"payload").as[(String, R)]
       .groupByKey(_._1)
-      .flatMapGroups { (k, rows) => t.reduce(rows.map(_._2)).map(r => (k, r)) }
-      .toDF("reduce_key", "payload")
+    if (t.singleOutput) {
+      implicit val encOut: Encoder[(String, R)] = encIn
+      grouped.mapValues(_._2)
+        .agg(new ReduceAggregator[R](t.reduce(_)).toColumn)
+        .toDF("reduce_key", "payload")
+    } else {
+      grouped.flatMapGroups { (k, rows) =>
+        t.reduce(rows.map(_._2)).map(r => (k, r))
+      }.toDF("reduce_key", "payload")
+    }
   }
 
   // ---------------------------------------------------------------------

@@ -30,4 +30,14 @@ trait MapReduceTask[D, R] extends Serializable {
   def reduce(entries: Iterator[R]): Iterator[R]
   def reduceKey(entry: R): String
   def documentId(doc: D): String
+
+  /** Declare that `reduce` emits EXACTLY ONE entry for any non-empty
+    * input (the common grouped-aggregate shape, e.g. the reference's
+    * sample `PeopleCountByState.cs:20-31`). The engine then runs both
+    * reduce levels as a native Spark `Aggregator` — partial aggregation
+    * with map-side combine, so only per-key partials cross the shuffle —
+    * instead of materializing each group through `flatMapGroups`.
+    * Leave false for multi-output reduces (e.g. identity/top-k per key),
+    * which need the general `R* => R*` path. */
+  def singleOutput: Boolean = false
 }

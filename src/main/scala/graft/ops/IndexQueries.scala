@@ -36,6 +36,7 @@ object IndexQueries {
         NationAgg(n, es.map(_.cnt).sum, es.map(_.acctbal).sum)
       }.iterator
     def reduceKey(e: NationAgg): String = e.nation
+    override def singleOutput: Boolean = true
     def documentId(d: CustDoc): String = s"customer-${d.c_custkey}"
   }
 
@@ -53,6 +54,7 @@ object IndexQueries {
         PriorityAgg(p, es.map(_.cnt).sum, es.map(_.total).sum)
       }.iterator
     def reduceKey(e: PriorityAgg): String = e.priority
+    override def singleOutput: Boolean = true
     def documentId(d: OrderDoc): String = s"orders-${d.o_orderkey}"
   }
 
@@ -108,6 +110,7 @@ object IndexQueries {
         FlagStatusAgg(fs, es.map(_.cnt).sum, es.map(_.qty).sum)
       }.iterator
     def reduceKey(e: FlagStatusAgg): String = e.flag_status
+    override def singleOutput: Boolean = true
     def documentId(d: LineitemDoc): String =
       s"lineitem-${d.l_orderkey}-${d.l_linenumber}"
   }
@@ -130,6 +133,7 @@ object IndexQueries {
         TagAgg(tg, es.map(_.cnt).sum, es.map(_.total).sum)
       }.iterator
     def reduceKey(e: TagAgg): String = e.tag
+    override def singleOutput: Boolean = true
     def documentId(d: OrderDoc2): String = s"orders-${d.o_orderkey}"
   }
 

@@ -147,4 +147,32 @@ class ExecuterSpec extends AnyFunSuite {
     assert(ex.query("CA").collect().isEmpty)
     assert(counts(ex) == Map("TX" -> 1L))
   }
+
+  /** The singleOutput fast path (native Aggregator with map-side combine)
+    * must be semantically identical to the general flatMapGroups path
+    * across build, incremental update, remap-away, and delete. */
+  test("singleOutput aggregator path matches the general path") {
+    object Fast extends MapReduceTask[Person, StatePop] {
+      def map(docs: Iterator[Person]): Iterator[(String, StatePop)] =
+        docs.map(p => (p.id, StatePop(p.state, 1L)))
+      def reduce(entries: Iterator[StatePop]): Iterator[StatePop] =
+        entries.toSeq.groupBy(_.state)
+          .map { case (s, es) => StatePop(s, es.map(_.count).sum) }.iterator
+      def reduceKey(e: StatePop): String = e.state
+      def documentId(p: Person): String = p.id
+      override def singleOutput: Boolean = true
+    }
+    val people = (1 to 80).map(i =>
+      Person(s"p-$i", if (i % 3 == 0) "CA" else if (i % 3 == 1) "TX" else "NY"))
+    val fast = new Executer(Fast, tmp(), ExecuterConfig(fanIn = 4, finalParts = 4))
+    val slow = new Executer(PeopleCountByState, tmp(),
+      ExecuterConfig(fanIn = 4, finalParts = 4))
+    Seq[Executer[Person, StatePop]](fast, slow).foreach { ex =>
+      ex.execute(spark.createDataset(people))
+      ex.execute(spark.createDataset(Seq(Person("p-3", "TX"), Person("new-1", "NY"))))
+      ex.delete("TX")
+    }
+    assert(counts(fast) == counts(slow))
+    assert(counts(fast)("NY") > 0)
+  }
 }
