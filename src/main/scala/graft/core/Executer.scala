@@ -24,7 +24,8 @@ import graft.functions.StableBucketHash
 final case class ExecuterConfig(
     fanIn: Int = 256,
     finalParts: Int = 64,
-    driverDirtyLimit: Int = 4096) {
+    driverDirtyLimit: Int = 4096,
+    tombstoneLimit: Int = 1 << 17) {
   val buckets: Int = fanIn * fanIn
 }
 
@@ -99,6 +100,10 @@ class Executer[D, R <: Product: TypeTag](
   private val treePath = s"$storePath/reduce_tree"
   private val dirtyPath = s"$storePath/dirty"
   private val leasePath = s"$storePath/_writer.lease"
+  // Merge-on-read invalidation state (see the tombstone section below).
+  private val tombLocalPath = s"$storePath/tombstones.bin"
+  private val tombDistPath = s"$storePath/tombstones"
+  private val seqPath = s"$storePath/_seq"
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[Executer[_, _]])
 
@@ -578,6 +583,23 @@ class Executer[D, R <: Product: TypeTag](
     }
     readFinals().select($"reduce_key" +: encR.schema.fieldNames.toSeq
       .map(f => col(s"payload.$f")): _*)
+  }
+
+  /** Provenance: which documents feed reduce key `key`, and through which
+    * map bucket — the reference's by-key map-result enumeration
+    * (`Executer.cs:305-334`, directory scan of `MapResults/<key>`) as a
+    * reduce_key-filtered scan of `map_results`. Every data file is
+    * written sorted by `reduce_key` within its partition, so parquet
+    * row-group min/max stats skip the bulk of each file (same cost shape
+    * as [[delete]], documented there). */
+  def contributors(key: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    if (!exists(mapResultsPath)) {
+      val schema = StructType(Seq(
+        StructField("doc_id", StringType), StructField("bucket", IntegerType)))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+    readMapResults().where($"reduce_key" === key).select("doc_id", "bucket")
   }
 
   /** Drop all stored state for one reduce key — the reference's public

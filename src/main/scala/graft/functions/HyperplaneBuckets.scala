@@ -42,6 +42,10 @@ case class HyperplaneBuckets(
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val isF = elemIsFloat
+    // Malformed rows (vector shorter than `dim`) project over the prefix
+    // instead of killing the stage with an out-of-bounds read; matches
+    // the JVM-side twin `IncrementalIndexes.cellOf`.
+    val n = math.min(dim, arr.numElements())
     val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {
@@ -51,7 +55,7 @@ case class HyperplaneBuckets(
         val base = (t * bits + b) * dim
         var proj = 0.0
         var i = 0
-        while (i < dim) {
+        while (i < n) {
           val x = if (isF) arr.getFloat(i).toDouble else arr.getDouble(i)
           proj += x * planes(base + i)
           i += 1
@@ -78,14 +82,16 @@ case class HyperplaneBuckets(
       val proj = ctx.freshName("proj")
       val base = ctx.freshName("base")
       val bucket = ctx.freshName("bucket")
+      val n = ctx.freshName("n")
       s"""
+         |int $n = java.lang.Math.min($dim, $c.numElements());
          |int[] $out = new int[$tables];
          |for (int $t = 0; $t < $tables; $t++) {
          |  int $bucket = 0;
          |  for (int $b = 0; $b < $bits; $b++) {
          |    int $base = ($t * $bits + $b) * $dim;
          |    double $proj = 0.0;
-         |    for (int $i = 0; $i < $dim; $i++) {
+         |    for (int $i = 0; $i < $n; $i++) {
          |      $proj += $castD$c.$getter($i) * $planesRef[$base + $i];
          |    }
          |    if ($proj >= 0) $bucket |= 1 << $b;

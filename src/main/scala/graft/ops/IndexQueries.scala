@@ -165,6 +165,19 @@ object IndexQueries {
         .select($"reduce_key", $"cnt", toDouble($"total") as "total")
     },
 
+    // Provenance: which documents feed one reduce key (the reference's
+    // by-key map-result enumeration, `Executer.cs:305-334`).
+    "q45_mr_contributors" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val store = Files.createTempDirectory("graft-q45").toString
+      val custs = t(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey", $"c_acctbal").as[CustDoc]
+      val ex = new Executer(CustByNation, store, ExecuterConfig(fanIn = 16, finalParts = 8))
+      ex.execute(custs)
+      ex.contributors("3").select($"doc_id")
+    },
+
     // Full-key delete (the reference's public `Delete` utility,
     // `Executer.cs:222-238`): build, then drop one reduce key entirely.
     "q43_mr_delete_key" -> { (s, dir) =>
@@ -181,6 +194,9 @@ object IndexQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "q45_mr_contributors" ->
+      """SELECT 'CUSTOMER-' || CAST(c_custkey AS VARCHAR) AS doc_id
+        |FROM customer WHERE c_nationkey = 3""".stripMargin,
     "q44_mr_point_query" ->
       s"""SELECT CAST(c_nationkey AS VARCHAR) AS nation, count(*) AS cnt,
          |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal

@@ -480,67 +480,6 @@ object Relational {
          |CAST(sum(CASE WHEN o_orderstatus='F' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_F,
          |CAST(sum(CASE WHEN o_orderstatus='P' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_P
          |FROM orders GROUP BY 1""".stripMargin,
-    "q55_pivot" ->
-      s"""SELECT o_orderpriority,
-         |CAST(sum(CASE WHEN o_orderstatus='O' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_O,
-         |CAST(sum(CASE WHEN o_orderstatus='F' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_F,
-         |CAST(sum(CASE WHEN o_orderstatus='P' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_P
-         |FROM orders GROUP BY 1""".stripMargin,
-    "q39_percentiles" ->
-      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS qty_p50,
-        |quantile_cont(l_quantity, 0.9) AS qty_p90,
-        |quantile_cont(l_extendedprice, 0.5) AS price_p50
-        |FROM lineitem GROUP BY 1""".stripMargin,
-    "q55_pivot" ->
-      s"""SELECT o_orderpriority,
-         |CAST(sum(CASE WHEN o_orderstatus='O' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_O,
-         |CAST(sum(CASE WHEN o_orderstatus='F' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_F,
-         |CAST(sum(CASE WHEN o_orderstatus='P' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_P
-         |FROM orders GROUP BY 1""".stripMargin,
-    "q55_pivot" ->
-      s"""SELECT o_orderpriority,
-         |CAST(sum(CASE WHEN o_orderstatus='O' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_O,
-         |CAST(sum(CASE WHEN o_orderstatus='F' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_F,
-         |CAST(sum(CASE WHEN o_orderstatus='P' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_P
-         |FROM orders GROUP BY 1""".stripMargin,
-    "q39_percentiles" ->
-      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS qty_p50,
-        |quantile_cont(l_quantity, 0.9) AS qty_p90,
-        |quantile_cont(l_extendedprice, 0.5) AS price_p50
-        |FROM lineitem GROUP BY 1""".stripMargin,
-    "q38_cube" ->
-      s"""SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
-         |CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS total
-         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
-    "q55_pivot" ->
-      s"""SELECT o_orderpriority,
-         |CAST(sum(CASE WHEN o_orderstatus='O' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_O,
-         |CAST(sum(CASE WHEN o_orderstatus='F' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_F,
-         |CAST(sum(CASE WHEN o_orderstatus='P' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_P
-         |FROM orders GROUP BY 1""".stripMargin,
-    "q55_pivot" ->
-      s"""SELECT o_orderpriority,
-         |CAST(sum(CASE WHEN o_orderstatus='O' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_O,
-         |CAST(sum(CASE WHEN o_orderstatus='F' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_F,
-         |CAST(sum(CASE WHEN o_orderstatus='P' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_P
-         |FROM orders GROUP BY 1""".stripMargin,
-    "q39_percentiles" ->
-      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS qty_p50,
-        |quantile_cont(l_quantity, 0.9) AS qty_p90,
-        |quantile_cont(l_extendedprice, 0.5) AS price_p50
-        |FROM lineitem GROUP BY 1""".stripMargin,
-    "q55_pivot" ->
-      s"""SELECT o_orderpriority,
-         |CAST(sum(CASE WHEN o_orderstatus='O' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_O,
-         |CAST(sum(CASE WHEN o_orderstatus='F' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_F,
-         |CAST(sum(CASE WHEN o_orderstatus='P' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_P
-         |FROM orders GROUP BY 1""".stripMargin,
-    "q55_pivot" ->
-      s"""SELECT o_orderpriority,
-         |CAST(sum(CASE WHEN o_orderstatus='O' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_O,
-         |CAST(sum(CASE WHEN o_orderstatus='F' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_F,
-         |CAST(sum(CASE WHEN o_orderstatus='P' THEN ${D("o_totalprice")} END) AS DOUBLE) AS st_P
-         |FROM orders GROUP BY 1""".stripMargin,
     "q39_percentiles" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS qty_p50,
         |quantile_cont(l_quantity, 0.9) AS qty_p90,

@@ -22,6 +22,20 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](3).forall(_.length == 32))
   }
 
+  test("hyperplane_buckets tolerates vectors shorter than dim") {
+    GraftFunctions.register(spark)
+    // dim=4 but only 2 elements present: projects over the prefix (same
+    // contract as IncrementalIndexes.cellOf) instead of throwing. Both
+    // the interpreted eval and codegen paths must agree.
+    val sql =
+      """SELECT hyperplane_buckets(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)), 2, 3, 4) AS hb,
+        |       hyperplane_buckets(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT),
+        |                                CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)), 2, 3, 4) AS full
+        |""".stripMargin
+    val r = spark.sql(sql).collect()(0)
+    assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+  }
+
   test("non-literal config argument is rejected with a clear error") {
     GraftFunctions.register(spark)
     val ex = intercept[Exception] {
