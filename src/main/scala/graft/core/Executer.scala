@@ -209,6 +209,7 @@ class Executer[D, R <: Product: TypeTag](
     val t0 = System.nanoTime()
     var jobs = 0
     val t = task // local val: closures must not capture `this`
+    val batchSeq = bumpSeq()
     val docsP = docs.persist()
     try {
       val mapped: DataFrame = docsP
@@ -219,7 +220,8 @@ class Executer[D, R <: Product: TypeTag](
           "bucket",
           StableBucketHash.stableBucket($"doc_id", config.buckets))
         .withColumn("parent", $"bucket" / lit(config.fanIn) cast "int")
-        .select("parent", "bucket", "reduce_key", "doc_id", "payload")
+        .withColumn("seq", lit(batchSeq))
+        .select("parent", "bucket", "reduce_key", "doc_id", "seq", "payload")
 
       // Incoming ids come from documentId over the *documents*, not from
       // map output: a doc that now maps to zero entries must still
@@ -330,20 +332,39 @@ class Executer[D, R <: Product: TypeTag](
                 .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
                 .unionByName(mappedP)
             } else {
+              // Merge-on-read invalidation (the reference's per-doc file
+              // delete, `Executer.cs:253-258`, at O(batch) write cost):
+              // tombstone the incoming ids — their pre-batch rows die at
+              // read time — and APPEND the new map output, instead of
+              // rewriting every dirty parent partition in full. Tombstone
+              // BEFORE append: a crash between the two recovers to a
+              // consistent "docs deleted" state (re-running the batch
+              // completes the update); append-first could leave doubled
+              // rows that recovery alone cannot see.
+              if (idsSmall) addTombstonesLocal(idsProbe.toIndexedSeq, batchSeq)
+              else {
+                // Incoming ids exceed the driver limit even though the
+                // dirty pair set collapsed (many docs, few keys): write
+                // the tombstones distributed instead — still O(batch).
+                incomingIds.withColumn("tomb_seq", lit(batchSeq))
+                  .write.mode("append").parquet(tombDistPath); jobs += 1
+              }
+              mappedP.repartition($"parent")
+                .sortWithinPartitions($"parent", $"reduce_key")
+                .write.partitionBy("parent").mode("append")
+                .parquet(mapResultsPath); jobs += 1
+              // The appended files are invisible to `existing` (its file
+              // snapshot predates the append) and the new tombstones are
+              // not in its plan — so the post-update view is exactly the
+              // old snapshot minus incoming docs, plus the cached map
+              // output. No read-back of the just-written files at all.
               val retained = existing
                 .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
               val retainedMinusIncoming =
                 if (idsSmall)
                   retained.where(!$"doc_id".isin(idsProbe.toIndexedSeq: _*))
                 else retained.join(incomingIds, Seq("doc_id"), "left_anti")
-              stageAndOverwrite(retainedMinusIncoming.unionByName(mappedP),
-                mapResultsPath, "parent", dirtyParents,
-                clustered = tinyBatch); jobs += 1
-              // Must re-read from disk: the pre-update snapshot's files
-              // were just deleted by the overwrite, so any plan over
-              // `existing` is no longer executable.
-              level0Source = readMapResults()
-                .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
+              level0Source = retainedMinusIncoming.unionByName(mappedP)
             }
             rereducePruned(pairs, level0Source,
               clustered = tinyBatch); jobs += 1
@@ -356,14 +377,18 @@ class Executer[D, R <: Product: TypeTag](
             // Large dirty set: distributed path (joins against the WAL).
             writeDirtyLog(dirtyDF); jobs += 1
             val dirty = readDirtyLog().select("reduce_key", "parent").distinct()
+            // Merge-on-read invalidation, distributed spelling: tombstone
+            // the incoming ids as a parquet append (O(batch)), append the
+            // new map output, and let rereduce read the post-update view
+            // through readMapResults (new files + new tombstones).
+            incomingIds.withColumn("tomb_seq", lit(batchSeq))
+              .write.mode("append").parquet(tombDistPath); jobs += 1
+            mappedP.repartition($"parent")
+              .sortWithinPartitions($"parent", $"reduce_key")
+              .write.partitionBy("parent").mode("append")
+              .parquet(mapResultsPath); jobs += 1
             val dirtyParents = dirty.select("parent").distinct()
               .as[Int].collect().sorted; jobs += 1 // ≤ fanIn values
-            val retained = existing
-              .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
-              .join(incomingIds, Seq("doc_id"), "left_anti")
-            stageAndOverwrite(
-              retained.unionByName(mappedP), mapResultsPath, "parent",
-              dirtyParents.toSeq); jobs += 1
             rereduce(dirty); jobs += 2
             _lastStats = Some(MaintenanceStats("incremental-distributed",
               jobs, -1, -1, dirtyParents.length,
@@ -377,6 +402,10 @@ class Executer[D, R <: Product: TypeTag](
         // batches whose dirty pair set still collapsed); the distributed
         // branch keeps the session's AQE planning.
         try maintain() finally mappedP.unpersist()
+        // Bound the merge-on-read overhead: past `tombstoneLimit` live
+        // tombstones, fold them into the data files now (amortized — the
+        // fold is itself O(tombstoned partitions), and resets the clock).
+        if (tombstoneEstimate() > config.tombstoneLimit) foldTombstonesLocked()
       }
     } finally docsP.unpersist()
     _lastStats.foreach(s => log.info(s"execute: $s"))
@@ -661,15 +690,16 @@ class Executer[D, R <: Product: TypeTag](
 
   private lazy val mapReadSchema = StructType(Seq(
     StructField("bucket", IntegerType), StructField("reduce_key", StringType),
-    StructField("doc_id", StringType), StructField("payload", encR.schema),
-    StructField("parent", IntegerType)))
+    StructField("doc_id", StringType), StructField("seq", IntegerType),
+    StructField("payload", encR.schema), StructField("parent", IntegerType)))
   private lazy val treeReadSchema = StructType(Seq(
     StructField("reduce_key", StringType), StructField("payload", encR.schema),
     StructField("level", IntegerType), StructField("part", IntegerType)))
 
   private def readMapResults(): DataFrame =
-    spark.read.schema(mapReadSchema).parquet(mapResultsPath)
-      .select("parent", "bucket", "reduce_key", "doc_id", "payload")
+    applyTombstones(
+      spark.read.schema(mapReadSchema).parquet(mapResultsPath))
+      .select("parent", "bucket", "reduce_key", "doc_id", "seq", "payload")
 
   private def readTree(): DataFrame =
     spark.read.schema(treeReadSchema).parquet(treePath)
@@ -763,6 +793,144 @@ class Executer[D, R <: Product: TypeTag](
     fs.delete(new Path(staging), true)
   }
 
+  // ---------------------------------------------------------------------
+  // Merge-on-read tombstones — the reference invalidates a changed doc by
+  // deleting exactly its per-doc files (`Executer.cs:253-258`, cost ∝
+  // changed docs). At parquet scale a physical per-doc delete would be a
+  // partition rewrite (O(partition) write amplification — a 1-doc update
+  // rewriting 1/fanIn of a 100 TB table). Instead, every map row carries
+  // the `seq` of the batch that wrote it; invalidation WRITES a tombstone
+  // (doc_id → batch seq, "rows of this doc older than seq are dead") and
+  // APPENDS the new rows — write cost O(batch). Reads apply tombstones
+  // with a broadcast join (zero plan change when none exist); compact()
+  // folds them back into the data files, and execute() auto-folds past
+  // `config.tombstoneLimit` entries so read overhead stays bounded.
+  //
+  // Two spellings, mirroring the dirty WAL: driver-known batches write a
+  // single merged local file (one create+close, no Spark job); large
+  // batches append the incoming-id set as parquet (one O(batch) job).
+  // ---------------------------------------------------------------------
+
+  private lazy val tombSchema = StructType(Seq(
+    StructField("doc_id", StringType), StructField("tomb_seq", IntegerType)))
+
+  /** Monotonic batch sequence, persisted so it survives re-opens. The
+    * write happens before any state mutation; a crash after the bump
+    * burns a seq, which is harmless. */
+  private def bumpSeq(): Int = {
+    val cur =
+      if (!exists(seqPath)) -1
+      else {
+        val in = new java.io.DataInputStream(fs.open(new Path(seqPath)))
+        try in.readInt() finally in.close()
+      }
+    val n = cur + 1
+    val out = fs.create(new Path(seqPath), true)
+    try out.writeInt(n) finally out.close()
+    n
+  }
+
+  private def readTombLocal(): Seq[(String, Int)] = {
+    val in = new java.io.DataInputStream(fs.open(new Path(tombLocalPath)))
+    try {
+      val n = in.readInt()
+      (0 until n).map(_ => (in.readUTF(), in.readInt()))
+    } finally in.close()
+  }
+
+  /** Merge new tombstones into the local file (newer seq wins — and the
+    * incoming seq is always the largest yet). Rewriting the whole file is
+    * O(entries); the auto-fold bound keeps that a few MB at most. */
+  private def addTombstonesLocal(ids: Seq[String], seq: Int): Unit = {
+    val merged =
+      (if (exists(tombLocalPath)) readTombLocal().toMap else Map.empty[String, Int]) ++
+        ids.map(_ -> seq)
+    val out = new java.io.DataOutputStream(
+      fs.create(new Path(tombLocalPath), true))
+    try {
+      out.writeInt(merged.size)
+      merged.foreach { case (k, s) => out.writeUTF(k); out.writeInt(s) }
+    } finally out.close()
+  }
+
+  /** The live tombstone set as (doc_id, tomb_seq), max-merged per doc;
+    * None when empty (the common steady state after a fold). */
+  private def tombstoneDF(): Option[DataFrame] = {
+    val local = if (exists(tombLocalPath)) readTombLocal() else Nil
+    val hasDist = exists(tombDistPath)
+    (local.nonEmpty, hasDist) match {
+      case (false, false) => None
+      case (true, false) => Some(local.toDF("doc_id", "tomb_seq"))
+      case _ =>
+        val dist = spark.read.schema(tombSchema).parquet(tombDistPath)
+        val all =
+          if (local.isEmpty) dist
+          else local.toDF("doc_id", "tomb_seq").unionByName(dist)
+        Some(all.groupBy("doc_id").agg(max($"tomb_seq") as "tomb_seq"))
+    }
+  }
+
+  /** A map row survives iff no tombstone for its doc is newer than the
+    * batch that wrote it. Broadcast by construction: the tombstone set is
+    * bounded by `tombstoneLimit` (auto-fold), so the big map-side scan is
+    * never shuffled for this. */
+  private def applyTombstones(df: DataFrame): DataFrame = tombstoneDF() match {
+    case None => df
+    case Some(t) =>
+      df.join(broadcast(t), Seq("doc_id"), "left")
+        .where($"tomb_seq".isNull || $"seq" >= $"tomb_seq")
+        .drop("tomb_seq")
+  }
+
+  /** Entries in the live tombstone set, estimated without a Spark job:
+    * exact for the local file, bytes/20 for the parquet part. */
+  private def tombstoneEstimate(): Long = {
+    var n = 0L
+    if (exists(tombLocalPath)) {
+      val in = new java.io.DataInputStream(fs.open(new Path(tombLocalPath)))
+      try n += in.readInt() finally in.close()
+    }
+    if (exists(tombDistPath))
+      n += fs.listStatus(new Path(tombDistPath))
+        .filter(_.isFile).map(_.getLen).sum / 20
+    n
+  }
+
+  /** Fold tombstones into the data files: rewrite exactly the parent
+    * partitions that hold tombstoned docs (a doc's parent is a pure
+    * function of its id) with dead rows dropped, then clear the tombstone
+    * state. Idempotent — a crash mid-fold leaves tombstones in place and
+    * reads stay correct. Caller must hold the lease. */
+  private def foldTombstonesLocked(): Unit = {
+    val hasLocal = exists(tombLocalPath)
+    val hasDist = exists(tombDistPath)
+    if (!hasLocal && !hasDist) return
+    val localParents =
+      if (hasLocal)
+        readTombLocal().map(t =>
+          StableBucketHash.hash(t._1, config.buckets) / config.fanIn)
+      else Nil
+    val distParents =
+      if (hasDist)
+        spark.read.schema(tombSchema).parquet(tombDistPath)
+          .select((StableBucketHash.stableBucket($"doc_id", config.buckets)
+            / lit(config.fanIn)).cast("int") as "parent")
+          .distinct().as[Int].collect().toSeq
+      else Nil
+    // A tombstone for a doc that never produced map rows has no partition
+    // directory to rewrite.
+    val parents = (localParents ++ distParents).distinct.sorted
+      .filter(p => exists(s"$mapResultsPath/parent=$p"))
+    if (parents.nonEmpty) {
+      val rows = readMapResults()
+        .where($"parent".isin(parents.map(Integer.valueOf): _*))
+      stageAndOverwrite(rows, mapResultsPath, "parent", parents)
+      log.info(s"foldTombstones: rewrote ${parents.size} map partitions")
+    }
+    if (hasLocal) fs.delete(new Path(tombLocalPath), false)
+    if (hasDist) fs.delete(new Path(tombDistPath), true)
+  }
+
   /** WAL for the dirty set — replaces the reference's `Schedules tree`
     * marker files (`Executer.cs:115-151`): written before state mutation,
     * cleared after the re-reduce completes.
@@ -816,6 +984,9 @@ class Executer[D, R <: Product: TypeTag](
     * rewrite itself is a distributed job), safe to run between batches
     * under the writer lease. */
   def compact(maxFilesPerPartition: Int = 8): Unit = withLease {
+    // Fold tombstones first: dead rows are dropped from their partitions
+    // and the merge-on-read join disappears from every subsequent read.
+    foldTombstonesLocked()
     if (exists(mapResultsPath)) {
       val fragmented = fs.listStatus(new Path(mapResultsPath))
         .filter(d => d.isDirectory && d.getPath.getName.startsWith("parent="))
@@ -830,6 +1001,30 @@ class Executer[D, R <: Product: TypeTag](
         // consolidated file per directory.
         stageAndOverwrite(rows, mapResultsPath, "parent", fragmented)
         log.info(s"compact: rewrote ${fragmented.size} map partitions")
+      }
+    }
+    // The reduce tree: incremental writes swap whole (level, part)
+    // directories, so fragmentation only appears if a wide write left
+    // several task files in one directory; consolidate those too.
+    if (exists(treePath)) {
+      val fragDirs = (1 to 2).flatMap { lvl =>
+        val lvlPath = new Path(s"$treePath/level=$lvl")
+        if (!fs.exists(lvlPath)) Nil
+        else fs.listStatus(lvlPath)
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith("part="))
+          .filter(d => fs.listStatus(d.getPath)
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >
+            maxFilesPerPartition)
+          .map(d => (lvl, d.getPath.getName.stripPrefix("part=").toInt)).toSeq
+      }
+      if (fragDirs.nonEmpty) {
+        val cond = fragDirs.map { case (l, p) => $"level" === l && $"part" === p }
+          .reduce(_ || _)
+        stageAndOverwriteTree(
+          readTree().where(cond),
+          fragDirs.map { case (l, p) => s"level=$l/part=$p" },
+          clustered = false)
+        log.info(s"compact: rewrote ${fragDirs.size} tree partitions")
       }
     }
   }
