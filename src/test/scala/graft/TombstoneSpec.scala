@@ -72,6 +72,21 @@ class TombstoneSpec extends AnyFunSuite {
     assert(counts(ex)("NV") == want("NV") + 1)
   }
 
+  test("contributors() sees through tombstones") {
+    val store = tmp()
+    val ex = new Executer(PeopleCountByState, store,
+      ExecuterConfig(fanIn = 4, finalParts = 2))
+    ex.execute(spark.createDataset(Seq(
+      Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
+    ex.execute(spark.createDataset(Seq(Person("b", "TX"))))
+    // b's old CA row is tombstoned, not physically deleted — provenance
+    // must still report the live state only.
+    assert(ex.contributors("CA").select("doc_id").as[String].collect().toSet
+      == Set("A"))
+    assert(ex.contributors("TX").select("doc_id").as[String].collect().toSet
+      == Set("B", "C"))
+  }
+
   test("distributed path also tombstones instead of rewriting") {
     val store = tmp()
     val cfg = ExecuterConfig(fanIn = 4, finalParts = 2, driverDirtyLimit = 0)
