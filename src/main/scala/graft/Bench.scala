@@ -116,6 +116,10 @@ object Bench {
               String.valueOf(t.getMessage).take(160).replaceAll("[\"\\\\\n]", " "))
           }
         }
+        // Queries are independent: drop their materialization barriers
+        // (persist + count) so block eviction/GC pressure from one query
+        // never bleeds into the next one's timing.
+        spark.catalog.clearCache()
         QR(name, sec, rows, err)
       }
 
