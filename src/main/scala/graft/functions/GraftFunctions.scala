@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   - `hyperplane_buckets(arr, tables, bits, dim)` → array<int>
   *   - `minhash_sigs(arr<string>, numHashes)` → array<string>
   *   - `winnow_fps(arr<string>, k, w)`        → array<string>
+  *   - `hyperplane_probes(arr, bits, dim)`    → array<int> (2 cells)
   *
   * Two entry points: [[GraftExtensions]] for
   * `SparkSession.builder().withExtensions(...)` (the production path),
@@ -49,6 +50,12 @@ object GraftFunctions {
     "winnow_fps" -> { args =>
       require(args.size == 3, "winnow_fps(words, k, w)")
       WinnowFingerprints(args.head, intArg(args(1), "k"), intArg(args(2), "w"))
+    },
+    "hyperplane_probes" -> { args =>
+      require(args.size == 3, "hyperplane_probes(arr, bits, dim)")
+      val (bits, dim) = (intArg(args(1), "bits"), intArg(args(2), "dim"))
+      HyperplaneProbes(args.head,
+        HyperplaneBuckets.sinPlanes(bits, dim), bits, dim)
     })
 
   /** Register as temp functions on a live session. */

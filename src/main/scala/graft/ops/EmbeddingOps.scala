@@ -130,6 +130,39 @@ object EmbeddingOps {
         .select($"query_id", $"neighbor_id", $"rnk", $"cos")
     },
 
+    // IVF multi-probe (probe-2): each query searches its own cell PLUS
+    // the cell across its least-confident hyperplane (smallest
+    // |projection margin| — the standard multi-probe LSH perturbation),
+    // recovering the near-boundary neighbors probe-1 misses. Candidate
+    // generation stays an equi-join on cell id: the query side just
+    // explodes into 2 probe rows, so the work is ~2× probe-1, never
+    // all-pairs. Probe expansion is one codegen'd pass
+    // (`functions.HyperplaneProbes`).
+    "q46_ann_ivf_multiprobe" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.HyperplaneProbes.hyperplaneProbes
+      val v = t(s, dir, "embeddings")
+        .repartition(cpuWidth(s))
+        .select($"vec_id", $"embedding", norm($"embedding") as "nrm",
+          hyperplaneProbes($"embedding", 8, 64) as "probes")
+        .transform(Dedup.barrier)
+      // probes(0) is the vector's own cell — the candidate side indexes
+      // by it; the query side probes both cells.
+      val q = v.where($"vec_id" < 8)
+        .select($"vec_id" as "query_id", $"embedding" as "qe",
+          $"nrm" as "qn", explode($"probes") as "cell")
+      val c = v.select($"vec_id" as "neighbor_id", $"embedding" as "ce",
+        $"nrm" as "cn", element_at($"probes", 1) as "cell")
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"cos".desc, $"neighbor_id".asc)
+      q.join(c, "cell")
+        .where($"query_id" =!= $"neighbor_id")
+        .withColumn("cos", dot($"qe", $"ce") / ($"qn" * $"cn"))
+        .withColumn("rnk", row_number().over(w))
+        .where($"rnk" <= 3)
+        .select($"query_id", $"neighbor_id", $"rnk", $"cos")
+    },
+
     // SimHash / random-hyperplane signature: the LSH bucketing that turns
     // near-dup search into an equi-join at scale.
     "q32_ann_lsh_signature" -> { (s, dir) =>
@@ -201,6 +234,34 @@ object EmbeddingOps {
         |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
         |  FROM n q JOIN n c ON q.cell = c.cell AND q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 8)
+        |SELECT query_id, neighbor_id, rnk, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk
+        |  FROM d) t WHERE rnk <= 3""".stripMargin,
+    "q46_ann_ivf_multiprobe" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |p AS (
+        |  SELECT v.vec_id, b.bit,
+        |    (SELECT sum(ei.emb * sin((ei.i - 1 + b.bit * 64) * 9973.0))
+        |     FROM (SELECT unnest(e) AS emb,
+        |                  generate_subscripts(e, 1) AS i) ei) AS proj
+        |  FROM v, (SELECT unnest(generate_series(0, 7)) AS bit) b),
+        |n AS (
+        |  SELECT v.vec_id, v.e, sqrt(list_dot_product(v.e, v.e)) AS nrm,
+        |    (SELECT CAST(sum(CASE WHEN proj >= 0 THEN power(2, bit) ELSE 0 END) AS INT)
+        |     FROM p WHERE p.vec_id = v.vec_id) AS cell,
+        |    (SELECT bit FROM p WHERE p.vec_id = v.vec_id
+        |     ORDER BY abs(proj), bit LIMIT 1) AS weak
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id, e, nrm,
+        |    unnest([cell, xor(cell, CAST(power(2, weak) AS INT))]) AS cell
+        |  FROM n WHERE vec_id < 8),
+        |d AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+        |  FROM q JOIN n c ON q.cell = c.cell AND q.vec_id <> c.vec_id)
         |SELECT query_id, neighbor_id, rnk, cos FROM (
         |  SELECT query_id, neighbor_id, cos,
         |    CAST(row_number() OVER (PARTITION BY query_id

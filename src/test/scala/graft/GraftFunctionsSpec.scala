@@ -36,6 +36,21 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getSeq[Int](0) == r.getSeq[Int](1))
   }
 
+  test("hyperplane_probes: probe 0 is the probe-1 cell, probe 1 flips one bit") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT hyperplane_probes(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT),
+        |                               CAST(2.0 AS FLOAT)), 4, 3) AS pr,
+        |       element_at(hyperplane_buckets(array(CAST(0.5 AS FLOAT),
+        |         CAST(-1.5 AS FLOAT), CAST(2.0 AS FLOAT)), 1, 4, 3), 1) AS cell
+        |""".stripMargin).collect()(0)
+    val probes = r.getSeq[Int](0)
+    assert(probes.length == 2)
+    assert(probes(0) == r.getInt(1))
+    // Exactly one bit differs between the two probes.
+    assert(Integer.bitCount(probes(0) ^ probes(1)) == 1)
+  }
+
   test("non-literal config argument is rejected with a clear error") {
     GraftFunctions.register(spark)
     val ex = intercept[Exception] {
