@@ -72,6 +72,9 @@ object GoldenDemo {
     println(s"total before=$total0 after=$total1 " +
       (if (total0 == total1 && total1 == 653) "INVARIANT HOLDS" else "INVARIANT BROKEN"))
     println("missing key query('ZZ') -> " + ex.query("ZZ").collect().toSeq)
+    println(s"store stats:  ${ex.storeStats().toSeq.sorted.mkString(", ")}")
+    println(s"contributors('TX') sample: " +
+      ex.contributors("TX").limit(3).collect().map(_.getString(0)).sorted.toSeq)
     spark.stop()
     if (!(total0 == total1 && total1 == 653 &&
         ca1 == Seq(StatePop("CA", 396)) && tx1 == Seq(StatePop("TX", 257))))

@@ -1029,6 +1029,31 @@ class Executer[D, R <: Product: TypeTag](
     }
   }
 
+  /** Store-level operational stats — what an operator of a 100 TB
+    * deployment watches between batches: per-table file counts and
+    * bytes (fragmentation → "time to compact()"), live tombstone count
+    * (merge-on-read read overhead), and pending recovery state. Driver
+    * lists at most fanIn + 2·finalParts + 2 directories; no Spark job. */
+  def storeStats(): Map[String, Long] = {
+    def dirStats(path: String): (Long, Long) = {
+      if (!exists(path)) return (0L, 0L)
+      def walk(p: Path): (Long, Long) =
+        fs.listStatus(p).foldLeft((0L, 0L)) { case ((n, b), st) =>
+          if (st.isDirectory) { val (cn, cb) = walk(st.getPath); (n + cn, b + cb) }
+          else if (st.getPath.getName.endsWith(".parquet")) (n + 1, b + st.getLen)
+          else (n, b)
+        }
+      walk(new Path(path))
+    }
+    val (mapFiles, mapBytes) = dirStats(mapResultsPath)
+    val (treeFiles, treeBytes) = dirStats(treePath)
+    Map(
+      "map_files" -> mapFiles, "map_bytes" -> mapBytes,
+      "tree_files" -> treeFiles, "tree_bytes" -> treeBytes,
+      "tombstones" -> tombstoneEstimate(),
+      "pending_dirty_pairs" -> pendingDirtyPairs())
+  }
+
   /** Maintenance-state visibility (the reference's operators could watch
     * its Schedules tree; ours ask the index): false iff an interrupted
     * batch left a dirty WAL behind — [[recover]] would replay it. Reads

@@ -43,6 +43,13 @@ class CompactSpec extends AnyFunSuite {
     assert(filesAfter < filesBefore,
       s"expected consolidation, had $filesBefore files, now $filesAfter")
     assert(ex.queryAll().collect().toSet == before)
+    // storeStats mirrors what compact() just did: file count down to
+    // O(#partitions), no tombstones, nothing pending.
+    val stats = ex.storeStats()
+    assert(stats("map_files") == filesAfter.toLong)
+    assert(stats("map_bytes") > 0)
+    assert(stats("tombstones") == 0)
+    assert(stats("pending_dirty_pairs") == 0)
     // And the index still updates correctly afterwards: p-2 moves CA→TX
     // (26/26 becomes 25 CA / 27 TX).
     ex.execute(spark.createDataset(Seq(Person("p-2", "TX"))))
