@@ -42,6 +42,41 @@ class StreamingExecuterSpec extends AnyFunSuite {
     assert(sx.query("TX").collect().toSeq == Seq(StatePop("TX", 2L)))
   }
 
+  test("streaming exact dedup with watermark-bounded state") {
+    // The streaming spelling of q21 exact dedup for a live ingest
+    // pipeline: first document per content hash passes, later
+    // duplicates are dropped, and dedup state is EVICTED past the
+    // watermark — the bounded-state requirement of a 100 TB
+    // always-on ingest (an unbounded dropDuplicates would OOM).
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft-sdedup-in").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
+    // Two files = two micro-batches (maxFilesPerTrigger=1). 5 docs, 3
+    // distinct content hashes; the cross-batch duplicate (h1 again in
+    // file 2) must be suppressed by state, not by in-batch distinct.
+    spark.createDataset(Seq(
+      (ts(0), "d1", "h1"), (ts(1), "d2", "h2"), (ts(1), "d3", "h1")))
+      .toDF("ts", "doc_id", "h").coalesce(1).write.mode("append").parquet(in)
+    spark.createDataset(Seq((ts(3), "d4", "h1"), (ts(4), "d5", "h3")))
+      .toDF("ts", "doc_id", "h").coalesce(1).write.mode("append").parquet(in)
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, doc_id STRING, h STRING")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val dedup = stream
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("h")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT h, count(*) n FROM sdedup_out GROUP BY h")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("h1", 1L), ("h2", 1L), ("h3", 1L)),
+      s"each content hash must survive exactly once, got $got")
+  }
+
   test("watermarked event-time window aggregation over a stream") {
     import org.apache.spark.sql.functions._
     val in = Files.createTempDirectory("graft-wm-in").toString
