@@ -82,6 +82,39 @@ object TextOps {
     // minimum) — a narrow per-row map at any corpus scale. Hashes stay
     // md5-hex strings (lexicographic minima) so both engines agree
     // bit-for-bit.
+    // Corpus vocabulary by document frequency: the token-level corpus
+    // statistic a tokenizer/training run starts from. Per-doc distinct
+    // tokens (array_distinct before the explode — a token counts once
+    // per doc), then a count per token; deterministic top-50 via the
+    // (df DESC, token ASC) total order.
+    "q48_vocab_df" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(array_distinct(
+          regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0)))) as "token")
+        .groupBy($"token")
+        .agg(count(lit(1)) as "df")
+        .orderBy($"df".desc, $"token".asc)
+        .limit(50)
+    },
+
+    // Deterministic stratified sampling for corpus curation: an md5
+    // prefix of the document id picks a reproducible 25% sample — the
+    // same rows on any engine, any partitioning, any run (vs rand(),
+    // which is none of those) — then per-language sample stats. The
+    // predicate is a pure function of the row, so it pushes into the
+    // scan and samples 100 TB without a shuffle.
+    "q49_sample_stratified" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .where(substring(
+          md5(concat(lit("sample:"), $"doc_id".cast("string"))), 1, 1)
+          .isin("0", "1", "2", "3"))
+        .groupBy($"lang")
+        .agg(count(lit(1)) as "sampled_docs",
+          sum(nTokens($"text")) as "sampled_tokens")
+    },
+
     "q53_winnow_fingerprints" -> { (s, dir) =>
       import s.implicits._
       val k = 4; val w = 5
@@ -173,6 +206,20 @@ object TextOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "q48_vocab_df" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS df FROM tok GROUP BY token
+        |ORDER BY df DESC, token ASC LIMIT 50""".stripMargin,
+    "q49_sample_stratified" ->
+      """SELECT lang, count(*) AS sampled_docs,
+        |CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sampled_tokens
+        |FROM documents
+        |WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |  IN ('0', '1', '2', '3')
+        |GROUP BY lang""".stripMargin,
     "q54_pipeline_compose" ->
       """WITH d AS (
         |  SELECT doc_id, lang, text,
