@@ -781,15 +781,27 @@ class Executer[D, R <: Product: TypeTag](
     // Swap the exact caller-named partition directories: stale content is
     // dropped even when the rewritten partition came out EMPTY (staging
     // has no dir for it), which dynamic partition overwrite cannot do.
+    // The old content is RENAMED aside rather than deleted in place, so
+    // the window in which a concurrent reader can observe a missing
+    // directory is two O(1) metadata renames, not an O(files) recursive
+    // delete; the trash (like `.staging`) is a sibling of the table path
+    // and invisible to readers, deleted once after the swap.
+    val trash = s"$destPath.trash"
+    fs.delete(new Path(trash), true)
     dirs.foreach { d =>
-      fs.delete(new Path(s"$destPath/$d"), true)
+      val dest = new Path(s"$destPath/$d")
+      if (fs.exists(dest)) {
+        val aside = new Path(s"$trash/$d")
+        fs.mkdirs(aside.getParent)
+        fs.rename(dest, aside)
+      }
       val staged = new Path(s"$staging/$d")
       if (fs.exists(staged)) {
-        val dest = new Path(s"$destPath/$d")
         fs.mkdirs(dest.getParent)
         fs.rename(staged, dest)
       }
     }
+    fs.delete(new Path(trash), true)
     fs.delete(new Path(staging), true)
   }
 
