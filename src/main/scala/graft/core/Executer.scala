@@ -631,6 +631,25 @@ class Executer[D, R <: Product: TypeTag](
     readMapResults().where($"reduce_key" === key).select("doc_id", "bucket")
   }
 
+  /** Reverse provenance: every (reduce key, bucket) a document feeds —
+    * the engine-internal per-doc lookup of the reference
+    * (`Executer.cs:245-250`) as a public surface. Unlike [[contributors]]
+    * this prunes to ONE partition: a doc's parent is a pure function of
+    * its id, so the scan reads 1/fanIn of the table regardless of size. */
+  def contributionsOf(docId: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    if (!exists(mapResultsPath)) {
+      val schema = StructType(Seq(
+        StructField("reduce_key", StringType), StructField("bucket", IntegerType)))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+    val id = normId(docId)
+    val parent = StableBucketHash.hash(id, config.buckets) / config.fanIn
+    readMapResults()
+      .where($"parent" === parent && $"doc_id" === id)
+      .select("reduce_key", "bucket")
+  }
+
   /** Drop all stored state for one reduce key — the reference's public
     * utility `Delete` (`Executer.cs:222-238`).
     *

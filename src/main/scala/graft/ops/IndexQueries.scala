@@ -178,6 +178,21 @@ object IndexQueries {
       ex.contributors("3").select($"doc_id")
     },
 
+    // Reverse provenance on the multi-emit index: every reduce key one
+    // document feeds (here: its priority: and status: tags) — prunes to
+    // the doc's single parent partition.
+    "q56_mr_doc_contributions" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val store = Files.createTempDirectory("graft-q56").toString
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus", $"o_totalprice")
+        .as[OrderDoc2]
+      val ex = new Executer(OrdersMultiTag, store, ExecuterConfig(fanIn = 64, finalParts = 16))
+      ex.execute(orders)
+      ex.contributionsOf("orders-7").select($"reduce_key")
+    },
+
     // Full-key delete (the reference's public `Delete` utility,
     // `Executer.cs:222-238`): build, then drop one reduce key entirely.
     "q43_mr_delete_key" -> { (s, dir) =>
@@ -197,6 +212,12 @@ object IndexQueries {
     "q45_mr_contributors" ->
       """SELECT 'CUSTOMER-' || CAST(c_custkey AS VARCHAR) AS doc_id
         |FROM customer WHERE c_nationkey = 3""".stripMargin,
+    "q56_mr_doc_contributions" ->
+      """SELECT 'priority:' || o_orderpriority AS reduce_key
+        |FROM orders WHERE o_orderkey = 7
+        |UNION ALL
+        |SELECT 'status:' || o_orderstatus AS reduce_key
+        |FROM orders WHERE o_orderkey = 7""".stripMargin,
     "q44_mr_point_query" ->
       s"""SELECT CAST(c_nationkey AS VARCHAR) AS nation, count(*) AS cnt,
          |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal

@@ -75,5 +75,14 @@ class PlanSpec extends AnyFunSuite {
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(pf.contains("level") && pf.contains("part"),
       s"point query does not partition-prune the reduce tree: $pf")
+
+    // Reverse provenance prunes map_results to the doc's single parent
+    // partition (parent is a pure function of the doc id).
+    val p2 = ex.contributionsOf("b").queryExecution.executedPlan.toString
+    val pf2 = p2.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf2.contains("parent"),
+      s"contributionsOf does not partition-prune map_results: $pf2")
+    assert(ex.contributionsOf("b").select("reduce_key").collect()
+      .map(_.getString(0)).toSeq == Seq("CA"))
   }
 }
