@@ -63,6 +63,46 @@ object Multimodal {
     media.mapPartitions(decodeAndFeaturize)
   }
 
+  /** One sampled frame of a video row. */
+  case class FrameRow(
+      media_id: Long, frame_idx: Int, frame_bytes: Long, first_byte: Int)
+
+  /** Frame sampling: one media row explodes into every-`everyN`th
+    * fixed-size frame slice — the 1→n batch shape of real video
+    * preprocessing (a codec would find true frame boundaries; the STUB
+    * uses fixed `frameSize` slices). Runs inside the task, bytes never
+    * leave the executor un-sliced. */
+  def sampleFrames(
+      rows: Iterator[MediaRow], frameSize: Int, everyN: Int): Iterator[FrameRow] =
+    rows.flatMap { r =>
+      val nFrames = math.max(1, r.bytes.length / frameSize)
+      (0 until nFrames by everyN).iterator.map { f =>
+        val off = f * frameSize
+        val len = math.min(frameSize, r.bytes.length - off)
+        FrameRow(r.media_id, f, len.toLong,
+          if (len > 0) r.bytes(off) & 0xff else -1)
+      }
+    }
+
+  case class ResizedImage(
+      media_id: Long, out_w: Int, out_h: Int, out_bytes: Long, byte_sum: Long)
+
+  /** Resize stub: every `factor`-th byte survives (a real resampler
+    * would interpolate); emits the downsampled size and an
+    * order-independent byte sum as the verification feature. */
+  def resizeStub(
+      rows: Iterator[MediaRow], factor: Int,
+      outW: Int, outH: Int): Iterator[ResizedImage] =
+    rows.map { r =>
+      var sum = 0L
+      var n = 0L
+      var i = 0
+      while (i < r.bytes.length) {
+        sum += (r.bytes(i) & 0xff); n += 1; i += factor
+      }
+      ResizedImage(r.media_id, outW, outH, n, sum)
+    }
+
   val queries: Map[String, Q] = Map(
     // Binary-column pipeline over synthesized media (documents' text bytes
     // stand in for image payloads — deterministic, schema-correct).
@@ -86,6 +126,34 @@ object Multimodal {
           count(lit(1)) as "n",
           sum($"n_bytes") as "total_bytes",
           sum($"frames_sampled") as "total_frames")
+    },
+
+    // Frame sampling over the "video" rows: every 2nd 256-byte stub
+    // frame, one output row per sampled frame (the 1→n preprocessing
+    // batch shape).
+    "q57_multimodal_frame_sample" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .where($"doc_id" % 3 === 2)
+        .select($"doc_id" as "media_id", lit("video") as "modality",
+          encode($"text", "UTF-8") as "bytes",
+          lit(64) as "width", lit(64) as "height")
+        .as[MediaRow]
+      media.mapPartitions(rs => sampleFrames(rs, 256, 2)).toDF()
+    },
+
+    // Resize over the "image" rows: 4× byte downsample to a 32×32 stub.
+    "q58_multimodal_resize" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .where($"doc_id" % 3 === 0)
+        .select($"doc_id" as "media_id", lit("image") as "modality",
+          encode($"text", "UTF-8") as "bytes",
+          lit(64) as "width", lit(64) as "height")
+        .as[MediaRow]
+      media.mapPartitions(rs => resizeStub(rs, 4, 32, 32)).toDF()
     })
 
   // The decode stub's byte arithmetic (ASCII text payloads ⇒ bytes =
@@ -102,6 +170,28 @@ object Multimodal {
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(sum(CASE WHEN modality = 'video'
         |    THEN greatest(1, n_bytes // 1024) ELSE 1 END) AS BIGINT) AS total_frames
-        |FROM m GROUP BY modality""".stripMargin
+        |FROM m GROUP BY modality""".stripMargin,
+    // Byte-exact because the synthetic corpus is pure ASCII (verified
+    // octet_length(encode(text)) == length(text) at every SF): char
+    // positions in SQL equal byte offsets in the Spark kernel.
+    "q57_multimodal_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, text AS b FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT media_id, b,
+        |    unnest(range(0, greatest(1, length(b) // 256), 2)) AS fi
+        |  FROM v)
+        |SELECT media_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(least(256, length(b) - fi * 256) AS BIGINT) AS frame_bytes,
+        |  CASE WHEN least(256, length(b) - fi * 256) = 0 THEN -1
+        |       ELSE ascii(substr(b, CAST(fi * 256 + 1 AS INT), 1)) END AS first_byte
+        |FROM f""".stripMargin,
+    "q58_multimodal_resize" ->
+      """SELECT doc_id AS media_id, 32 AS out_w, 32 AS out_h,
+        |  CAST((length(text) + 3) // 4 AS BIGINT) AS out_bytes,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    range(1, length(text) + 1, 4),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS byte_sum
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin
   )
 }
