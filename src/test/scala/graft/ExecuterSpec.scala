@@ -138,6 +138,39 @@ class ExecuterSpec extends AnyFunSuite {
     assert(counts(ex) == Map("CA" -> 1L, "TX" -> 2L, "NY" -> 2L))
   }
 
+  /** A re-submitted doc whose map now emits ZERO entries must still
+    * invalidate its previous contribution (`Executer.cs:89-91`:
+    * incoming ids come from documentId over the documents, not from map
+    * output) — through the tombstone path like any other update. */
+  test("doc remapped to zero entries invalidates its old contribution") {
+    object Gated extends MapReduceTask[Person, StatePop] {
+      def map(docs: Iterator[Person]): Iterator[(String, StatePop)] =
+        docs.filter(_.state != "SKIP").map(p => (p.id, StatePop(p.state, 1L)))
+      def reduce(entries: Iterator[StatePop]): Iterator[StatePop] =
+        entries.toSeq.groupBy(_.state)
+          .map { case (s, es) => StatePop(s, es.map(_.count).sum) }.iterator
+      def reduceKey(e: StatePop): String = e.state
+      def documentId(p: Person): String = p.id
+    }
+    val ex = new Executer(Gated, tmp())
+    ex.execute(spark.createDataset(Seq(
+      Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
+    ex.execute(spark.createDataset(Seq(Person("a", "SKIP"))))
+    assert(counts(ex) == Map("CA" -> 1L, "TX" -> 1L))
+    // And it can come back.
+    ex.execute(spark.createDataset(Seq(Person("a", "TX"))))
+    assert(counts(ex) == Map("CA" -> 1L, "TX" -> 2L))
+  }
+
+  test("empty update batch is a no-op") {
+    val ex = new Executer(PeopleCountByState, tmp())
+    ex.execute(spark.createDataset(Seq(Person("a", "CA"))))
+    val before = counts(ex)
+    ex.execute(spark.emptyDataset[Person])
+    assert(counts(ex) == before)
+    assert(ex.isClean)
+  }
+
   test("delete drops all state for a key") {
     val store = tmp()
     val ex = new Executer(PeopleCountByState, store)
