@@ -90,54 +90,41 @@ object Dedup {
     },
 
     // LSH banded candidate pairs + exact Jaccard re-rank: the scalable
-    // near-dup join. Candidate generation shuffles only (band, hash,
-    // doc_id) — never the shingle payloads; shingles are joined back for
-    // the few surviving pairs only. The per-doc signature is computed in
-    // ONE pass over the shingle array (nested transform over seeds), not
-    // once per band column.
-    "q27_lsh_candidate_pairs" -> { (s, dir) =>
+    // near-dup join (see [[lshCandidatePairs]]).
+    "q27_lsh_candidate_pairs" -> { (s, dir) => lshCandidatePairs(s, dir) },
+
+    // Near-duplicate CLUSTERS: connected components over the strong
+    // (jaccard ≥ 0.5) candidate graph — cluster id = min doc_id in the
+    // component, the "keep one canonical doc per cluster" curation op.
+    // Min-label propagation over the LSH-PRUNED edge set only (≪ corpus
+    // — the expensive all-pairs work was already avoided by the LSH
+    // equi-join), iterated to fixpoint: each step is one bounded
+    // join+min, iterations = component diameter (near-dup clusters are
+    // shallow), each materialized behind a lineage barrier so the plan
+    // never grows with the iteration count.
+    "q59_neardup_clusters" -> { (s, dir) =>
       import s.implicits._
-      // Parallelize the CPU-bound signature stage across cores (a single
-      // parquet file otherwise pins it to one task), and materialize the
-      // tiny banded table once — Catalyst's projection collapse would
-      // otherwise inline the full 8-seed MinHash computation into every
-      // band expression on BOTH sides of the self-join (~8x the work).
-      val par = cpuWidth(s)
-      // Shingling is interpreted HOF work over ~n_words elements per doc
-      // and `docs` feeds three consumers (signatures + both sides of the
-      // pair join-back) — materialize it once.
-      val docs = t(s, dir, "documents")
-        .where(size(split($"text", "\\s+")) >= 3)
-        .repartition(par)
-        .select($"doc_id", shingles($"text") as "sh")
-        .transform(barrier)
-      // Barrier = projection-collapse stop: the 8 element_at
-      // references below would otherwise each inline the full signature
-      // computation.
-      val sigs = docs.select($"doc_id",
-        graft.functions.MinHashSigs.minhashSigs($"sh", NumHashes) as "mh")
-        .transform(barrier)
-      val banded = sigs.select($"doc_id",
-          explode(array((0 until Bands).map(b =>
-            struct(lit(b) as "band",
-              md5(concat_ws("|",
-                element_at($"mh", 2 * b + 1),
-                element_at($"mh", 2 * b + 2))) as "bh")): _*)) as "e")
-        .select($"doc_id", $"e.band", $"e.bh")
-      // Cap degenerate buckets before the quadratic self-join, then
-      // materialize: the capped table is scanned from both sides.
-      val capped = barrier(capHotBuckets(banded, Seq($"band", $"bh"), MaxBucket))
-      val cand = capped.as("x").join(capped.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id") as "id_a", col("y.doc_id") as "id_b")
-        .distinct()
-      cand
-        .join(docs.select($"doc_id" as "id_a", $"sh" as "sh_a"), "id_a")
-        .join(docs.select($"doc_id" as "id_b", $"sh" as "sh_b"), "id_b")
-        .select($"id_a", $"id_b",
-          (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-            size(array_union($"sh_a", $"sh_b"))) as "jaccard")
+      val strong = lshCandidatePairs(s, dir)
+        .where($"jaccard" >= 0.5)
+        .select($"id_a", $"id_b")
+      val sym = barrier(strong.select($"id_a" as "src", $"id_b" as "dst")
+        .unionByName(strong.select($"id_b" as "src", $"id_a" as "dst")))
+      var labels = barrier(sym.select($"src" as "id").distinct()
+        .select($"id", $"id" as "lbl"))
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 32) {
+        val prop = barrier(labels.join(sym, $"id" === $"src")
+          .select($"dst" as "id", $"lbl")
+          .unionByName(labels.select($"id", $"lbl"))
+          .groupBy($"id").agg(min($"lbl") as "lbl"))
+        changed = prop.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+          .where(col("n.lbl") =!= col("o.lbl")).count()
+        labels.unpersist()
+        labels = prop
+        iters += 1
+      }
+      labels.select($"id" as "doc_id", $"lbl" as "cluster")
     },
 
     // SimHash: 16-bit signature from md5-derived bit votes — the
@@ -159,6 +146,50 @@ object Dedup {
         .repartition(cpuWidth(s))
         .select($"doc_id", sig as "simhash")
     })
+
+  /** The q27 pipeline: shingle → one-pass MinHash signature → banded
+    * equi-join on (band, hash) for candidates → exact Jaccard on the
+    * candidates only. Candidate generation shuffles only (band, hash,
+    * doc_id) — never the shingle payloads; shingles are joined back for
+    * the few surviving pairs. The signature stage is repartitioned
+    * across cores (a single parquet file otherwise pins it to one task)
+    * and materialized behind barriers: Catalyst's projection collapse
+    * would otherwise inline the full 8-seed MinHash computation into
+    * every band expression on BOTH sides of the self-join. */
+  private[ops] def lshCandidatePairs(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val par = cpuWidth(s)
+    val docs = t(s, dir, "documents")
+      .where(size(split($"text", "\\s+")) >= 3)
+      .repartition(par)
+      .select($"doc_id", shingles($"text") as "sh")
+      .transform(barrier)
+    val sigs = docs.select($"doc_id",
+      graft.functions.MinHashSigs.minhashSigs($"sh", NumHashes) as "mh")
+      .transform(barrier)
+    val banded = sigs.select($"doc_id",
+        explode(array((0 until Bands).map(b =>
+          struct(lit(b) as "band",
+            md5(concat_ws("|",
+              element_at($"mh", 2 * b + 1),
+              element_at($"mh", 2 * b + 2))) as "bh")): _*)) as "e")
+      .select($"doc_id", $"e.band", $"e.bh")
+    // Cap degenerate buckets before the quadratic self-join, then
+    // materialize: the capped table is scanned from both sides.
+    val capped = barrier(capHotBuckets(banded, Seq($"band", $"bh"), MaxBucket))
+    val cand = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id") as "id_a", col("y.doc_id") as "id_b")
+      .distinct()
+    cand
+      .join(docs.select($"doc_id" as "id_a", $"sh" as "sh_a"), "id_a")
+      .join(docs.select($"doc_id" as "id_b", $"sh" as "sh_b"), "id_b")
+      .select($"id_a", $"id_b",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b"))) as "jaccard")
+  }
 
   private def shinglesSql(tbl: String): String =
     s"""SELECT doc_id, list_distinct(list_transform(
@@ -196,6 +227,33 @@ object Dedup {
          |  CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
          |    len(list_distinct(sh_a || sh_b)) AS jaccard
          |FROM pairs""".stripMargin,
+    "q59_neardup_clusters" ->
+      s"""WITH RECURSIVE d AS (${shinglesSql("documents")}),
+         |banded AS (
+         |  SELECT doc_id, sh, b.band,
+         |    CASE b.band ${(0 until Bands).map(bd =>
+               s"WHEN $bd THEN md5(${mhSql(bd * 2)} || '|' || ${mhSql(bd * 2 + 1)})").mkString(" ")}
+         |    END AS bh
+         |  FROM d, (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bh) AS bn FROM banded) t
+         |  WHERE bn <= $MaxBucket),
+         |strong AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh
+         |  WHERE a.doc_id < b.doc_id
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)) >= 0.5),
+         |e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM strong
+         |  UNION ALL SELECT id_b, id_a FROM strong),
+         |n AS (SELECT DISTINCT src AS id FROM e),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
     "q28_simhash" ->
       s"""SELECT doc_id,
          |CAST((SELECT sum(CASE WHEN
