@@ -115,6 +115,31 @@ object TextOps {
           sum(nTokens($"text")) as "sampled_tokens")
     },
 
+    // TF-IDF-style salient terms: per-doc term frequency against corpus
+    // document frequency, top-3 terms per doc. The df table is the
+    // corpus vocabulary (tiny — broadcast join against the tf rows);
+    // scoring uses the exact ratio tf/df (one IEEE division of two
+    // small integers — bit-identical across engines) rather than a log
+    // idf, so the result hash-matches the oracle.
+    "q60_tfidf_topterms" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", explode(
+          regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0))) as "token")
+      val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)) as "tf")
+      val dfT = toks.select($"doc_id", $"token").distinct()
+        .groupBy($"token").agg(count(lit(1)) as "df")
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"score".desc, $"token".asc)
+      tf.where($"doc_id" < 50)
+        .join(broadcast(dfT), "token")
+        .withColumn("score", $"tf".cast("double") / $"df")
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .where($"rnk" <= 3)
+        .select($"doc_id", $"token", $"tf", $"df", $"rnk", $"score")
+    },
+
     "q53_winnow_fingerprints" -> { (s, dir) =>
       import s.implicits._
       val k = 4; val w = 5
@@ -220,6 +245,20 @@ object TextOps {
         |WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)
         |  IN ('0', '1', '2', '3')
         |GROUP BY lang""".stripMargin,
+    "q60_tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+        |SELECT doc_id, token, tf, df, rnk, score FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) / df.df AS score,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.token ASC) AS INT) AS rnk
+        |  FROM tf JOIN df USING (token) WHERE tf.doc_id < 50) t
+        |WHERE rnk <= 3""".stripMargin,
     "q54_pipeline_compose" ->
       """WITH d AS (
         |  SELECT doc_id, lang, text,
