@@ -282,6 +282,30 @@ object Relational {
           ($"ts".cast("long") - $"prev_ts".cast("long")) as "gap_s")
     },
 
+    // Batch sessionization, gaps-and-islands: sessions split at >30min
+    // inactivity per user (the batch twin of streaming.Sessionize's
+    // flatMapGroupsWithState path — one sort window + running sum, no
+    // state store). Two window passes over the same (user_id) partition
+    // reuse one shuffle.
+    "q61_sessionization" -> { (s, dir) =>
+      import s.implicits._
+      val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sessioned = events(s, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+        .withColumn("new_sess",
+          when($"prev_ts".isNull ||
+            $"ts".cast("long") - $"prev_ts".cast("long") > 1800, 1)
+            .otherwise(0))
+        .withColumn("sess_no", sum($"new_sess").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessioned.groupBy($"user_id", $"sess_no")
+        .agg(
+          min($"ts") as "session_start",
+          max($"ts") as "session_end",
+          count(lit(1)) as "n_events",
+          toDouble(sum(dec($"value"))) as "total_value")
+    },
+
     // AS-OF join: each purchase matched to the user's most recent
     // STRICTLY earlier click. Implemented the scalable way — union the
     // two streams, one pass of a partitioned sort window (last click
@@ -517,6 +541,28 @@ object Relational {
          |CAST(sum(${D("value")}) AS DOUBLE) AS total_value,
          |max(value) AS max_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "q61_sessionization" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |g AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN prev_ts IS NULL
+         |           OR date_diff('second', prev_ts, ts) > 1800
+         |      THEN 1 ELSE 0 END AS new_sess
+         |  FROM o),
+         |sn AS (
+         |  SELECT user_id, ts, value,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+         |  FROM g)
+         |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+         |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+         |  CAST(max(ts) AS TIMESTAMP) AS session_end,
+         |  count(*) AS n_events,
+         |  CAST(sum(${D("value")}) AS DOUBLE) AS total_value
+         |FROM sn GROUP BY 1, 2""".stripMargin,
     "q19_event_gaps" ->
       """SELECT user_id, event_id,
         |CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_s
