@@ -193,6 +193,28 @@ object IndexQueries {
       ex.contributionsOf("orders-7").select($"reduce_key")
     },
 
+    // The index result is a first-class DataFrame (the reference can
+    // only point-read, `Executer.cs:370-377`): enrich queryAll() with a
+    // dimension join + further aggregation downstream of the engine.
+    "q62_mr_join_enrich" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val store = Files.createTempDirectory("graft-q62").toString
+      val custs = t(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey", $"c_acctbal").as[CustDoc]
+      val ex = new Executer(CustByNation, store, ExecuterConfig(fanIn = 16, finalParts = 8))
+      ex.execute(custs)
+      val nations = t(s, dir, "nation")
+        .select($"n_nationkey".cast("string") as "reduce_key",
+          $"n_name", $"n_regionkey")
+      ex.queryAll()
+        .join(broadcast(nations), "reduce_key")
+        .groupBy($"n_regionkey")
+        .agg(sum($"cnt") as "customers",
+          toDouble(sum($"acctbal")) as "region_acctbal",
+          count(lit(1)) as "nations")
+    },
+
     // Full-key delete (the reference's public `Delete` utility,
     // `Executer.cs:222-238`): build, then drop one reduce key entirely.
     "q43_mr_delete_key" -> { (s, dir) =>
@@ -218,6 +240,16 @@ object IndexQueries {
         |UNION ALL
         |SELECT 'status:' || o_orderstatus AS reduce_key
         |FROM orders WHERE o_orderkey = 7""".stripMargin,
+    "q62_mr_join_enrich" ->
+      s"""WITH idx AS (
+         |  SELECT c_nationkey AS nationkey, count(*) AS cnt,
+         |    sum(${decSql("c_acctbal")}) AS acctbal
+         |  FROM customer GROUP BY 1)
+         |SELECT n_regionkey, CAST(sum(cnt) AS BIGINT) AS customers,
+         |  CAST(sum(acctbal) AS DOUBLE) AS region_acctbal,
+         |  count(*) AS nations
+         |FROM idx JOIN nation ON nationkey = n_nationkey
+         |GROUP BY n_regionkey""".stripMargin,
     "q44_mr_point_query" ->
       s"""SELECT CAST(c_nationkey AS VARCHAR) AS nation, count(*) AS cnt,
          |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal

@@ -282,6 +282,23 @@ object Relational {
           ($"ts".cast("long") - $"prev_ts".cast("long")) as "gap_s")
     },
 
+    // RANGE-frame moving window: per-supplier trailing-7-day shipped
+    // quantity — a value-based frame (all rows whose day falls in the
+    // window), not a row-count frame like q09. The frame key is an
+    // integer day number so the frame boundary is exact in both engines.
+    "q63_moving_window" -> { (s, dir) =>
+      import s.implicits._
+      val day = datediff($"l_shipdate", lit("1970-01-01").cast("date"))
+      val w = Window.partitionBy($"l_suppkey").orderBy($"day")
+        .rangeBetween(-6, Window.currentRow)
+      t(s, dir, "lineitem")
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          $"l_quantity", day as "day")
+        .withColumn("qty_7d", sum($"l_quantity").over(w))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          $"day", $"qty_7d")
+    },
+
     // Batch sessionization, gaps-and-islands: sessions split at >30min
     // inactivity per user (the batch twin of streaming.Sessionize's
     // flatMapGroupsWithState path — one sort window + running sum, no
@@ -541,6 +558,13 @@ object Relational {
          |CAST(sum(${D("value")}) AS DOUBLE) AS total_value,
          |max(value) AS max_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "q63_moving_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(date_diff('day', DATE '1970-01-01', l_shipdate) AS INT) AS day,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY date_diff('day', DATE '1970-01-01', l_shipdate)
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS qty_7d
+        |FROM lineitem""".stripMargin,
     "q61_sessionization" ->
       s"""WITH o AS (
          |  SELECT user_id, event_id, ts, value,
