@@ -44,6 +44,50 @@ class RecoverySpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$store/dirty")))
   }
 
+  test("recover() after a crash between tombstone write and append") {
+    // The documented crash window of the merge-on-read update path:
+    // dirty WAL written, tombstones written, new rows NOT yet appended.
+    // recover() must land on the consistent "docs deleted" state (the
+    // interrupted batch is the caller's to re-submit), never duplicates.
+    val store = Files.createTempDirectory("graft-rec4").toString
+    val ex = new Executer(PeopleCountByState, store)
+    ex.execute(spark.createDataset(Seq(
+      Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
+
+    val parentOfA = graft.functions.StableBucketHash.hash(
+      "A", graft.core.ExecuterConfig().buckets) / graft.core.ExecuterConfig().fanIn
+    val fsPath = java.nio.file.Paths.get(store)
+    def writePairs(file: String, pairs: Seq[(String, Int)]): Unit = {
+      val out = new java.io.DataOutputStream(
+        java.nio.file.Files.newOutputStream(fsPath.resolve(file)))
+      out.writeInt(pairs.size)
+      pairs.foreach { case (k, v) => out.writeUTF(k); out.writeInt(v) }
+      out.close()
+    }
+    // Interrupted update of doc 'a' (CA → TX): WAL marks (CA, parent),
+    // tombstone kills a's rows older than the interrupted batch's seq.
+    // That batch had already bumped the _seq counter (the real crash
+    // ordering), so the eventual re-submission gets a higher seq.
+    writePairs("dirty.pairs", Seq(("CA", parentOfA)))
+    writePairs("tombstones.bin", Seq(("A", 1)))
+    val seqOut = new java.io.DataOutputStream(
+      java.nio.file.Files.newOutputStream(fsPath.resolve("_seq")))
+    seqOut.writeInt(1); seqOut.close()
+    // The engine writes through Hadoop's checksummed local FS; this raw
+    // overwrite invalidates the sidecar — drop it so the read skips
+    // verification (the crash being simulated would have written both).
+    java.nio.file.Files.deleteIfExists(fsPath.resolve("._seq.crc"))
+
+    assert(!ex.isClean)
+    ex.recover()
+    assert(ex.isClean)
+    // 'a' is consistently gone; re-submitting the batch completes it.
+    assert(ex.query("CA").collect().toSeq == Seq(StatePop("CA", 1L)))
+    ex.execute(spark.createDataset(Seq(Person("a", "TX"))))
+    assert(ex.query("CA").collect().toSeq == Seq(StatePop("CA", 1L)))
+    assert(ex.query("TX").collect().toSeq == Seq(StatePop("TX", 2L)))
+  }
+
   test("recover() after a crash mid-initial-build replays the full rebuild") {
     val store = Files.createTempDirectory("graft-rec3").toString
     val ex = new Executer(PeopleCountByState, store)
