@@ -688,6 +688,50 @@ class Executer[D, R <: Product: TypeTag](
     }
   }
 
+  /** Remove documents from the index entirely — the update path with an
+    * empty insert: tombstone the ids (O(docs) write), re-reduce only the
+    * (key, parent) pairs they fed. The reference has no doc-level delete
+    * (only the whole-key utility), but update-as-delete+insert implies
+    * it; at scale this is the "purge these records" compliance op,
+    * costing O(changed docs), never a table rewrite. Ids are a
+    * driver-side Seq by contract (a purge list, not a dataset). */
+  def deleteDocuments(docIds: Seq[String]): Unit = withLease {
+    val t0 = System.nanoTime()
+    var jobs = 0
+    val ids = docIds.map(normId).distinct
+    if (ids.nonEmpty && exists(mapResultsPath)) {
+      val batchSeq = bumpSeq()
+      val parents = ids
+        .map(id => StableBucketHash.hash(id, config.buckets) / config.fanIn)
+        .distinct.sorted
+      val existing = readMapResults()
+        .where($"parent".isin(parents.map(Integer.valueOf): _*))
+      val tiny = ids.length <= 64
+      val pairs = withTinyShuffle(if (tiny) 1 else 8, codegenOff = tiny) {
+        existing.where($"doc_id".isin(ids: _*))
+          .select($"reduce_key", $"parent").distinct().collect()
+          .map(r => (r.getString(0), r.getInt(1))).toSeq
+      }; jobs += 1
+      if (pairs.nonEmpty) {
+        // WAL first, then tombstones — same crash ordering as execute.
+        writeDirtyLogLocal(pairs)
+        addTombstonesLocal(ids, batchSeq)
+        withTinyShuffle(if (tiny) 1 else 8, codegenOff = tiny) {
+          val dirtyParents = pairs.map(_._2).distinct.sorted
+          val level0 = existing
+            .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
+            .where(!$"doc_id".isin(ids: _*))
+          rereducePruned(pairs, level0, clustered = tiny); jobs += 1
+        }
+        clearDirtyLog()
+        _lastStats = Some(MaintenanceStats("delete-docs", jobs, ids.length,
+          pairs.size, pairs.map(_._2).distinct.size,
+          (System.nanoTime() - t0) / 1000000))
+        if (tombstoneEstimate() > config.tombstoneLimit) foldTombstonesLocked()
+      }
+    }
+  }
+
   private def fpartOf(key: String): Int = {
     // Must agree with pmod(hash(reduce_key), finalParts) used on write.
     val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(

@@ -87,6 +87,31 @@ class TombstoneSpec extends AnyFunSuite {
       == Set("B", "C"))
   }
 
+  test("deleteDocuments purges docs in O(docs), files untouched") {
+    val store = tmp()
+    val ex = new Executer(PeopleCountByState, store,
+      ExecuterConfig(fanIn = 4, finalParts = 2))
+    val people = (1 to 100).map(i =>
+      Person(s"p-$i", if (i % 2 == 0) "CA" else "TX"))
+    ex.execute(spark.createDataset(people))
+    val before = mapFiles(store)
+
+    // Purge 3 docs (2 CA, 1 TX) — case-insensitive like any update.
+    ex.deleteDocuments(Seq("P-2", "p-4", "p-1"))
+    assert(counts(ex) == Map("CA" -> 48L, "TX" -> 49L))
+    assert(mapFiles(store) == before, "purge must not rewrite data files")
+    assert(ex.lastStats.exists(_.mode == "delete-docs"))
+
+    // Unknown ids are a no-op; deleting every doc of a key removes it.
+    ex.deleteDocuments(Seq("nope"))
+    assert(counts(ex) == Map("CA" -> 48L, "TX" -> 49L))
+    ex.deleteDocuments((2 to 100 by 2).map(i => s"p-$i"))
+    assert(counts(ex).get("CA").isEmpty)
+    // State stays maintainable afterwards.
+    ex.execute(spark.createDataset(Seq(Person("p-2", "CA"))))
+    assert(counts(ex)("CA") == 1L)
+  }
+
   test("distributed path also tombstones instead of rewriting") {
     val store = tmp()
     val cfg = ExecuterConfig(fanIn = 4, finalParts = 2, driverDirtyLimit = 0)
