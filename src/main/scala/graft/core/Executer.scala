@@ -100,6 +100,32 @@ class Executer[D, R <: Product: TypeTag](
   private val treePath = s"$storePath/reduce_tree"
   private val dirtyPath = s"$storePath/dirty"
   private val leasePath = s"$storePath/_writer.lease"
+  private val configPath = s"$storePath/_config"
+
+  /** The bucket/partition layout is baked into the stored data: opening
+    * a store with a different (fanIn, finalParts) would silently
+    * mis-prune every lookup and mis-route every update. The layout is
+    * persisted at first build and validated once per instance on every
+    * entry point. Checked lazily so constructing an Executer stays
+    * IO-free. */
+  private lazy val configChecked: Unit = {
+    val p = new Path(configPath)
+    if (fs.exists(p)) {
+      val in = new java.io.DataInputStream(fs.open(p))
+      try {
+        val (fi, fp) = (in.readInt(), in.readInt())
+        require(fi == config.fanIn && fp == config.finalParts,
+          s"store $storePath was built with fanIn=$fi finalParts=$fp " +
+            s"but opened with fanIn=${config.fanIn} finalParts=${config.finalParts}")
+      } finally in.close()
+    } else if (!exists(mapResultsPath)) {
+      // Fresh store: this instance's layout becomes the store's layout.
+      fs.mkdirs(new Path(storePath))
+      val out = fs.create(p, true)
+      try { out.writeInt(config.fanIn); out.writeInt(config.finalParts) }
+      finally out.close()
+    } // else: pre-_config store — accept as-is.
+  }
   // Merge-on-read invalidation state (see the tombstone section below).
   private val tombLocalPath = s"$storePath/tombstones.bin"
   private val tombDistPath = s"$storePath/tombstones"
@@ -206,6 +232,7 @@ class Executer[D, R <: Product: TypeTag](
     * existing state uses driver-side `isin` pruning (partition values +
     * doc ids + reduce keys), which parquet row-group stats can skip. */
   def execute(docs: Dataset[D]): Unit = withLease {
+    configChecked
     val t0 = System.nanoTime()
     var jobs = 0
     val t = task // local val: closures must not capture `this`
@@ -595,6 +622,7 @@ class Executer[D, R <: Product: TypeTag](
   /** Final reduced values for one key; empty if absent
     * (`Executer.cs:373-375`). Prunes to a single `fpart` partition. */
   def query(key: String): Dataset[R] = {
+    configChecked
     if (!exists(treePath)) return spark.emptyDataset[R]
     val f = readFinals()
     f.where($"fpart" === fpartOf(key) && $"reduce_key" === key)
@@ -604,6 +632,7 @@ class Executer[D, R <: Product: TypeTag](
   /** The whole index as a DataFrame — strictly more capable than the
     * reference's point read: range scans, joins, further aggregation. */
   def queryAll(): DataFrame = {
+    configChecked
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     if (!exists(treePath)) {
       val schema = StructType(
@@ -622,6 +651,7 @@ class Executer[D, R <: Product: TypeTag](
     * row-group min/max stats skip the bulk of each file (same cost shape
     * as [[delete]], documented there). */
   def contributors(key: String): DataFrame = {
+    configChecked
     import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
     if (!exists(mapResultsPath)) {
       val schema = StructType(Seq(
@@ -637,6 +667,7 @@ class Executer[D, R <: Product: TypeTag](
     * this prunes to ONE partition: a doc's parent is a pure function of
     * its id, so the scan reads 1/fanIn of the table regardless of size. */
   def contributionsOf(docId: String): DataFrame = {
+    configChecked
     import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
     if (!exists(mapResultsPath)) {
       val schema = StructType(Seq(
@@ -661,6 +692,7 @@ class Executer[D, R <: Product: TypeTag](
     * the right trade for an operation as rare as a whole-key purge (vs
     * maintaining another state table on every update). */
   def delete(key: String): Unit = withLease {
+    configChecked
     if (exists(mapResultsPath)) {
       val t = readMapResults()
       val parts = t.where($"reduce_key" === key)
@@ -696,6 +728,7 @@ class Executer[D, R <: Product: TypeTag](
     * costing O(changed docs), never a table rewrite. Ids are a
     * driver-side Seq by contract (a purge list, not a dataset). */
   def deleteDocuments(docIds: Seq[String]): Unit = withLease {
+    configChecked
     val t0 = System.nanoTime()
     var jobs = 0
     val ids = docIds.map(normId).distinct
@@ -1059,6 +1092,7 @@ class Executer[D, R <: Product: TypeTag](
     * rewrite itself is a distributed job), safe to run between batches
     * under the writer lease. */
   def compact(maxFilesPerPartition: Int = 8): Unit = withLease {
+    configChecked
     // Fold tombstones first: dead rows are dropped from their partitions
     // and the merge-on-read join disappears from every subsequent read.
     foldTombstonesLocked()
@@ -1145,6 +1179,7 @@ class Executer[D, R <: Product: TypeTag](
     else 0L
 
   def recover(): Unit = {
+    configChecked
     if (exists(dirtyLocalPath)) {
       // Small-update WAL: the exact dirty pairs, replayed through the
       // pruned path against whatever map_results state the crash left

@@ -171,6 +171,27 @@ class ExecuterSpec extends AnyFunSuite {
     assert(ex.isClean)
   }
 
+  /** The bucket layout is baked into stored data — re-opening with a
+    * different (fanIn, finalParts) must fail fast, not silently
+    * mis-route updates and mis-prune lookups. */
+  test("opening a store with a mismatched layout config fails fast") {
+    val store = tmp()
+    val ex = new Executer(PeopleCountByState, store,
+      ExecuterConfig(fanIn = 8, finalParts = 4))
+    ex.execute(spark.createDataset(Seq(Person("a", "CA"))))
+    val wrong = new Executer(PeopleCountByState, store,
+      ExecuterConfig(fanIn = 16, finalParts = 4))
+    val e = intercept[IllegalArgumentException] {
+      wrong.execute(spark.createDataset(Seq(Person("b", "TX"))))
+    }
+    assert(e.getMessage.contains("fanIn=8"))
+    // The right config still works, including from a fresh instance.
+    val again = new Executer(PeopleCountByState, store,
+      ExecuterConfig(fanIn = 8, finalParts = 4))
+    again.execute(spark.createDataset(Seq(Person("b", "TX"))))
+    assert(counts(again) == Map("CA" -> 1L, "TX" -> 1L))
+  }
+
   test("delete drops all state for a key") {
     val store = tmp()
     val ex = new Executer(PeopleCountByState, store)
