@@ -86,6 +86,36 @@ object IncrementalIndexes {
     def documentId(d: DocText): String = s"doc-${d.doc_id}"
   }
 
+  /** Winnowing fingerprint summary of one document — the q53 algorithm
+    * (k=4-gram md5, w=5 sliding minima, distinct) reduced to a stable
+    * per-doc scalar pair: the fingerprint count and the md5 of the
+    * sorted, '|'-joined fingerprint set. */
+  private def winnowOf(text: String): Option[(Int, String)] = {
+    val k = 4; val w = 5
+    val words = text.split("\\s+")
+    val m = words.length - k + 1
+    if (m < w) return None
+    val hs = Array.tabulate(m)(i => md5hex(words.slice(i, i + k).mkString(" ")))
+    val fps = (0 to m - w).map(i => hs.slice(i, i + w).min).distinct
+    Some((fps.length, md5hex(fps.sorted.mkString("|"))))
+  }
+
+  case class WinnowRow(doc_id: Long, n_fps: Int, fps_digest: String)
+
+  /** Winnowing fingerprint index: the q53 artifact maintained per doc —
+    * an edited document re-winnows only itself. */
+  object WinnowIndex extends MapReduceTask[DocText, WinnowRow] {
+    def map(docs: Iterator[DocText]): Iterator[(String, WinnowRow)] =
+      docs.flatMap { d =>
+        winnowOf(d.text).map { case (n, dig) =>
+          (s"doc-${d.doc_id}", WinnowRow(d.doc_id, n, dig))
+        }
+      }
+    def reduce(entries: Iterator[WinnowRow]): Iterator[WinnowRow] = entries
+    def reduceKey(e: WinnowRow): String = e.doc_id.toString
+    def documentId(d: DocText): String = s"doc-${d.doc_id}"
+  }
+
   case class VecDoc(vec_id: Long, embedding: Array[Float])
   case class CellRow(vec_id: Long, cell: Int)
 
@@ -143,6 +173,25 @@ object IncrementalIndexes {
         $"mh4", $"mh5", $"mh6", $"mh7")
     },
 
+    // Winnowing fingerprint index under the same incremental ≡ batch
+    // proof: build over all documents, re-submit the ~1/7 mutated slice,
+    // return the maintained state (vs a from-scratch oracle recompute).
+    "q64_winnow_index_update" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val store = Files.createTempDirectory("graft-q64").toString
+      val docs = t(s, dir, "documents")
+        .select($"doc_id".cast("long") as "doc_id", $"text")
+        .repartition(cpuWidth(s)).as[DocText]
+      val ex = new Executer(WinnowIndex, store,
+        ExecuterConfig(fanIn = 16, finalParts = 8))
+      ex.execute(docs)
+      val updates = docs.filter(_.doc_id % 7 == 0)
+        .map(d => d.copy(text = d.text + " xrevision marker words here"))
+      ex.execute(updates)
+      ex.queryAll().select($"doc_id", $"n_fps", $"fps_digest")
+    },
+
     // Build the IVF cell index over all embeddings, then incrementally
     // re-submit the ~1/7 of vectors that were re-embedded (negated —
     // which provably moves them to the complement cell); state must
@@ -180,6 +229,27 @@ object IncrementalIndexes {
          |  FROM w WHERE len(ws) >= 3)
          |SELECT doc_id, ${(0 until NumHashes).map(i => s"${mhSql(i)} AS mh$i").mkString(", ")}
          |FROM d""".stripMargin,
+    "q64_winnow_index_update" ->
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' xrevision marker words here' ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM src),
+        |g AS (
+        |  SELECT doc_id, list_transform(
+        |    generate_series(1, len(ws) - 3),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS kg
+        |  FROM w WHERE len(ws) >= 8),
+        |h AS (SELECT doc_id, list_transform(kg, x -> md5(x)) AS hs FROM g),
+        |m AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(hs) - 4),
+        |    i -> list_min(hs[i:i+4]))) AS fps
+        |  FROM h)
+        |SELECT doc_id, CAST(len(fps) AS INT) AS n_fps,
+        |  md5(array_to_string(list_sort(fps), '|')) AS fps_digest
+        |FROM m""".stripMargin,
     "q37_ivf_cell_index_update" ->
       """WITH src AS (
         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
