@@ -263,9 +263,11 @@ class Executer[D, R <: Product: TypeTag](
         // staging renames (the partials/finals tables don't exist yet).
         // Crash safety: a one-row sentinel in the driver-local WAL marks
         // "full rebuild pending" (a single create+close, not a Spark
-        // write job); recover() re-runs rereduceAll for it.
-        writePartitioned(mapped, mapResultsPath, Seq("parent")); jobs += 1
+        // write job), written BEFORE the map write like every other WAL
+        // (a crash at any point replays rereduceAll over whatever map
+        // state committed — empty or complete, both consistent).
         writeDirtyLogLocal(Seq(("", FullRebuild)))
+        writePartitioned(mapped, mapResultsPath, Seq("parent")); jobs += 1
         rereduceAll(); jobs += 1
         clearDirtyLog()
         _lastStats = Some(MaintenanceStats("build", jobs, -1, -1, -1,
@@ -698,6 +700,14 @@ class Executer[D, R <: Product: TypeTag](
       val parts = t.where($"reduce_key" === key)
         .select("parent").distinct().as[Int].collect()
       if (parts.nonEmpty) {
+        // WAL before mutation: a crash between the map rewrite and the
+        // tree rewrite would otherwise leave the key queryable from the
+        // tree with its map rows gone, with nothing to repair it.
+        // recover() replays the pruned re-reduce for these pairs, which
+        // rebuilds the key from whatever map state committed — rows
+        // still present (no-op) or already deleted (key disappears,
+        // completing this delete). Both consistent.
+        writeDirtyLogLocal(parts.map(p => (key, p)).toSeq)
         val kept = t.where($"parent".isin(parts.map(Integer.valueOf): _*))
           .where($"reduce_key" =!= key)
         stageAndOverwrite(kept, mapResultsPath, "parent", parts.toSeq,
@@ -718,6 +728,7 @@ class Executer[D, R <: Product: TypeTag](
         pparts.toSeq.map(p => s"level=1/part=$p") :+ s"level=2/part=$fp",
         clustered = true)
     }
+    clearDirtyLog()
   }
 
   /** Remove documents from the index entirely — the update path with an

@@ -88,6 +88,41 @@ class RecoverySpec extends AnyFunSuite {
     assert(ex.query("TX").collect().toSeq == Seq(StatePop("TX", 2L)))
   }
 
+  test("recover() repairs an interrupted delete(key)") {
+    // delete() crash window: the key's map rows are already invalidated
+    // (emulated via tombstones, which make them equally invisible) but
+    // the tree rewrite never ran — the WAL must let recover() finish
+    // the job, or the key would stay queryable forever.
+    val store = Files.createTempDirectory("graft-rec5").toString
+    val ex = new Executer(PeopleCountByState, store)
+    ex.execute(spark.createDataset(Seq(
+      Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
+
+    val cfg = graft.core.ExecuterConfig()
+    def parentOf(id: String) =
+      graft.functions.StableBucketHash.hash(id, cfg.buckets) / cfg.fanIn
+    val fsPath = java.nio.file.Paths.get(store)
+    def writePairs(file: String, pairs: Seq[(String, Int)]): Unit = {
+      val out = new java.io.DataOutputStream(
+        java.nio.file.Files.newOutputStream(fsPath.resolve(file)))
+      out.writeInt(pairs.size)
+      pairs.foreach { case (k, v) => out.writeUTF(k); out.writeInt(v) }
+      out.close()
+    }
+    writePairs("dirty.pairs",
+      Seq(("CA", parentOf("A")), ("CA", parentOf("B"))).distinct)
+    writePairs("tombstones.bin", Seq(("A", 1), ("B", 1)))
+    val seqOut = new java.io.DataOutputStream(
+      java.nio.file.Files.newOutputStream(fsPath.resolve("_seq")))
+    seqOut.writeInt(1); seqOut.close()
+    java.nio.file.Files.deleteIfExists(fsPath.resolve("._seq.crc"))
+
+    ex.recover()
+    assert(ex.isClean)
+    assert(ex.query("CA").collect().isEmpty)
+    assert(ex.query("TX").collect().toSeq == Seq(StatePop("TX", 1L)))
+  }
+
   test("recover() after a crash mid-initial-build replays the full rebuild") {
     val store = Files.createTempDirectory("graft-rec3").toString
     val ex = new Executer(PeopleCountByState, store)
