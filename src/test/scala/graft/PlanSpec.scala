@@ -64,6 +64,22 @@ class PlanSpec extends AnyFunSuite {
       !p36.contains("BroadcastNestedLoop"), p36.take(1500))
   }
 
+  test("round-3 query plans: top-k short-circuit, shared window shuffles") {
+    // q48's global top-50 must plan as TakeOrderedAndProject (per-
+    // partition heaps + merge), never a full global sort of the vocab.
+    assert(plan("q48_vocab_df").contains("TakeOrderedAndProject"),
+      plan("q48_vocab_df").take(800))
+    // q63's RANGE-frame window needs exactly one shuffle (by suppkey).
+    val p63 = plan("q63_moving_window")
+    val ex63 = p63.linesIterator.count(_.contains("Exchange"))
+    assert(ex63 == 1, s"expected 1 exchange in q63, got $ex63:\n${p63.take(1200)}")
+    // q61's two window passes (lag + running sum) share ONE user_id
+    // shuffle; only the final (user_id, sess_no) rollup may add one.
+    val p61 = plan("q61_sessionization")
+    val ex61 = p61.linesIterator.count(_.contains("Exchange"))
+    assert(ex61 <= 2, s"expected <=2 exchanges in q61, got $ex61:\n${p61.take(1200)}")
+  }
+
   test("index point query prunes to one reduce-tree partition") {
     implicit val s: SparkSession = spark
     import s.implicits._
