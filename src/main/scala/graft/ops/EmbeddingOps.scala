@@ -40,11 +40,14 @@ object EmbeddingOps {
   // at sf0.1).
 
   val queries: Map[String, Q] = Map(
-    // Brute-force cosine top-k: the correctness baseline for ANN.
-    // Norms are computed ONCE per vector before the join (carried as a
-    // column), not per pair — same arithmetic, 3× less work; the cosine
-    // formula stays dot/(na*nb) so results are bit-identical to the
-    // oracle.
+    // Brute-force cosine top-k: the correctness baseline for ANN — and
+    // for a BOUNDED query set it is itself the scalable exact plan: the
+    // 8 query vectors broadcast, so the corpus side streams through one
+    // O(Q·N) pass with no shuffle of the big side (PlanSpec pins the
+    // broadcast). "Weak at scale" applies only to all-pairs Q ≈ N, which
+    // is q31's LSH territory. Norms are computed ONCE per vector before
+    // the join (carried as a column), not per pair; the cosine formula
+    // stays dot/(na*nb) so results are bit-identical to the oracle.
     "q30_knn_bruteforce" -> { (s, dir) =>
       import s.implicits._
       val e = t(s, dir, "embeddings")

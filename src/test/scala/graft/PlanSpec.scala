@@ -64,6 +64,14 @@ class PlanSpec extends AnyFunSuite {
       !p36.contains("BroadcastNestedLoop"), p36.take(1500))
   }
 
+  test("q30 brute-force broadcasts the bounded query side") {
+    // Exact top-k with Q=8 queries is O(Q·N) when the query side
+    // broadcasts: the corpus side must stream with no shuffle into the
+    // join (the window's rank shuffle afterwards is per-query-id).
+    val p = plan("q30_knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("round-3 query plans: top-k short-circuit, shared window shuffles") {
     // q48's global top-50 must plan as TakeOrderedAndProject (per-
     // partition heaps + merge), never a full global sort of the vocab.
