@@ -46,6 +46,52 @@ class SessionizeSpec extends AnyFunSpec {
     } finally q.stop()
   }
 
+  it("streaming sessions equal the batch gaps-and-islands construction") {
+    // The same session definition exists twice — flatMapGroupsWithState
+    // (streaming) and q61's window construction (batch). They must
+    // agree on identical input: sessions are a property of the data,
+    // not of the execution mode.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val evs = (for (u <- Seq("u1", "u2", "u3"); _ <- 1 to 30)
+      yield Ev(u, ts(rnd.nextInt(3000)))).sortBy(_.ts.getTime)
+
+    // Batch truth: the q61 construction with a 30s gap.
+    val w = Window.partitionBy($"user").orderBy($"ts")
+    val want = evs.toDF("user", "ts")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_sess", when($"prev_ts".isNull ||
+        $"ts".cast("long") - $"prev_ts".cast("long") > 30, 1).otherwise(0))
+      .withColumn("sess_no", sum($"new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user", $"sess_no")
+      .agg(min($"ts") as "start", max($"ts") as "end", count(lit(1)) as "n")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(2).getTime / 1000,
+        r.getTimestamp(3).getTime / 1000, r.getLong(4).toInt)).toSet
+
+    // Streaming: chronological halves (no late data), then a sentinel
+    // user far in the future to close every real session.
+    val input = MemoryStream[Ev]
+    val out = Sessionize.sessions(input.toDS(), gapMs = 30000L, watermark = "5 seconds")
+    val q = out.writeStream.format("memory").queryName("sessions_eq")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = evs.splitAt(evs.size / 2)
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      input.addData(Ev("zz", ts(100000))); q.processAllAvailable()
+      input.addData(Ev("zz", ts(100001))); q.processAllAvailable()
+      val got = spark.table("sessions_eq").as[Session].collect()
+        .filter(_.user != "zz")
+        .map(s => (s.user, s.start.getTime / 1000, s.end.getTime / 1000, s.events))
+        .toSet
+      assert(got == want, s"streaming=${got.size} batch=${want.size} sessions")
+    } finally q.stop()
+  }
+
   it("splits a single batch spanning a gap into separate sessions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Ev]
