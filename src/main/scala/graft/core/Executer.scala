@@ -158,7 +158,7 @@ class Executer[D, R <: Product: TypeTag](
       case _: java.io.IOException => throw new IllegalStateException(
         s"another writer holds $leasePath — concurrent maintenance on one " +
           "store is not supported (single-writer contract). If the " +
-          "previous writer crashed, run recover() then breakLease().")
+          "previous writer crashed, run breakLease() then recover().")
     }
   }
 
@@ -233,6 +233,12 @@ class Executer[D, R <: Product: TypeTag](
     * doc ids + reduce keys), which parquet row-group stats can skip. */
   def execute(docs: Dataset[D]): Unit = withLease {
     configChecked
+    // A surviving WAL from a crashed batch must be replayed BEFORE new
+    // work, or this batch's WAL write would silently discard it and the
+    // crashed batch's dirty subtrees would never be repaired (the
+    // reference replays pending Schedule markers on every Execute,
+    // `Executer.cs:35`). No-op on a clean store.
+    recoverLocked()
     val t0 = System.nanoTime()
     var jobs = 0
     val t = task // local val: closures must not capture `this`
@@ -695,6 +701,7 @@ class Executer[D, R <: Product: TypeTag](
     * maintaining another state table on every update). */
   def delete(key: String): Unit = withLease {
     configChecked
+    recoverLocked()
     if (exists(mapResultsPath)) {
       val t = readMapResults()
       val parts = t.where($"reduce_key" === key)
@@ -740,6 +747,7 @@ class Executer[D, R <: Product: TypeTag](
     * driver-side Seq by contract (a purge list, not a dataset). */
   def deleteDocuments(docIds: Seq[String]): Unit = withLease {
     configChecked
+    recoverLocked()
     val t0 = System.nanoTime()
     var jobs = 0
     val ids = docIds.map(normId).distinct
@@ -1104,6 +1112,7 @@ class Executer[D, R <: Product: TypeTag](
     * under the writer lease. */
   def compact(maxFilesPerPartition: Int = 8): Unit = withLease {
     configChecked
+    recoverLocked()
     // Fold tombstones first: dead rows are dropped from their partitions
     // and the merge-on-read join disappears from every subsequent read.
     foldTombstonesLocked()
@@ -1189,8 +1198,12 @@ class Executer[D, R <: Product: TypeTag](
       readDirtyLog().select("reduce_key", "parent").distinct().count()
     else 0L
 
-  def recover(): Unit = {
+  def recover(): Unit = withLease {
     configChecked
+    recoverLocked()
+  }
+
+  private def recoverLocked(): Unit = {
     if (exists(dirtyLocalPath)) {
       // Small-update WAL: the exact dirty pairs, replayed through the
       // pruned path against whatever map_results state the crash left
