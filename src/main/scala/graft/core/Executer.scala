@@ -212,6 +212,26 @@ class Executer[D, R <: Product: TypeTag](
 
   private def exists(path: String): Boolean = fs.exists(new Path(path))
 
+  /** Write a small driver-local state file atomically: write a sibling
+    * `.tmp`, close, then rename over the destination with
+    * `FileContext.rename(OVERWRITE)` — atomic on HDFS and on the local
+    * FS. The destination is always either the previous complete file or
+    * the new complete file, never a truncation: an in-place
+    * `create(overwrite=true)` rewrite (the previous spelling) could be
+    * interrupted mid-write, after which every read of the file throws
+    * EOFException (store bricked) and deleting it by hand would silently
+    * resurrect invalidated rows (tombstones) or lose the dirty set. */
+  private def writeLocalAtomic(path: String)(
+      write: java.io.DataOutputStream => Unit): Unit = {
+    val tmp = fs.makeQualified(new Path(path + ".tmp"))
+    val dest = fs.makeQualified(new Path(path))
+    val out = new java.io.DataOutputStream(fs.create(tmp, true))
+    try write(out) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Document ids are case-insensitive (`Executer.cs:246-247,302`):
     * normalize once at the boundary. */
   private def normId(id: String): String = id.toUpperCase(java.util.Locale.ROOT)
@@ -952,8 +972,7 @@ class Executer[D, R <: Product: TypeTag](
         try in.readInt() finally in.close()
       }
     val n = cur + 1
-    val out = fs.create(new Path(seqPath), true)
-    try out.writeInt(n) finally out.close()
+    writeLocalAtomic(seqPath)(_.writeInt(n))
     n
   }
 
@@ -972,12 +991,10 @@ class Executer[D, R <: Product: TypeTag](
     val merged =
       (if (exists(tombLocalPath)) readTombLocal().toMap else Map.empty[String, Int]) ++
         ids.map(_ -> seq)
-    val out = new java.io.DataOutputStream(
-      fs.create(new Path(tombLocalPath), true))
-    try {
+    writeLocalAtomic(tombLocalPath) { out =>
       out.writeInt(merged.size)
       merged.foreach { case (k, s) => out.writeUTF(k); out.writeInt(s) }
-    } finally out.close()
+    }
   }
 
   /** The live tombstone set as (doc_id, tomb_seq), max-merged per doc;
@@ -1071,14 +1088,11 @@ class Executer[D, R <: Product: TypeTag](
 
   private val dirtyLocalPath = s"$storePath/dirty.pairs"
 
-  private def writeDirtyLogLocal(pairs: Seq[(String, Int)]): Unit = {
-    val out = new java.io.DataOutputStream(
-      fs.create(new Path(dirtyLocalPath), true))
-    try {
+  private def writeDirtyLogLocal(pairs: Seq[(String, Int)]): Unit =
+    writeLocalAtomic(dirtyLocalPath) { out =>
       out.writeInt(pairs.length)
       pairs.foreach { case (k, p) => out.writeUTF(k); out.writeInt(p) }
-    } finally out.close()
-  }
+    }
 
   private def readDirtyLogLocal(): Seq[(String, Int)] = {
     val in = new java.io.DataInputStream(fs.open(new Path(dirtyLocalPath)))
