@@ -920,9 +920,12 @@ class Executer[D, R <: Product: TypeTag](
     // the window in which a concurrent reader can observe a missing
     // directory is two O(1) metadata renames, not an O(files) recursive
     // delete; the trash (like `.staging`) is a sibling of the table path
-    // and invisible to readers, deleted once after the swap.
+    // and invisible to readers, deleted once after the swap. Leftover
+    // trash from a previous crashed swap is restored first (not deleted
+    // blindly — it may hold the only copy of a partition whose swap was
+    // interrupted between the two renames).
     val trash = s"$destPath.trash"
-    fs.delete(new Path(trash), true)
+    restoreFromTrash(destPath)
     dirs.foreach { d =>
       val dest = new Path(s"$destPath/$d")
       if (fs.exists(dest)) {
@@ -938,6 +941,38 @@ class Executer[D, R <: Product: TypeTag](
     }
     fs.delete(new Path(trash), true)
     fs.delete(new Path(staging), true)
+  }
+
+  /** Restore partition directories stranded by a crash inside a previous
+    * swap: anything still under `<dest>.trash` whose destination is
+    * missing is renamed back (recursively, so the nested `level=/part=`
+    * layout restores at the deepest missing point). This closes the
+    * crash window between "dest renamed aside" and "staged renamed in"
+    * (ADVICE r3): without it a map_results parent partition could be
+    * PERMANENTLY lost — map output is source state, not reconstructible
+    * from the WAL. Restoring is safe for both swap users: a crashed
+    * reduce_tree swap leaves the dirty WAL in place, so recovery
+    * re-reduces and rewrites whatever was restored; a crashed tombstone
+    * fold leaves the tombstone files in place, so restored stale rows
+    * stay filtered at read time and the next fold re-drops them. Dirs
+    * whose swap completed (destination present) are old content — left
+    * in the trash and deleted with it. */
+  private def restoreFromTrash(destPath: String): Unit = {
+    val trash = new Path(s"$destPath.trash")
+    if (!fs.exists(trash)) return
+    def restore(src: org.apache.hadoop.fs.FileStatus, dest: Path): Unit = {
+      if (!fs.exists(dest)) {
+        fs.mkdirs(dest.getParent)
+        fs.rename(src.getPath, dest)
+      } else if (src.isDirectory) {
+        fs.listStatus(src.getPath)
+          .foreach(c => restore(c, new Path(dest, c.getPath.getName)))
+      }
+    }
+    fs.listStatus(trash)
+      .foreach(c => restore(c, new Path(destPath, c.getPath.getName)))
+    fs.delete(trash, true)
+    log.info(s"recovered stranded partition directories from $trash")
   }
 
   // ---------------------------------------------------------------------
@@ -1026,8 +1061,15 @@ class Executer[D, R <: Product: TypeTag](
         .drop("tomb_seq")
   }
 
-  /** Entries in the live tombstone set, estimated without a Spark job:
-    * exact for the local file, bytes/20 for the parquet part. */
+  /** EXACT entries in the live tombstone set, without a Spark job: the
+    * local file stores its count in its header; the parquet part is
+    * summed from file footers — driver-side metadata reads, no data
+    * pages touched. (The previous bytes/20 estimate undercounted
+    * dictionary/snappy-compressed files, which could let the live set
+    * exceed `tombstoneLimit` without triggering the auto-fold that
+    * keeps [[applyTombstones]] broadcastable — ADVICE r3.) Docs
+    * re-tombstoned across batches count once per batch, which only
+    * triggers the fold earlier — conservative in the right direction. */
   private def tombstoneEstimate(): Long = {
     var n = 0L
     if (exists(tombLocalPath)) {
@@ -1036,7 +1078,13 @@ class Executer[D, R <: Product: TypeTag](
     }
     if (exists(tombDistPath))
       n += fs.listStatus(new Path(tombDistPath))
-        .filter(_.isFile).map(_.getLen).sum / 20
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+              f, spark.sparkContext.hadoopConfiguration))
+          try r.getRecordCount finally r.close()
+        }.sum
     n
   }
 
@@ -1044,7 +1092,11 @@ class Executer[D, R <: Product: TypeTag](
     * partitions that hold tombstoned docs (a doc's parent is a pure
     * function of its id) with dead rows dropped, then clear the tombstone
     * state. Idempotent — a crash mid-fold leaves tombstones in place and
-    * reads stay correct. Caller must hold the lease. */
+    * reads stay correct; a crash inside the partition swap itself is
+    * repaired by [[restoreFromTrash]] on the next recover/execute (the
+    * stranded directory is renamed back and its dead rows are still
+    * filtered by the not-yet-cleared tombstones). Caller must hold the
+    * lease. */
   private def foldTombstonesLocked(): Unit = {
     val hasLocal = exists(tombLocalPath)
     val hasDist = exists(tombDistPath)
@@ -1218,6 +1270,12 @@ class Executer[D, R <: Product: TypeTag](
   }
 
   private def recoverLocked(): Unit = {
+    // First: put back any partition directory a crashed swap left in a
+    // `.trash` sibling (see restoreFromTrash) — folds have no WAL, so
+    // this is their entire recovery story, and the WAL replay below must
+    // read a complete map_results table.
+    restoreFromTrash(mapResultsPath)
+    restoreFromTrash(treePath)
     if (exists(dirtyLocalPath)) {
       // Small-update WAL: the exact dirty pairs, replayed through the
       // pruned path against whatever map_results state the crash left

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -121,6 +123,35 @@ class RecoverySpec extends AnyFunSuite {
     assert(ex.isClean)
     assert(ex.query("CA").collect().isEmpty)
     assert(ex.query("TX").collect().toSeq == Seq(StatePop("TX", 1L)))
+  }
+
+  test("recover() restores a map partition stranded mid-swap in .trash") {
+    // The swap inside stageAndOverwriteDirs renames dest → .trash, then
+    // staged → dest. A crash between the two renames used to lose the
+    // partition permanently — map_results is SOURCE state, not
+    // reconstructible from the WAL (ADVICE r3). recover() must rename
+    // the stranded directory back before anything else runs.
+    val store = Files.createTempDirectory("graft-rec6").toString
+    val ex = new Executer(PeopleCountByState, store)
+    ex.execute(spark.createDataset(Seq(
+      Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
+    val before = ex.queryAll().collect().toSet
+
+    // Strand one real parent partition exactly as the crash would.
+    val mapDir = java.nio.file.Paths.get(s"$store/map_results")
+    val parentDir = java.nio.file.Files.list(mapDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("parent=")).get
+    val trash = java.nio.file.Paths.get(s"$store/map_results.trash")
+    java.nio.file.Files.createDirectories(trash)
+    java.nio.file.Files.move(parentDir, trash.resolve(parentDir.getFileName))
+
+    ex.recover()
+    assert(java.nio.file.Files.exists(parentDir))
+    assert(!java.nio.file.Files.exists(trash))
+    assert(ex.queryAll().collect().toSet == before)
+    // And the next batch runs normally over the restored state.
+    ex.execute(spark.createDataset(Seq(Person("d", "TX"))))
+    assert(ex.query("TX").collect().toSeq == Seq(StatePop("TX", 2L)))
   }
 
   test("recover() after a crash mid-initial-build replays the full rebuild") {

@@ -129,6 +129,23 @@ class TombstoneSpec extends AnyFunSuite {
     assert(counts(ex) == Map("CA" -> 88L, "TX" -> 87L, "WA" -> 25L))
   }
 
+  test("tombstone count is exact for parquet tombstones (footer metadata)") {
+    // storeStats' tombstone figure drives the auto-fold trigger; the old
+    // bytes/20 estimate undercounted compressed files, so the live set
+    // could exceed tombstoneLimit without folding (ADVICE r3). The count
+    // must now be exactly the number of tombstoned docs, read from
+    // parquet footers, not guessed from file sizes.
+    val store = tmp()
+    val cfg = ExecuterConfig(fanIn = 4, finalParts = 2, driverDirtyLimit = 0)
+    val ex = new Executer(PeopleCountByState, store, cfg)
+    ex.execute(spark.createDataset(
+      (1 to 200).map(i => Person(s"p-$i", if (i % 2 == 0) "CA" else "TX"))))
+    ex.execute(spark.createDataset(
+      (1 to 25).map(i => Person(s"p-$i", "WA"))))
+    assert(new java.io.File(s"$store/tombstones").exists())
+    assert(ex.storeStats()("tombstones") == 25L)
+  }
+
   test("auto-fold bounds the live tombstone set") {
     val store = tmp()
     // tombstoneLimit=1: any surviving tombstone triggers a fold at the
