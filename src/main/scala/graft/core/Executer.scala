@@ -657,6 +657,30 @@ class Executer[D, R <: Product: TypeTag](
       .select("payload.*").as[R]
   }
 
+  /** Final reduced values for SEVERAL keys in one partition-pruned scan
+    * (the multi-key generalization of [[query]]): reads at most
+    * |distinct fparts of keys| ≤ |keys| of the `finalParts` partitions,
+    * where a [[queryAll]] fallback would scan them all. Returned as
+    * (reduce_key, payload fields) rows — several keys' values
+    * interleave, so the key column disambiguates; absent keys simply
+    * contribute no rows. */
+  def queryKeys(keys: Seq[String]): DataFrame = {
+    configChecked
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val outCols = $"reduce_key" +:
+      encR.schema.fieldNames.toSeq.map(f => col(s"payload.$f"))
+    if (keys.isEmpty || !exists(treePath)) {
+      val schema = StructType(
+        StructField("reduce_key", StringType) +: encR.schema.fields)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+    val fparts = keys.map(fpartOf).distinct
+    readFinals()
+      .where($"fpart".isin(fparts.map(Integer.valueOf): _*) &&
+        $"reduce_key".isin(keys: _*))
+      .select(outCols: _*)
+  }
+
   /** The whole index as a DataFrame — strictly more capable than the
     * reference's point read: range scans, joins, further aggregation. */
   def queryAll(): DataFrame = {

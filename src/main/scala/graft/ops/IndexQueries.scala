@@ -182,6 +182,15 @@ object IndexQueries {
         .select($"nation", $"cnt", toDouble($"acctbal") as "acctbal")
     },
 
+    // Multi-key point read (queryKeys): one scan pruned to ≤ |keys|
+    // fpart partitions — the middle ground users otherwise fill with
+    // queryAll() + filter, which scans every partition.
+    "q65_mr_multi_point" -> { (s, dir) =>
+      import s.implicits._
+      custByNationIndex(s, dir).queryKeys(Seq("3", "7", "11"))
+        .select($"reduce_key", $"cnt", toDouble($"acctbal") as "acctbal")
+    },
+
     "q42_mr_multi_emit" -> { (s, dir) =>
       import s.implicits._
       ordersMultiTagIndex(s, dir).queryAll()
@@ -258,6 +267,10 @@ object IndexQueries {
       s"""SELECT CAST(c_nationkey AS VARCHAR) AS nation, count(*) AS cnt,
          |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal
          |FROM customer WHERE c_nationkey = 3 GROUP BY 1""".stripMargin,
+    "q65_mr_multi_point" ->
+      s"""SELECT CAST(c_nationkey AS VARCHAR) AS reduce_key, count(*) AS cnt,
+         |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal
+         |FROM customer WHERE c_nationkey IN (3, 7, 11) GROUP BY 1""".stripMargin,
     "q42_mr_multi_emit" ->
       s"""SELECT 'priority:' || o_orderpriority AS reduce_key, count(*) AS cnt,
          |CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS total

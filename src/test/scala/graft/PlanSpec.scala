@@ -108,5 +108,18 @@ class PlanSpec extends AnyFunSuite {
       s"contributionsOf does not partition-prune map_results: $pf2")
     assert(ex.contributionsOf("b").select("reduce_key").collect()
       .map(_.getString(0)).toSeq == Seq("CA"))
+
+    // Multi-key read prunes to the keys' fparts (an `part IN (...)`
+    // partition filter), never a full final-table scan.
+    val qk = ex.queryKeys(Seq("CA", "TX"))
+    val p3 = qk.queryExecution.executedPlan.toString
+    val pf3 = p3.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf3.contains("level") && pf3.contains("part"),
+      s"queryKeys does not partition-prune the reduce tree: $pf3")
+    assert(qk.collect().map(r => (r.getString(0), r.getLong(2))).toSet ==
+      Set(("CA", 2L), ("TX", 1L)))
+    // Absent keys contribute no rows; empty key set returns empty.
+    assert(ex.queryKeys(Seq("CA", "ZZ")).count() == 1L)
+    assert(ex.queryKeys(Nil).count() == 0L)
   }
 }
