@@ -77,7 +77,8 @@ final case class MaintenanceStats(
 class Executer[D, R <: Product: TypeTag](
     task: MapReduceTask[D, R],
     storePath: String,
-    config: ExecuterConfig = ExecuterConfig())(implicit spark: SparkSession) {
+    config: ExecuterConfig = ExecuterConfig(),
+    lease: Option[LeaseProvider] = None)(implicit spark: SparkSession) {
 
   import spark.implicits._
 
@@ -143,28 +144,24 @@ class Executer[D, R <: Product: TypeTag](
   // Single-writer lease — the reference is single-process by construction
   // (`MapReduce/Program.cs:13-45`); on a shared store the same contract
   // must be enforced, or two concurrent executes would interleave staging
-  // renames and corrupt state. `FileSystem.create(overwrite = false)` is
-  // the atomic claim (works on HDFS and local; object stores need their
-  // own conditional-put, documented limitation).
+  // renames and corrupt state. The claim mechanism is pluggable
+  // ([[LeaseProvider]]): the default atomic create-if-absent is correct
+  // on HDFS/local; object-store deployments pass a conditional-put
+  // provider via the `lease` constructor parameter.
   // ---------------------------------------------------------------------
+
+  private val leaseProvider: LeaseProvider =
+    lease.getOrElse(new AtomicCreateLeaseProvider(() => fs, leasePath))
 
   private def acquireLease(): Unit = {
     fs.mkdirs(new Path(storePath))
-    try {
-      val out = fs.create(new Path(leasePath), false)
-      out.writeUTF(s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}")
-      out.close()
-    } catch {
-      case _: java.io.IOException => throw new IllegalStateException(
-        s"another writer holds $leasePath — concurrent maintenance on one " +
-          "store is not supported (single-writer contract). If the " +
-          "previous writer crashed, run breakLease() then recover().")
-    }
+    leaseProvider.acquire(
+      s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}")
   }
 
   /** Force-release a lease left behind by a crashed writer (call
     * [[recover]] first to replay its WAL). */
-  def breakLease(): Unit = fs.delete(new Path(leasePath), false)
+  def breakLease(): Unit = leaseProvider.release()
 
   private def withLease[A](f: => A): A = {
     acquireLease()
