@@ -7,6 +7,19 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamingExecuter
 
+/** PeopleCountByState with the singleOutput contract declared — the
+  * shape [[StreamingExecuter.aggregateStream]] requires. */
+object PeopleCountSingle extends graft.core.MapReduceTask[Person, StatePop] {
+  def map(docs: Iterator[Person]): Iterator[(String, StatePop)] =
+    docs.map(p => (p.id, StatePop(p.state, 1L)))
+  def reduce(entries: Iterator[StatePop]): Iterator[StatePop] =
+    entries.toSeq.groupBy(_.state)
+      .map { case (s, es) => StatePop(s, es.map(_.count).sum) }.iterator
+  def reduceKey(e: StatePop): String = e.state
+  def documentId(p: Person): String = p.id
+  override def singleOutput: Boolean = true
+}
+
 class StreamingExecuterSpec extends AnyFunSuite {
   implicit lazy val spark: SparkSession = TestSpark.spark
   import spark.implicits._
@@ -40,6 +53,70 @@ class StreamingExecuterSpec extends AnyFunSuite {
     drain()
     assert(sx.query("CA").collect().toSeq == Seq(StatePop("CA", 1L)))
     assert(sx.query("TX").collect().toSeq == Seq(StatePop("TX", 2L)))
+  }
+
+  test("native update-mode aggregation equals the Executer on append-only input") {
+    // SURVEY §7.2.6's promised state-store path: for singleOutput tasks
+    // the stream aggregates per reduce key through ReduceAggregator in
+    // Spark's streaming state store — no per-batch store maintenance.
+    // Proven against the Executer path on the same append-only docs,
+    // and the update-mode contract (only CHANGED keys emitted per
+    // trigger) is pinned alongside.
+    val in = Files.createTempDirectory("graft-natagg-in").toString
+    val ckpt = Files.createTempDirectory("graft-natagg-ckpt").toString
+    val store = Files.createTempDirectory("graft-natagg-store").toString
+    val batch1 = Seq(Person("p-1", "CA"), Person("p-2", "CA"), Person("p-3", "TX"))
+    val batch2 = Seq(Person("p-4", "CA"), Person("p-5", "WA"))
+    spark.createDataset(batch1).coalesce(1).write.mode("append").parquet(in)
+    spark.createDataset(batch2).coalesce(1).write.mode("append").parquet(in)
+
+    val sx = new StreamingExecuter(PeopleCountSingle,
+      Files.createTempDirectory("graft-natagg-unused").toString)
+    val docs = spark.readStream
+      .schema("id STRING, state STRING")
+      .option("maxFilesPerTrigger", 1).parquet(in).as[Person]
+    val perBatch = collection.mutable.Buffer[(Long, Map[String, Long])]()
+    val q = sx.aggregateStream(docs)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = df.collect()
+          .map(r => (r.getString(0), r.getStruct(1).getLong(1))).toMap
+        perBatch.synchronized { perBatch += ((id, rows)) }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    // Final streamed state (last emission per key) must equal the
+    // Executer built over the same documents.
+    val ex = new graft.core.Executer(PeopleCountByState, store)
+    ex.execute(spark.createDataset(batch1 ++ batch2))
+    val expected = ex.queryAll().collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    val streamed = perBatch.sortBy(_._1).foldLeft(Map.empty[String, Long]) {
+      case (acc, (_, rows)) => acc ++ rows
+    }
+    assert(streamed == expected, s"streamed $streamed != batch $expected")
+    // Update-mode contract: the second trigger emits only the keys the
+    // second file changed (CA grew, WA appeared — TX must NOT re-emit).
+    val nonEmpty = perBatch.sortBy(_._1).map(_._2).filter(_.nonEmpty)
+    assert(nonEmpty.size == 2)
+    assert(nonEmpty.last.keySet == Set("CA", "WA"),
+      s"update mode re-emitted unchanged keys: ${nonEmpty.last.keySet}")
+
+    // The aggregator contract gate: multi-output tasks are rejected.
+    val multi = new graft.core.MapReduceTask[Person, StatePop] {
+      def map(docs: Iterator[Person]): Iterator[(String, StatePop)] =
+        docs.map(p => (p.id, StatePop(p.state, 1L)))
+      def reduce(es: Iterator[StatePop]): Iterator[StatePop] = es
+      def reduceKey(e: StatePop): String = e.state
+      def documentId(d: Person): String = d.id
+    }
+    val sxMulti = new StreamingExecuter(multi,
+      Files.createTempDirectory("graft-natagg-multi").toString)
+    intercept[IllegalArgumentException](sxMulti.aggregateStream(docs))
   }
 
   test("streaming exact dedup with watermark-bounded state") {
