@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingest and tokenization: benchmark decontamination,
+  * repetition gating (Gopher-style), sequence packing, and cross-corpus
+  * duplicate-shingle measurement. North-star extensions beyond the
+  * reference surface (BASELINE.json), same ground rules as
+  * [[TextOps]]: codegen'd built-ins only, exact integer arithmetic (the
+  * only doubles are single divisions of exact ints), and a DuckDB
+  * oracle per query.
+  */
+object Curation {
+
+  private def words(c: Column): Column = split(c, "\\s+")
+
+  /** Distinct md5'd word k-grams of a document. Callers must guard
+    * `size(words) >= k` — Spark's `sequence(0, n-k)` runs DOWNWARD when
+    * `n < k` and would emit phantom negative indices. */
+  private def kgramSet(ws: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(ws) - lit(k)),
+      i => md5(concat_ws(" ",
+        (1 to k).map(j => element_at(ws, i + lit(j))): _*))))
+
+  val queries: Map[String, Q] = Map(
+    // Benchmark decontamination: find training documents that share any
+    // word 4-gram with a held-out evaluation slice (here: doc_id % 97 —
+    // a stand-in for "the benchmark's questions"). Both sides shingle
+    // identically; the eval side is DISTINCT + broadcast — an eval set
+    // is thousands of documents while the training corpus is the 100 TB
+    // side, so the probe never shuffles the big side and the scan
+    // streams once. Output: every contaminated training doc with its
+    // overlapping-shingle count (the evidence a filter step acts on).
+    "q66_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val ws = words($"text")
+      val sh = t(s, dir, "documents")
+        .where(size(ws) >= 4)
+        .select($"doc_id", explode(kgramSet(ws, 4)) as "sh")
+      val eval5 = sh.where($"doc_id" % 97 === 0).select($"sh").distinct()
+      sh.where($"doc_id" % 97 =!= 0)
+        .join(broadcast(eval5), "sh")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)) as "contaminated_shingles")
+    },
+
+    // Repetition gate (Gopher-style, Rae et al. 2021 table A1): a doc
+    // whose single most common bigram covers too much of the text is
+    // boilerplate/spam. Per doc: the top bigram's count, distinct and
+    // total bigrams, the top-bigram fraction, and the gate verdict. The
+    // gate compares integers (top*5 <= total ⇔ fraction ≤ 0.2) so the
+    // verdict never rides on float rounding. Two hash aggregations on
+    // (doc_id, gram) then doc_id — both partial-agg'd map-side.
+    "q67_repetition_gate" -> { (s, dir) =>
+      import s.implicits._
+      val ws = words($"text")
+      val grams = t(s, dir, "documents")
+        .where(size(ws) >= 2)
+        .select($"doc_id", explode(transform(
+          sequence(lit(0), size(ws) - lit(2)),
+          i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)))) as "gram")
+      grams.groupBy($"doc_id", $"gram").agg(count(lit(1)) as "cnt")
+        .groupBy($"doc_id")
+        .agg(max($"cnt") as "top_bigram",
+          count(lit(1)) as "distinct_bigrams",
+          sum($"cnt") as "total_bigrams")
+        .select($"doc_id", $"top_bigram", $"distinct_bigrams", $"total_bigrams",
+          ($"top_bigram".cast("double") / $"total_bigrams") as "top_fraction",
+          ($"top_bigram" * 5 <= $"total_bigrams") as "passes")
+    },
+
+    // Sequence packing: assign documents to fixed-token-budget training
+    // sequences (512 tokens) in deterministic doc_id order WITHIN each
+    // source shard, then report per-bin fill. The cumulative sum is a
+    // window per `source` — strata count scales with the number of
+    // ingest shards, so the sort is per-stratum, never global (a global
+    // ordered cumsum would serialize 100 TB through one partition).
+    // bin = tokens-before-this-doc div 512: the greedy "start a new
+    // sequence when the budget is crossed" rule, integer-exact.
+    "q68_pack_sequences" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select($"source", $"doc_id",
+          size(regexp_extract_all($"text", lit("\\S+"), lit(0))) as "toks")
+        .withColumn("cum", sum($"toks").over(w))
+        .withColumn("seq_bin", expr("(cum - toks) div 512"))
+        .groupBy($"source", $"seq_bin")
+        .agg(count(lit(1)) as "docs",
+          sum($"toks") as "tokens",
+          min($"doc_id") as "first_doc")
+    },
+
+    // Cross-corpus duplicate-shingle rate (the C4 measurement): for
+    // each doc, how many of its distinct 3-gram shingles also occur in
+    // at least one OTHER doc. Shingle-frequency table (one shuffle on
+    // the shingle hash, partial-agg'd), joined back to the per-doc
+    // shingle set on the same key — both sides arrive hash-partitioned
+    // by `sh`, and AQE plans the second side's join locally. The ratio
+    // ranks docs for near-dup removal where MinHash would be overkill.
+    "q69_dup_shingle_rate" -> { (s, dir) =>
+      import s.implicits._
+      val ws = words($"text")
+      val sh = t(s, dir, "documents")
+        .where(size(ws) >= 3)
+        .select($"doc_id", explode(kgramSet(ws, 3)) as "sh")
+      val freq = sh.groupBy($"sh").agg(count(lit(1)) as "ndocs")
+      sh.join(freq, "sh")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)) as "distinct_shingles",
+          sum(when($"ndocs" >= 2, 1L).otherwise(0L)) as "shared_shingles")
+        .select($"doc_id", $"distinct_shingles", $"shared_shingles",
+          ($"shared_shingles".cast("double") / $"distinct_shingles") as "dup_ratio")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q66_decontaminate" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w) - 3),
+        |    i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |             w[i+3])))) AS sh
+        |  FROM ws WHERE len(w) >= 4),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT train.doc_id, count(*) AS contaminated_shingles
+        |FROM train JOIN ev USING (sh)
+        |GROUP BY train.doc_id""".stripMargin,
+    "q67_repetition_gate" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+        |  WHERE len(string_split_regex(text, '\s+')) >= 2),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM ws),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(max(cnt) AS BIGINT) AS top_bigram,
+        |  count(*) AS distinct_bigrams,
+        |  CAST(sum(cnt) AS BIGINT) AS total_bigrams,
+        |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS top_fraction,
+        |  (max(cnt) * 5 <= sum(cnt)) AS passes
+        |FROM c GROUP BY doc_id""".stripMargin,
+    "q68_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    len(regexp_extract_all(text, '\S+')) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, toks,
+        |    sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT source, CAST((cum - toks) // 512 AS BIGINT) AS seq_bin,
+        |  count(*) AS docs,
+        |  CAST(sum(toks) AS BIGINT) AS tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q69_dup_shingle_rate" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])))) AS sh
+        |  FROM ws WHERE len(w) >= 3),
+        |freq AS (SELECT sh, count(*) AS ndocs FROM sh GROUP BY sh)
+        |SELECT sh.doc_id,
+        |  count(*) AS distinct_shingles,
+        |  CAST(sum(CASE WHEN freq.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS shared_shingles,
+        |  CAST(sum(CASE WHEN freq.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS dup_ratio
+        |FROM sh JOIN freq USING (sh)
+        |GROUP BY sh.doc_id""".stripMargin
+  )
+}

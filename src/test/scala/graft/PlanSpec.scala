@@ -88,6 +88,24 @@ class PlanSpec extends AnyFunSuite {
     assert(ex61 <= 2, s"expected <=2 exchanges in q61, got $ex61:\n${p61.take(1200)}")
   }
 
+  test("curation query plans: broadcast decontamination probe, per-shard packing") {
+    // q66: the eval-slice shingle set is the bounded side — it must
+    // BROADCAST so the (100 TB) training side streams through the probe
+    // with no shuffle; a sort-merge or cartesian here would shuffle the
+    // whole corpus's shingle table.
+    val p66 = plan("q66_decontaminate")
+    assert(p66.contains("BroadcastHashJoin"), p66.take(1200))
+    assert(!p66.contains("CartesianProduct"), p66.take(1200))
+    // q68: the packing cumsum is a window PER SOURCE SHARD; its shuffle
+    // (by source) also satisfies the (source, seq_bin) rollup, so the
+    // whole plan needs exactly one exchange — a global-sort packing
+    // would show a rangepartitioning exchange instead.
+    val p68 = plan("q68_pack_sequences")
+    val ex68 = p68.linesIterator.count(_.contains("Exchange"))
+    assert(ex68 <= 2, s"expected <=2 exchanges in q68, got $ex68:\n${p68.take(1200)}")
+    assert(!p68.contains("rangepartitioning"), p68.take(1200))
+  }
+
   test("index point query prunes to one reduce-tree partition") {
     implicit val s: SparkSession = spark
     import s.implicits._
