@@ -36,11 +36,29 @@ object Multimodal {
       mean_byte: Double,
       frames_sampled: Int)
 
-  /** STUB decode kernel — replace with a real codec binding in
-    * production. Deterministic: features derive only from the bytes.
-    * Runs batch-at-a-time inside one task (no driver collect). */
-  def decodeAndFeaturize(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
-    rows.map { r =>
+  /** The codec binding: the ONLY seam where real media libraries enter.
+    * Implementations must be `Serializable` (instances ship inside task
+    * closures) and deterministic per input row; everything else — the
+    * schema contract, binary columns, partition batching, the 1→n frame
+    * explode, downstream aggregation — is codec-independent plumbing
+    * that [[featurize]]/[[sampleFrames]]/[[resizeStub]] keep. Production
+    * swap-in is one object: implement these three against JPEG/PCM/
+    * container libraries and pass it where [[StubCodec]] defaults. */
+  trait MediaCodec extends Serializable {
+    /** Decode one media row into model-ready features. */
+    def featurize(r: MediaRow): MediaFeatures
+    /** True frame boundaries of a video payload: byte offsets + sizes,
+      * in frame order. The stub uses fixed-size slices. */
+    def frameOffsets(r: MediaRow, frameSize: Int): Iterator[(Int, Int)]
+    /** Resample an image payload; returns (outBytes, verificationSum). */
+    def resize(r: MediaRow, factor: Int): (Long, Long)
+  }
+
+  /** STUB codec — the container has no media libraries, so decode is a
+    * clearly-marked deterministic fake: features derive only from the
+    * raw bytes. Replace with a real [[MediaCodec]] in production. */
+  object StubCodec extends MediaCodec {
+    def featurize(r: MediaRow): MediaFeatures = {
       var sum = 0L
       var crc = 17L
       var i = 0
@@ -57,49 +75,71 @@ object Multimodal {
         if (r.bytes.isEmpty) 0.0 else sum.toDouble / r.bytes.length, frames)
     }
 
-  /** Full pipeline on a Dataset: partition-parallel decode + featurize. */
-  def featurize(media: Dataset[MediaRow])(implicit s: SparkSession): Dataset[MediaFeatures] = {
-    import s.implicits._
-    media.mapPartitions(decodeAndFeaturize)
-  }
-
-  /** One sampled frame of a video row. */
-  case class FrameRow(
-      media_id: Long, frame_idx: Int, frame_bytes: Long, first_byte: Int)
-
-  /** Frame sampling: one media row explodes into every-`everyN`th
-    * fixed-size frame slice — the 1→n batch shape of real video
-    * preprocessing (a codec would find true frame boundaries; the STUB
-    * uses fixed `frameSize` slices). Runs inside the task, bytes never
-    * leave the executor un-sliced. */
-  def sampleFrames(
-      rows: Iterator[MediaRow], frameSize: Int, everyN: Int): Iterator[FrameRow] =
-    rows.flatMap { r =>
+    def frameOffsets(r: MediaRow, frameSize: Int): Iterator[(Int, Int)] = {
       val nFrames = math.max(1, r.bytes.length / frameSize)
-      (0 until nFrames by everyN).iterator.map { f =>
+      (0 until nFrames).iterator.map { f =>
         val off = f * frameSize
-        val len = math.min(frameSize, r.bytes.length - off)
-        FrameRow(r.media_id, f, len.toLong,
-          if (len > 0) r.bytes(off) & 0xff else -1)
+        (off, math.min(frameSize, r.bytes.length - off))
       }
     }
 
-  case class ResizedImage(
-      media_id: Long, out_w: Int, out_h: Int, out_bytes: Long, byte_sum: Long)
-
-  /** Resize stub: every `factor`-th byte survives (a real resampler
-    * would interpolate); emits the downsampled size and an
-    * order-independent byte sum as the verification feature. */
-  def resizeStub(
-      rows: Iterator[MediaRow], factor: Int,
-      outW: Int, outH: Int): Iterator[ResizedImage] =
-    rows.map { r =>
+    def resize(r: MediaRow, factor: Int): (Long, Long) = {
       var sum = 0L
       var n = 0L
       var i = 0
       while (i < r.bytes.length) {
         sum += (r.bytes(i) & 0xff); n += 1; i += factor
       }
+      (n, sum)
+    }
+  }
+
+  /** Decode kernel: batch-at-a-time inside one task (no driver collect). */
+  def decodeAndFeaturize(
+      rows: Iterator[MediaRow],
+      codec: MediaCodec = StubCodec): Iterator[MediaFeatures] =
+    rows.map(codec.featurize)
+
+  /** Full pipeline on a Dataset: partition-parallel decode + featurize. */
+  def featurize(media: Dataset[MediaRow], codec: MediaCodec = StubCodec)(
+      implicit s: SparkSession): Dataset[MediaFeatures] = {
+    import s.implicits._
+    media.mapPartitions(rs => decodeAndFeaturize(rs, codec))
+  }
+
+  /** One sampled frame of a video row. */
+  case class FrameRow(
+      media_id: Long, frame_idx: Int, frame_bytes: Long, first_byte: Int)
+
+  /** Frame sampling: one media row explodes into every-`everyN`th frame
+    * — the 1→n batch shape of real video preprocessing. The codec owns
+    * frame discovery (the stub slices at fixed `frameSize`); the
+    * explode, sampling stride, and row shaping here are
+    * codec-independent. Runs inside the task, bytes never leave the
+    * executor un-sliced. */
+  def sampleFrames(
+      rows: Iterator[MediaRow], frameSize: Int, everyN: Int,
+      codec: MediaCodec = StubCodec): Iterator[FrameRow] =
+    rows.flatMap { r =>
+      codec.frameOffsets(r, frameSize).zipWithIndex
+        .filter { case (_, f) => f % everyN == 0 }
+        .map { case ((off, len), f) =>
+          FrameRow(r.media_id, f, len.toLong,
+            if (len > 0) r.bytes(off) & 0xff else -1)
+        }
+    }
+
+  case class ResizedImage(
+      media_id: Long, out_w: Int, out_h: Int, out_bytes: Long, byte_sum: Long)
+
+  /** Resize: the codec owns resampling (the stub keeps every
+    * `factor`-th byte; a real one would interpolate); emits the
+    * downsampled size and an order-independent verification sum. */
+  def resizeStub(
+      rows: Iterator[MediaRow], factor: Int,
+      outW: Int, outH: Int, codec: MediaCodec = StubCodec): Iterator[ResizedImage] =
+    rows.map { r =>
+      val (n, sum) = codec.resize(r, factor)
       ResizedImage(r.media_id, outW, outH, n, sum)
     }
 

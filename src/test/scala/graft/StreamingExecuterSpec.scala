@@ -154,6 +154,54 @@ class StreamingExecuterSpec extends AnyFunSuite {
       s"each content hash must survive exactly once, got $got")
   }
 
+  test("stream-stream watermarked interval join with bounded state") {
+    // The remaining core Structured Streaming operator: joining two
+    // LIVE streams (impressions ⋈ clicks within an attribution window).
+    // Both sides carry watermarks and the join predicate bounds event
+    // time on both sides, so Spark can EVICT join state once the
+    // watermark passes — the requirement that makes a 100 TB always-on
+    // two-stream join feasible (unbounded state would OOM; with these
+    // constraints state is O(watermark-window of data), not O(stream)).
+    import org.apache.spark.sql.functions._
+    val impDir = Files.createTempDirectory("graft-ssj-imp").toString
+    val clkDir = Files.createTempDirectory("graft-ssj-clk").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
+
+    // Impressions: ads 1-3. Clicks: ad 1 clicked 2min after (inside the
+    // 5min attribution window), ad 2 clicked 20min after (OUTSIDE the
+    // window — must not match), ad 9 clicked with no impression at all.
+    spark.createDataset(Seq((ts(0), 1L), (ts(1), 2L), (ts(2), 3L)))
+      .toDF("imp_ts", "ad_id").coalesce(1).write.mode("append").parquet(impDir)
+    spark.createDataset(Seq((ts(2), 1L), (ts(21), 2L), (ts(3), 9L)))
+      .toDF("clk_ts", "ad_id").coalesce(1).write.mode("append").parquet(clkDir)
+
+    val impressions = spark.readStream
+      .schema("imp_ts TIMESTAMP, ad_id BIGINT").parquet(impDir)
+      .withWatermark("imp_ts", "10 minutes")
+    val clicks = spark.readStream
+      .schema("clk_ts TIMESTAMP, ad_id BIGINT").parquet(clkDir)
+      .withColumnRenamed("ad_id", "clk_ad_id")
+      .withWatermark("clk_ts", "10 minutes")
+
+    val joined = impressions.join(clicks,
+      $"ad_id" === $"clk_ad_id" &&
+        $"clk_ts" >= $"imp_ts" &&
+        $"clk_ts" <= $"imp_ts" + expr("INTERVAL 5 MINUTES"))
+
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql(
+      "SELECT ad_id, date_format(imp_ts,'HH:mm'), date_format(clk_ts,'HH:mm') FROM ssj_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // Only ad 1 attributes: ad 2's click is outside the interval, ad 9
+    // never showed an impression.
+    assert(got == Set((1L, "10:00", "10:02")), s"unexpected attribution: $got")
+  }
+
   test("watermarked event-time window aggregation over a stream") {
     import org.apache.spark.sql.functions._
     val in = Files.createTempDirectory("graft-wm-in").toString
