@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Curation, Dedup, EmbeddingOps, IncrementalIndexes, IndexQueries, Multimodal, Relational, TextOps}
+import graft.ops.{Curation, Dedup, EmbeddingOps, IncrementalIndexes, IndexQueries, Multimodal, Relational, Sketches, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,10 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ Dedup.queries ++
       EmbeddingOps.queries ++ IndexQueries.queries ++
-      IncrementalIndexes.queries ++ Multimodal.queries ++ Curation.queries
+      IncrementalIndexes.queries ++ Multimodal.queries ++ Curation.queries ++
+      Sketches.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
       EmbeddingOps.oracles ++ IndexQueries.oracles ++
-      IncrementalIndexes.oracles ++ Multimodal.oracles ++ Curation.oracles
+      IncrementalIndexes.oracles ++ Multimodal.oracles ++ Curation.oracles ++
+      Sketches.oracles
 }

@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.bridge
+import org.apache.spark.sql.types.BinaryType
+
+import Tables._
+
+/** Sketch-accelerated operators — the "sketch → prune → exact-verify"
+  * shapes a 100 TB pipeline leans on when the exact operator's shuffle
+  * would dominate. Three families:
+  *
+  *   - Bloom-prefiltered decontamination (q70): the exact q66 result
+  *     computed the way a 1000-executor job would — an O(128 KiB)
+  *     filter broadcast prunes the corpus-side shingle stream BEFORE
+  *     the join, so only true hits + the false-positive trickle reach
+  *     the exact verify step.
+  *   - Sketch profile (q71): mergeable cardinality/frequency/quantile
+  *     sketches (HLL, CMS, GK) over the corpus. Deliberately NOT
+  *     oracle-checked — DuckDB's sketches are different algorithms, so
+  *     equality is meaningless; `SketchSpec` pins error bounds against
+  *     exact counts and the merge law instead (the driver records the
+  *     weaker rows-only check, which is the honest contract here).
+  *   - Salted skew join (q72): exact result under a deliberately
+  *     skewed join key, with the hot keys spread across S salt
+  *     shards. The plain-join DuckDB oracle proves salting is
+  *     result-invariant.
+  *
+  * All sketch state is bounded and driver-safe: the only collect is the
+  * one aggregated Bloom filter (numBits/8 = 128 KiB by construction —
+  * the same shape as Spark's own injected runtime filters, which
+  * materialize the bloom on the driver before re-broadcasting it).
+  */
+object Sketches {
+
+  private def words(c: Column): Column = split(c, "\\s+")
+
+  /** Distinct md5'd word k-grams; callers guard `size(words) >= k`
+    * (Spark's `sequence` runs downward when the bound is negative). */
+  private def kgramSet(ws: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(ws) - lit(k)),
+      i => md5(concat_ws(" ",
+        (1 to k).map(j => element_at(ws, i + lit(j))): _*))))
+
+  /** Aggregate a LongType column into one Bloom filter with `numBits`
+    * bits, returning the serialized filter bytes. One driver-side value
+    * of numBits/8 bytes — bounded by construction, independent of row
+    * count. */
+  private def bloomOf(df: org.apache.spark.sql.DataFrame, col: Column,
+      expectedItems: Long, numBits: Long): Array[Byte] = {
+    val agg = bridge.column(new BloomFilterAggregate(
+      bridge.expression(col),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    df.agg(agg.as("bf")).head.getAs[Array[Byte]](0)
+  }
+
+  /** `might_contain(bloomBytes, hash)` as a codegen'd predicate; the
+    * filter bytes ride along as a foldable binary literal (the form
+    * `BloomFilterMightContain` requires — it rejects non-constant,
+    * non-subquery filter expressions). */
+  private def mightContain(bloomBytes: Array[Byte], hash: Column): Column =
+    bridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), bridge.expression(hash)))
+
+  val queries: Map[String, Q] = Map(
+    // q66's decontamination result, produced the 100 TB way: aggregate
+    // the (small) eval side's shingle hashes into ONE 128 KiB Bloom
+    // filter, broadcast it as a literal, and prune the (huge) training
+    // side's shingle stream in the scan stage — only bloom survivors
+    // pay the exact broadcast-join verify. The bloom pass is a pure
+    // row-local predicate: no shuffle of the big side, ever; the exact
+    // join removes the false positives so the result is bit-identical
+    // to the unpruned join (same oracle as q66, modulo the shared
+    // shingle definition).
+    "q70_bloom_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val ws = words($"text")
+      val sh = t(s, dir, "documents")
+        .where(size(ws) >= 4)
+        .select($"doc_id", explode(kgramSet(ws, 4)) as "sh")
+      val eval5 = sh.where($"doc_id" % 97 === 0).select($"sh").distinct()
+      // 2^20 bits / ~64k expected shingles ⇒ false-positive rate well
+      // under 1%; at a real eval-set scale you'd size numBits to
+      // ~10 bits/item and still broadcast only megabytes.
+      val bloom = bloomOf(eval5, xxhash64($"sh"), 1L << 16, 1L << 20)
+      sh.where($"doc_id" % 97 =!= 0)
+        .where(mightContain(bloom, xxhash64($"sh")))
+        .join(broadcast(eval5), "sh")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)) as "contaminated_shingles")
+    },
+
+    // Mergeable-sketch corpus profile, per source shard: vocabulary
+    // cardinality two ways (Spark's HLL++ `approx_count_distinct` and
+    // the DataSketches HLL whose binary form unions across shards /
+    // days / reruns), and token-count quantiles (GK sketch). Exact
+    // row/token counts ride along so any consumer can see the sketch
+    // error in place. One shuffle (the explode feeds a partial-agg'd
+    // hash aggregate); every sketch is O(KB) per group regardless of
+    // corpus size — this query's output for 100 TB is a few rows.
+    "q71_sketch_profile" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"source", $"doc_id", words($"text") as "ws")
+      val tokLevel = docs
+        .select($"source", explode($"ws") as "tok")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)) as "tokens",
+          approx_count_distinct($"tok", 0.01) as "vocab_hllpp",
+          hll_sketch_estimate(hll_sketch_agg($"tok", 12)) as "vocab_hll")
+      val docLevel = docs
+        .select($"source", size($"ws") as "ntoks")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)) as "docs",
+          percentile_approx($"ntoks", lit(0.5), lit(10000)) as "p50_toks",
+          max($"ntoks") as "max_toks")
+      docLevel.join(tokLevel, "source")
+    },
+
+    // Exact revenue by a deliberately skewed derived key (5 hot keys
+    // over all of lineitem), joined to a per-key dimension WITHOUT
+    // broadcasting: the dim is replicated across 8 salt shards and the
+    // fact side routes by a hash-salt, so no single reducer owns a hot
+    // key. SHUFFLE_HASH hints keep Catalyst from quietly broadcasting
+    // the dim (which would defeat the demonstration); the DuckDB
+    // oracle is the plain unsalted join — salting must be invisible in
+    // the result.
+    "q72_salted_skew_join" -> { (s, dir) =>
+      import s.implicits._
+      val salts = 8
+      val fact = t(s, dir, "lineitem")
+        .select(($"l_suppkey" % 5) as "hot", dec($"l_extendedprice") as "price",
+          pmod(hash($"l_orderkey", $"l_linenumber"), lit(salts)) as "salt")
+      val dim = t(s, dir, "supplier")
+        .groupBy(($"s_suppkey" % 5) as "hot")
+        .agg(count(lit(1)) as "nsupp")
+        .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+      fact.hint("SHUFFLE_HASH")
+        .join(dim.hint("SHUFFLE_HASH"), Seq("hot", "salt"))
+        .groupBy($"hot")
+        .agg(count(lit(1)) as "cnt", toDouble(sum($"price")) as "revenue",
+          first($"nsupp") as "nsupp")
+    })
+
+  val oracles: Map[String, String] = Map(
+    // Bit-identical to the unpruned exact decontamination join: the
+    // bloom stage only prunes, the exact join decides.
+    "q70_bloom_decontaminate" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w) - 3),
+        |    i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |             w[i+3])))) AS sh
+        |  FROM ws WHERE len(w) >= 4),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT train.doc_id, count(*) AS contaminated_shingles
+        |FROM train JOIN ev USING (sh)
+        |GROUP BY train.doc_id""".stripMargin,
+    // q71 deliberately has no SQL oracle (different sketch algorithms
+    // on each side); SketchSpec pins its error bounds and merge law.
+    "q72_salted_skew_join" ->
+      """WITH dim AS (
+        |  SELECT s_suppkey % 5 AS hot, count(*) AS nsupp
+        |  FROM supplier GROUP BY 1)
+        |SELECT l_suppkey % 5 AS hot, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  nsupp
+        |FROM lineitem JOIN dim ON l_suppkey % 5 = dim.hot
+        |GROUP BY 1, nsupp""".stripMargin
+  )
+}
