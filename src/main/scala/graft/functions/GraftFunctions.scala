@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   - `minhash_sigs(arr<string>, numHashes)` → array<string>
   *   - `winnow_fps(arr<string>, k, w)`        → array<string>
   *   - `hyperplane_probes(arr, bits, dim)`    → array<int> (2 cells)
+  *   - `kgram_md5_set(arr<string>, k)`        → array<string>
   *
   * Two entry points: [[GraftExtensions]] for
   * `SparkSession.builder().withExtensions(...)` (the production path),
@@ -56,6 +57,14 @@ object GraftFunctions {
       val (bits, dim) = (intArg(args(1), "bits"), intArg(args(2), "dim"))
       HyperplaneProbes(args.head,
         HyperplaneBuckets.sinPlanes(bits, dim), bits, dim)
+    },
+    "kgram_md5_set" -> { args =>
+      require(args.size == 2, "kgram_md5_set(words, k)")
+      KgramMd5Set(args.head, intArg(args(1), "k"))
+    },
+    "kgram_md5_list" -> { args =>
+      require(args.size == 2, "kgram_md5_list(words, k)")
+      KgramMd5Set(args.head, intArg(args(1), "k"), distinct = false)
     })
 
   /** Register as temp functions on a live session. */

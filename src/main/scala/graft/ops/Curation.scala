@@ -18,14 +18,15 @@ object Curation {
 
   private def words(c: Column): Column = split(c, "\\s+")
 
-  /** Distinct md5'd word k-grams of a document. Callers must guard
-    * `size(words) >= k` — Spark's `sequence(0, n-k)` runs DOWNWARD when
-    * `n < k` and would emit phantom negative indices. */
+  /** Distinct md5'd word k-grams of a document — the codegen-era kernel
+    * [[graft.functions.KgramMd5Set]], element-wise identical to the
+    * declarative `array_distinct(transform(sequence(0, n-k), i =>
+    * md5(concat_ws(" ", ...))))` it replaced (which ran an interpreted
+    * lambda + fresh digest per k-gram and dominated q66/q69/q70).
+    * Callers must still guard `size(words) >= k`, mirroring the oracle's
+    * `len(w) >= k` filter. */
   private def kgramSet(ws: Column, k: Int): Column =
-    array_distinct(transform(
-      sequence(lit(0), size(ws) - lit(k)),
-      i => md5(concat_ws(" ",
-        (1 to k).map(j => element_at(ws, i + lit(j))): _*))))
+    graft.functions.KgramMd5Set.kgramMd5Set(ws, k)
 
   val queries: Map[String, Q] = Map(
     // Benchmark decontamination: find training documents that share any
@@ -59,11 +60,13 @@ object Curation {
     "q67_repetition_gate" -> { (s, dir) =>
       import s.implicits._
       val ws = words($"text")
+      // Bigrams as md5 hashes, not strings: only counts survive to the
+      // output, and count-by-md5 ≡ count-by-gram (the kernel keeps
+      // duplicates; the 32-char key shuffles cheaper than raw text).
       val grams = t(s, dir, "documents")
         .where(size(ws) >= 2)
-        .select($"doc_id", explode(transform(
-          sequence(lit(0), size(ws) - lit(2)),
-          i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)))) as "gram")
+        .select($"doc_id",
+          explode(graft.functions.KgramMd5Set.kgramMd5List(ws, 2)) as "gram")
       grams.groupBy($"doc_id", $"gram").agg(count(lit(1)) as "cnt")
         .groupBy($"doc_id")
         .agg(max($"cnt") as "top_bigram",

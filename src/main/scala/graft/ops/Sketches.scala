@@ -38,13 +38,10 @@ object Sketches {
 
   private def words(c: Column): Column = split(c, "\\s+")
 
-  /** Distinct md5'd word k-grams; callers guard `size(words) >= k`
-    * (Spark's `sequence` runs downward when the bound is negative). */
+  /** Distinct md5'd word k-grams via the [[graft.functions.KgramMd5Set]]
+    * kernel; callers guard `size(words) >= k` like the oracle does. */
   private def kgramSet(ws: Column, k: Int): Column =
-    array_distinct(transform(
-      sequence(lit(0), size(ws) - lit(k)),
-      i => md5(concat_ws(" ",
-        (1 to k).map(j => element_at(ws, i + lit(j))): _*))))
+    graft.functions.KgramMd5Set.kgramMd5Set(ws, k)
 
   /** Aggregate a LongType column into one Bloom filter with `numBits`
     * bits, returning the serialized filter bytes. One driver-side value
