@@ -166,6 +166,56 @@ object EmbeddingOps {
         .select($"query_id", $"neighbor_id", $"rnk", $"cos")
     },
 
+    // ANN recall diagnostic: the measurement that keeps an approximate
+    // index honest at scale — per query, how much of the EXACT cosine
+    // top-5 the IVF probe-1 and multi-probe candidate sets recover.
+    // Flying blind on recall is how 100 TB ANN deployments rot: cells
+    // drift as the corpus grows and nobody notices until retrieval
+    // quality dives. One shared scan computes norms + probe cells; the
+    // exact side is the bounded-Q broadcast pass (q30's shape), the two
+    // approximate sides are cell equi-joins (q36/q46's shapes), and the
+    // hit counts are two left joins on the exact top-5. Monotonicity
+    // (multi-probe ⊇ probe-1 candidates ⇒ recall never lower) is
+    // spec-pinned in AnnRecallSpec.
+    "q73_ann_recall" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.HyperplaneProbes.hyperplaneProbes
+      val k = 5
+      val v = t(s, dir, "embeddings")
+        .repartition(cpuWidth(s))
+        .select($"vec_id", $"embedding", norm($"embedding") as "nrm",
+          hyperplaneProbes($"embedding", 8, 64) as "probes")
+        .transform(Dedup.barrier)
+      val qside = v.where($"vec_id" < 8)
+        .select($"vec_id" as "query_id", $"embedding" as "qe",
+          $"nrm" as "qn", $"probes")
+      val cside = v.select($"vec_id" as "neighbor_id", $"embedding" as "ce",
+        $"nrm" as "cn", element_at($"probes", 1) as "cell")
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"cos".desc, $"neighbor_id".asc)
+      def top5(pairs: org.apache.spark.sql.DataFrame) = pairs
+        .where($"query_id" =!= $"neighbor_id")
+        .withColumn("cos", dot($"qe", $"ce") / ($"qn" * $"cn"))
+        .withColumn("rnk", row_number().over(w))
+        .where($"rnk" <= k)
+        .select($"query_id", $"neighbor_id")
+      val exact = top5(qside.crossJoin(cside))
+      val probe1 = top5(qside
+        .withColumn("cell", element_at($"probes", 1)).join(cside, "cell"))
+      val probe2 = top5(qside
+        .withColumn("cell", explode($"probes")).join(cside, "cell"))
+      exact
+        .join(probe1.withColumn("h1", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .join(probe2.withColumn("h2", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy($"query_id")
+        .agg(count($"h1") as "probe1_hits", count($"h2") as "multiprobe_hits")
+        .select($"query_id", $"probe1_hits", $"multiprobe_hits",
+          ($"probe1_hits" / lit(k.toDouble)) as "probe1_recall",
+          ($"multiprobe_hits" / lit(k.toDouble)) as "multiprobe_recall")
+    },
+
     // SimHash / random-hyperplane signature: the LSH bucketing that turns
     // near-dup search into an equi-join at scale.
     "q32_ann_lsh_signature" -> { (s, dir) =>
@@ -270,6 +320,62 @@ object EmbeddingOps {
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk
         |  FROM d) t WHERE rnk <= 3""".stripMargin,
+    // Exact + probe-1 + multi-probe top-5 assembled from the q30/q36/q46
+    // oracle spellings; hit counts via left joins on the exact set.
+    "q73_ann_recall" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |p AS (
+        |  SELECT v.vec_id, b.bit,
+        |    (SELECT sum(ei.emb * sin((ei.i - 1 + b.bit * 64) * 9973.0))
+        |     FROM (SELECT unnest(e) AS emb,
+        |                  generate_subscripts(e, 1) AS i) ei) AS proj
+        |  FROM v, (SELECT unnest(generate_series(0, 7)) AS bit) b),
+        |n AS (
+        |  SELECT v.vec_id, v.e, sqrt(list_dot_product(v.e, v.e)) AS nrm,
+        |    (SELECT CAST(sum(CASE WHEN proj >= 0 THEN power(2, bit) ELSE 0 END) AS INT)
+        |     FROM p WHERE p.vec_id = v.vec_id) AS cell,
+        |    (SELECT bit FROM p WHERE p.vec_id = v.vec_id
+        |     ORDER BY abs(proj), bit LIMIT 1) AS weak
+        |  FROM v),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+        |                 c.vec_id ASC) AS rnk
+        |    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        |    WHERE q.vec_id < 8) t WHERE rnk <= 5),
+        |c1 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+        |                 c.vec_id ASC) AS rnk
+        |    FROM n q JOIN n c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        |    WHERE q.vec_id < 8) t WHERE rnk <= 5),
+        |qp AS (
+        |  SELECT vec_id, e, nrm,
+        |    unnest([cell, xor(cell, CAST(power(2, weak) AS INT))]) AS cell
+        |  FROM n WHERE vec_id < 8),
+        |c2 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+        |                 c.vec_id ASC) AS rnk
+        |    FROM qp q JOIN n c ON q.cell = c.cell AND q.vec_id <> c.vec_id) t
+        |  WHERE rnk <= 5)
+        |SELECT ex.query_id,
+        |  count(c1.neighbor_id) AS probe1_hits,
+        |  count(c2.neighbor_id) AS multiprobe_hits,
+        |  count(c1.neighbor_id) / 5.0 AS probe1_recall,
+        |  count(c2.neighbor_id) / 5.0 AS multiprobe_recall
+        |FROM ex
+        |LEFT JOIN c1 ON ex.query_id = c1.query_id
+        |  AND ex.neighbor_id = c1.neighbor_id
+        |LEFT JOIN c2 ON ex.query_id = c2.query_id
+        |  AND ex.neighbor_id = c2.neighbor_id
+        |GROUP BY ex.query_id""".stripMargin,
     "q32_ann_lsh_signature" ->
       """WITH sig AS (
         |  SELECT vec_id, label,
