@@ -1017,17 +1017,18 @@ class Executer[D, R <: Product: TypeTag](
   private lazy val tombSchema = StructType(Seq(
     StructField("doc_id", StringType), StructField("tomb_seq", IntegerType)))
 
+  private def currentSeq: Int =
+    if (!exists(seqPath)) -1
+    else {
+      val in = new java.io.DataInputStream(fs.open(new Path(seqPath)))
+      try in.readInt() finally in.close()
+    }
+
   /** Monotonic batch sequence, persisted so it survives re-opens. The
     * write happens before any state mutation; a crash after the bump
     * burns a seq, which is harmless. */
   private def bumpSeq(): Int = {
-    val cur =
-      if (!exists(seqPath)) -1
-      else {
-        val in = new java.io.DataInputStream(fs.open(new Path(seqPath)))
-        try in.readInt() finally in.close()
-      }
-    val n = cur + 1
+    val n = currentSeq + 1
     writeLocalAtomic(seqPath)(_.writeInt(n))
     n
   }
@@ -1197,6 +1198,54 @@ class Executer[D, R <: Product: TypeTag](
     * an offline ops utility (driver lists ≤ fanIn directories; the data
     * rewrite itself is a distributed job), safe to run between batches
     * under the writer lease. */
+  /** Migrate the store to a different tree layout (fanIn / finalParts)
+    * by rebuilding from the PERSISTED map output — the user map is never
+    * re-run and the source corpus is never touched, which is the point:
+    * at scale the map pass over source data dwarfs the re-reduce.
+    *
+    * Why this exists: the tree shape is a function of corpus size. A
+    * 1-doc update re-reduces one whole parent group (sibling
+    * recomputation, SURVEY §2.3.3) — O(corpus / fanIn) rows — so a store
+    * that grows 100× eventually wants a wider fan-in, and the layout is
+    * validated-immutable on an existing store (`configChecked`). This is
+    * the supported migration path.
+    *
+    * Builds the destination NEXT TO the live store (a fresh directory;
+    * refuses a non-empty one): the source stays readable and writable
+    * throughout, and the caller re-points at the destination when it
+    * returns — the online-backfill shape. Live rows are re-bucketed
+    * under the new layout with tombstones applied en route, so the
+    * destination starts tombstone-free; the batch-seq counter carries
+    * over (rows keep their original `seq`, so a destination counter
+    * restarting at 0 would write future tombstones that kill nothing).
+    * Crash mid-reshape leaves the source untouched and the destination
+    * with the standard full-rebuild WAL sentinel; wipe the destination
+    * directory and re-run.
+    */
+  def reshapeTo(newStorePath: String,
+      newConfig: ExecuterConfig): Executer[D, R] = withLease {
+    configChecked
+    recoverLocked()
+    val dst = new Executer[D, R](task, newStorePath, newConfig, lease)
+    require(!dst.exists(dst.mapResultsPath),
+      s"reshape destination $newStorePath already holds a store")
+    val rebucketed = readMapResults()
+      .withColumn("bucket",
+        StableBucketHash.stableBucket($"doc_id", newConfig.buckets))
+      .withColumn("parent", ($"bucket" / lit(newConfig.fanIn)).cast("int"))
+      .select("parent", "bucket", "reduce_key", "doc_id", "seq", "payload")
+    val seqFloor = currentSeq
+    dst.withLease {
+      dst.configChecked
+      if (seqFloor >= 0) dst.writeLocalAtomic(dst.seqPath)(_.writeInt(seqFloor))
+      dst.writeDirtyLogLocal(Seq(("", dst.FullRebuild)))
+      dst.writePartitioned(rebucketed, dst.mapResultsPath, Seq("parent"))
+      dst.rereduceAll()
+      dst.clearDirtyLog()
+    }
+    dst
+  }
+
   def compact(maxFilesPerPartition: Int = 8): Unit = withLease {
     configChecked
     recoverLocked()
