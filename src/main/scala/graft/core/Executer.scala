@@ -1226,6 +1226,8 @@ class Executer[D, R <: Product: TypeTag](
       newConfig: ExecuterConfig): Executer[D, R] = withLease {
     configChecked
     recoverLocked()
+    require(exists(mapResultsPath),
+      s"$storePath has no built store to reshape")
     val dst = new Executer[D, R](task, newStorePath, newConfig, lease)
     require(!dst.exists(dst.mapResultsPath),
       s"reshape destination $newStorePath already holds a store")

@@ -35,6 +35,7 @@ object ChurnProps extends Properties("Churn") {
   private case class DeleteKey(state: Int) extends Op
   private case object Compact extends Op
   private case object CrashRecover extends Op
+  private case object Reshape extends Op
 
   private val genOp: Gen[Op] = Gen.frequency(
     6 -> (for {
@@ -48,6 +49,7 @@ object ChurnProps extends Properties("Churn") {
     } yield PurgeDocs(ids)),
     1 -> Gen.chooseNum(0, states.size - 1).map(DeleteKey),
     1 -> Gen.const(Compact),
+    1 -> Gen.const(Reshape),
     2 -> Gen.const(CrashRecover))
 
   private val genSchedule: Gen[List[Op]] =
@@ -57,9 +59,14 @@ object ChurnProps extends Properties("Churn") {
   // later schedules run against whatever state earlier ones built up.
   implicit private lazy val spark: org.apache.spark.sql.SparkSession =
     TestSpark.spark
-  private lazy val store = Files.createTempDirectory("graft-churn").toString
-  private lazy val ex = new Executer(PeopleCountByState, store,
+  private var store = Files.createTempDirectory("graft-churn").toString
+  private lazy val ex0 = new Executer(PeopleCountByState, store,
     ExecuterConfig(fanIn = 4, finalParts = 2))
+  private var exOpt: Option[Executer[Person, StatePop]] = None
+  private def ex: Executer[Person, StatePop] = exOpt.getOrElse { exOpt = Some(ex0); ex0 }
+  // Reshape alternates between two layouts, so later schedules churn a
+  // store whose tree shape differs from the one they started with.
+  private var reshapes = 0
   private val model = collection.mutable.Map[String, String]() // id -> state
 
   private def docId(i: Int) = s"doc-$i"
@@ -82,6 +89,20 @@ object ChurnProps extends Properties("Churn") {
         ex.delete(states(s))
       case Compact =>
         ex.compact()
+      case Reshape =>
+        // Migration mid-churn: results must survive a layout change and
+        // every later op must behave identically on the migrated store
+        // (seq continuity: updates must still kill pre-reshape rows).
+        // No-op before the first build — nothing to reshape.
+        if (new java.io.File(s"$store/map_results").isDirectory) {
+          reshapes += 1
+          val cfg =
+            if (reshapes % 2 == 1) ExecuterConfig(fanIn = 8, finalParts = 4)
+            else ExecuterConfig(fanIn = 4, finalParts = 2)
+          val dst = Files.createTempDirectory("graft-churn-rs").toString + "/s"
+          exOpt = Some(ex.reshapeTo(dst, cfg))
+          store = dst
+        }
       case CrashRecover =>
         // Simulate the two documented crash windows an interrupted batch
         // can leave behind: a map partition stranded mid-swap in .trash,
