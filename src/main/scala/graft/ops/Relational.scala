@@ -134,6 +134,24 @@ object Relational {
     },
 
     // Set operations: UNION / EXCEPT with SQL (distinct) semantics.
+    // Full-outer join (the join matrix's last cell): per-nation counts of
+    // HIGH-BALANCE customers vs suppliers — the balance filters make the
+    // two key sets asymmetric, so both null sides of the outer join are
+    // actually exercised; coalesce folds them to zero.
+    "q74_outer_join" -> { (s, dir) =>
+      import s.implicits._
+      val c = t(s, dir, "customer").where($"c_acctbal" > 9900)
+        .groupBy($"c_nationkey" as "nationkey")
+        .agg(count(lit(1)) as "rich_cust")
+      val sup = t(s, dir, "supplier").where($"s_acctbal" > 9900)
+        .groupBy($"s_nationkey" as "nationkey")
+        .agg(count(lit(1)) as "rich_supp")
+      c.join(sup, Seq("nationkey"), "full_outer")
+        .select($"nationkey",
+          coalesce($"rich_cust", lit(0L)) as "rich_cust",
+          coalesce($"rich_supp", lit(0L)) as "rich_supp")
+    },
+
     "q11_setops" -> { (s, dir) =>
       import s.implicits._
       val c = t(s, dir, "customer")
@@ -502,6 +520,17 @@ object Relational {
     "q10_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "q74_outer_join" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nationkey, count(*) AS rich_cust
+        |  FROM customer WHERE c_acctbal > 9900 GROUP BY 1),
+        |s AS (
+        |  SELECT s_nationkey AS nationkey, count(*) AS rich_supp
+        |  FROM supplier WHERE s_acctbal > 9900 GROUP BY 1)
+        |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |  COALESCE(rich_cust, 0) AS rich_cust,
+        |  COALESCE(rich_supp, 0) AS rich_supp
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey""".stripMargin,
     "q11_setops" ->
       """SELECT custkey FROM (
         |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'

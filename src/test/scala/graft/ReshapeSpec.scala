@@ -69,6 +69,35 @@ class ReshapeSpec extends AnyFunSuite {
     }
   }
 
+  test("crash between map landing and tree build: destination recovers via the WAL sentinel") {
+    val src = new Executer(PeopleCountByState, tmp(),
+      ExecuterConfig(fanIn = 8, finalParts = 4))
+    src.execute(spark.createDataset(
+      (1 to 100).map(i => Person(s"c-$i", "S" + (i % 7)))))
+    val before = counts(src)
+
+    val dstPath = tmp() + "/crash"
+    val cfg = ExecuterConfig(fanIn = 16, finalParts = 4)
+    src.reshapeTo(dstPath, cfg)
+    // Reconstruct the documented crash window: map output committed, the
+    // full-rebuild WAL sentinel still pending, no reduce tree yet.
+    val treeDir = new java.io.File(s"$dstPath/reduce_tree")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe); f.delete()
+    }
+    wipe(treeDir)
+    val out = new java.io.DataOutputStream(
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(dstPath).resolve("dirty.pairs")))
+    out.writeInt(1); out.writeUTF(""); out.writeInt(-1); out.close()
+
+    val reopened = new Executer(PeopleCountByState, dstPath, cfg)
+    reopened.recover()
+    assert(counts(reopened) == before)
+    // The source was never touched by any of this.
+    assert(counts(src) == before)
+  }
+
   test("reshape equals a from-scratch build under the destination layout") {
     val docs = (1 to 400).map(i => Person(s"d-$i", "S" + (i % 13)))
     val src = new Executer(PeopleCountByState, tmp(),
