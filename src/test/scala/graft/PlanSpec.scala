@@ -140,4 +140,28 @@ class PlanSpec extends AnyFunSuite {
     assert(ex.queryKeys(Seq("CA", "ZZ")).count() == 1L)
     assert(ex.queryKeys(Nil).count() == 0L)
   }
+
+  test("decontamination broadcasts the eval side; the corpus side never shuffles pre-join") {
+    val p = plan("q66_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingle set should broadcast:\n${p.take(1200)}")
+  }
+
+  test("sequence packing stays strata-parallel: window and aggregate, no global sort") {
+    val p = plan("q68_pack_sequences")
+    // A global ordered cumsum would plan a global Sort (range-partitioned
+    // exchange + `Sort [...], true`); the window's sort must stay
+    // partition-local (`Sort [...], false`).
+    assert(!p.contains("Exchange rangepartitioning") && !p.contains("], true, 0"),
+      s"unexpected global sort:\n${p.take(1200)}")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange hashpartitioning") ||
+      l.contains("Exchange rangepartitioning") || l.contains("Exchange SinglePartition"))
+    assert(exchanges <= 3, s"too many exchanges ($exchanges):\n${p.take(1500)}")
+  }
+
+  test("the full-outer join keeps both aggregates partial-agg'd map-side") {
+    val p = plan("q74_outer_join")
+    assert(p.contains("FullOuter"), s"expected a full-outer join:\n${p.take(1200)}")
+    assert(p.contains("partial_count"), "aggregates should combine map-side")
+  }
 }
