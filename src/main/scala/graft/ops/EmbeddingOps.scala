@@ -216,6 +216,28 @@ object EmbeddingOps {
           ($"multiprobe_hits" / lit(k.toDouble)) as "multiprobe_recall")
     },
 
+    // Per-vector int8 scalar quantization (the 4× memory lever for a
+    // 100 TB embedding store): mid-rise codes over the vector's own
+    // [min, max] range, with the worst-case reconstruction error
+    // reported per vector so a pipeline can gate on quality before
+    // swapping the fp32 column out. floor(x + 0.5) instead of round()
+    // — round half-even vs half-away differs between engines; floor is
+    // bit-identical everywhere, which is what makes this oracle-exact.
+    "q75_embedding_quantize" -> { (s, dir) =>
+      import s.implicits._
+      val xd = transform($"embedding", v => v.cast("double"))
+      val base = t(s, dir, "embeddings")
+        .select($"vec_id", xd as "e")
+        .select($"vec_id", $"e",
+          array_min($"e") as "vmin", array_max($"e") as "vmax")
+        .withColumn("scale", ($"vmax" - $"vmin") / lit(255.0))
+      base.select($"vec_id", $"vmin", $"vmax",
+        when($"scale" === 0.0, lit(0.0)).otherwise(
+          array_max(transform($"e", v =>
+            abs(v - ($"vmin" + floor((v - $"vmin") / $"scale" + lit(0.5)) * $"scale")))))
+          as "max_err")
+    },
+
     // SimHash / random-hyperplane signature: the LSH bucketing that turns
     // near-dup search into an equi-join at scale.
     "q32_ann_lsh_signature" -> { (s, dir) =>
@@ -376,6 +398,19 @@ object EmbeddingOps {
         |LEFT JOIN c2 ON ex.query_id = c2.query_id
         |  AND ex.neighbor_id = c2.neighbor_id
         |GROUP BY ex.query_id""".stripMargin,
+    "q75_embedding_quantize" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    list_min(embedding::DOUBLE[]) AS vmin,
+        |    list_max(embedding::DOUBLE[]) AS vmax
+        |  FROM embeddings),
+        |s AS (SELECT *, (vmax - vmin) / 255.0 AS scale FROM b)
+        |SELECT vec_id, vmin, vmax,
+        |  CASE WHEN scale = 0.0 THEN 0.0 ELSE
+        |    list_max(list_transform(e, v ->
+        |      abs(v - (vmin + floor((v - vmin) / scale + 0.5) * scale))))
+        |  END AS max_err
+        |FROM s""".stripMargin,
     "q32_ann_lsh_signature" ->
       """WITH sig AS (
         |  SELECT vec_id, label,

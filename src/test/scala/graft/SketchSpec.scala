@@ -87,6 +87,17 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q75 int8 quantization: worst-case reconstruction error within scale/2") {
+    val rows = SparkEntry.queries("q75_embedding_quantize")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val scale = (r.getAs[Double]("vmax") - r.getAs[Double]("vmin")) / 255.0
+      val err = r.getAs[Double]("max_err")
+      assert(err <= scale / 2 * (1 + 1e-9) + 1e-12,
+        s"mid-rise bound violated for vec ${r.get(0)}: err=$err scale=$scale")
+    }
+  }
+
   test("q70 bloom prefilter appears in the plan, before the exact join") {
     val p = SparkEntry.queries("q70_bloom_decontaminate")(spark, dir)
       .queryExecution.executedPlan.toString
