@@ -115,6 +115,28 @@ object TextOps {
           sum(nTokens($"text")) as "sampled_tokens")
     },
 
+    // Weighted corpus mixing (the pretraining data recipe step): each
+    // source is down-sampled at its own rate — here 1× / 0.5× / 0.25×
+    // tiers — by comparing one hex digit of a salted doc-id md5 against
+    // a per-source threshold character. Pure row predicate: pushes into
+    // the scan, reproducible run-to-run and engine-to-engine, no
+    // shuffle at any corpus size (the same property as q49, with the
+    // rate a function of source). 'g' sorts above every hex digit, so
+    // the 1× tier keeps everything.
+    "q76_corpus_mix" -> { (s, dir) =>
+      import s.implicits._
+      val digit = substring(
+        md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 1)
+      val threshold = when($"source".isin("src0", "src1"), lit("g"))
+        .when($"source".isin("src2", "src3", "src4"), lit("8"))
+        .otherwise(lit("4"))
+      t(s, dir, "documents")
+        .where(digit < threshold)
+        .groupBy($"source")
+        .agg(count(lit(1)) as "kept_docs",
+          sum(nTokens($"text")) as "kept_tokens")
+    },
+
     // TF-IDF-style salient terms: per-doc term frequency against corpus
     // document frequency, top-3 terms per doc. The df table is the
     // corpus vocabulary (tiny — broadcast join against the tf rows);
@@ -245,6 +267,15 @@ object TextOps {
         |WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)
         |  IN ('0', '1', '2', '3')
         |GROUP BY lang""".stripMargin,
+    "q76_corpus_mix" ->
+      """SELECT source, count(*) AS kept_docs,
+        |CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS kept_tokens
+        |FROM documents
+        |WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1) <
+        |  CASE WHEN source IN ('src0', 'src1') THEN 'g'
+        |       WHEN source IN ('src2', 'src3', 'src4') THEN '8'
+        |       ELSE '4' END
+        |GROUP BY source""".stripMargin,
     "q60_tfidf_topterms" ->
       """WITH tok AS (
         |  SELECT doc_id,
