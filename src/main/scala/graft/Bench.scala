@@ -19,7 +19,7 @@ import graft.core.{Executer, ExecuterConfig}
   * index rebuild vs k-document incremental updates (k = 1, 100, 10000)
   * at the same SF — the O(dirty), not O(data), scaling claim
   * (`MapReduce/Executer.cs:305-334`) — and the same pair measured again
-  * on an N×-unioned corpus (default 100×, `SPARK_GRAFT_INC_SCALE`):
+  * on an N×-replicated corpus (default 30×, `SPARK_GRAFT_INC_SCALE`):
   * build time must grow with the corpus while update latency stays
   * flat, which is the measured proof that updates scale with the batch,
   * not the data.
