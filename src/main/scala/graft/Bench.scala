@@ -9,7 +9,9 @@ import graft.core.{Executer, ExecuterConfig}
 
 /** Benchmark main. Emits per-query DETAIL lines first (one JSON object
   * per query, as it completes), then ONE SHORT summary JSON line LAST:
-  * `{"metric":"total","value":<sum sec>,"unit":"sec","queries":{...},...}`.
+  * `{"metric":"total","value":<sum sec>,"unit":"sec","nq":<count>,
+  * "errs":{...},...,inc_*}` — per-query seconds/rows live on the
+  * earlier detail lines, never in the summary.
   * The recorder keeps the output TAIL, so the headline fields must be on
   * the final, short line — BENCH_r01-r03 were all head-truncated into
   * unparseability because everything was one giant line (VERDICT r3 #2).
@@ -122,8 +124,12 @@ object Bench {
       }
       build
     }
-    val runInc = wanted.isEmpty || wanted.exists("inc".startsWith) || wanted.contains("inc")
-    val runInc10x = wanted.isEmpty || wanted.exists("incscaled".startsWith) || wanted.contains("incscaled")
+    // `inc` (or any prefix of it) runs the base incremental section
+    // alone; the scaled probe requires at least `incs` typed explicitly —
+    // otherwise `Bench inc` would also pay the 30×-corpus rebuild.
+    val runInc = wanted.isEmpty || wanted.exists(w => "inc".startsWith(w))
+    val runInc10x = wanted.isEmpty ||
+      wanted.exists(w => w.startsWith("incs") && "incscaled".startsWith(w))
     if (runInc || runInc10x) {
       // Untimed warmup build into a throwaway store: the very first
       // Executer build in a process pays several seconds of one-off cost

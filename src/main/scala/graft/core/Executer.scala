@@ -986,7 +986,18 @@ class Executer[D, R <: Product: TypeTag](
         fs.mkdirs(dest.getParent)
         fs.rename(src.getPath, dest)
       } else if (src.isDirectory) {
-        fs.listStatus(src.getPath)
+        // The destination exists. Partition-directory renames are atomic
+        // and whole-dir, so an existing destination is COMPLETE — either
+        // the swap for this partition finished (its trash copy is stale)
+        // or it was never renamed aside (trash holds nothing for it).
+        // Recurse only into nested partition DIRECTORIES (e.g.
+        // `level=1/part=N` under a shared `level=1` parent); loose FILES
+        // under an existing destination are always the stale pre-swap
+        // copy and must be dropped with the trash, never merged — merging
+        // would duplicate every live row of a completed swap (and the
+        // fold/compact/delete swaps have no WAL that would ever repair
+        // that).
+        fs.listStatus(src.getPath).filter(_.isDirectory)
           .foreach(c => restore(c, new Path(dest, c.getPath.getName)))
       }
     }
@@ -1222,13 +1233,18 @@ class Executer[D, R <: Product: TypeTag](
     * with the standard full-rebuild WAL sentinel; wipe the destination
     * directory and re-run.
     */
-  def reshapeTo(newStorePath: String,
-      newConfig: ExecuterConfig): Executer[D, R] = withLease {
+  def reshapeTo(newStorePath: String, newConfig: ExecuterConfig,
+      dstLease: Option[LeaseProvider] = None): Executer[D, R] = withLease {
     configChecked
     recoverLocked()
     require(exists(mapResultsPath),
       s"$storePath has no built store to reshape")
-    val dst = new Executer[D, R](task, newStorePath, newConfig, lease)
+    // The destination gets its OWN lease (dstLease, or the default
+    // atomic-create claim on the new path) — lease providers are bound
+    // to one store's lease key, so sharing the source's instance would
+    // both double-acquire the already-held source lease and release it
+    // mid-reshape when the inner withLease unwinds.
+    val dst = new Executer[D, R](task, newStorePath, newConfig, dstLease)
     require(!dst.exists(dst.mapResultsPath),
       s"reshape destination $newStorePath already holds a store")
     val rebucketed = readMapResults()

@@ -45,11 +45,15 @@ case class KgramMd5Set(child: Expression, k: Int, distinct: Boolean = true)
     val m = n - k + 1 // number of k-grams
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
 
+    // null elements are SKIPPED along with their separator, exactly like
+    // concat_ws — `concat_ws(" ", "a", NULL)` is "a", not "a " — so the
+    // kernel stays element-wise identical to the declarative form for
+    // any array<string> input, not just never-null split() output.
     val wb = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
       val s = words.getUTF8String(i)
-      wb(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      wb(i) = if (s == null) null else s.getBytes
       i += 1
     }
 
@@ -60,9 +64,14 @@ case class KgramMd5Set(child: Expression, k: Int, distinct: Boolean = true)
     while (i < m) {
       md.reset()
       var j = 0
+      var wrote = false
       while (j < k) {
-        if (j > 0) md.update(' '.toByte)
-        md.update(wb(i + j))
+        val w = wb(i + j)
+        if (w != null) {
+          if (wrote) md.update(' '.toByte)
+          md.update(w)
+          wrote = true
+        }
         j += 1
       }
       val hex = MinHashSigs.toHex(md.digest())

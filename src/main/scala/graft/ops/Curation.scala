@@ -28,6 +28,38 @@ object Curation {
   private def kgramSet(ws: Column, k: Int): Column =
     graft.functions.KgramMd5Set.kgramMd5Set(ws, k)
 
+  /** `(doc_id, sh)` — every document exploded into its distinct word
+    * k-gram shingles. The SINGLE definition of "shingle" shared by q66
+    * and the bloom-prefiltered q70 (`Sketches`): both queries promise
+    * bit-identical results, so the shingle spelling must not be able to
+    * drift between them. */
+  private[ops] def shingleStream(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ws = words($"text")
+    t(s, dir, "documents")
+      .where(size(ws) >= k)
+      .select($"doc_id", explode(kgramSet(ws, k)) as "sh")
+  }
+
+  /** The decontamination oracle — shared verbatim by q66 and q70 (the
+    * bloom stage only prunes; the exact join decides, so both queries
+    * have the same answer by construction). */
+  private[ops] val decontaminationOracle: String =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 3),
+      |    i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+      |             w[i+3])))) AS sh
+      |  FROM ws WHERE len(w) >= 4),
+      |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+      |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+      |SELECT train.doc_id, count(*) AS contaminated_shingles
+      |FROM train JOIN ev USING (sh)
+      |GROUP BY train.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Benchmark decontamination: find training documents that share any
     // word 4-gram with a held-out evaluation slice (here: doc_id % 97 —
@@ -39,10 +71,7 @@ object Curation {
     // overlapping-shingle count (the evidence a filter step acts on).
     "q66_decontaminate" -> { (s, dir) =>
       import s.implicits._
-      val ws = words($"text")
-      val sh = t(s, dir, "documents")
-        .where(size(ws) >= 4)
-        .select($"doc_id", explode(kgramSet(ws, 4)) as "sh")
+      val sh = shingleStream(s, dir, 4)
       val eval5 = sh.where($"doc_id" % 97 === 0).select($"sh").distinct()
       sh.where($"doc_id" % 97 =!= 0)
         .join(broadcast(eval5), "sh")
@@ -124,20 +153,7 @@ object Curation {
     })
 
   val oracles: Map[String, String] = Map(
-    "q66_decontaminate" ->
-      """WITH ws AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, len(w) - 3),
-        |    i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
-        |             w[i+3])))) AS sh
-        |  FROM ws WHERE len(w) >= 4),
-        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
-        |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
-        |SELECT train.doc_id, count(*) AS contaminated_shingles
-        |FROM train JOIN ev USING (sh)
-        |GROUP BY train.doc_id""".stripMargin,
+    "q66_decontaminate" -> decontaminationOracle,
     "q67_repetition_gate" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents

@@ -38,11 +38,6 @@ object Sketches {
 
   private def words(c: Column): Column = split(c, "\\s+")
 
-  /** Distinct md5'd word k-grams via the [[graft.functions.KgramMd5Set]]
-    * kernel; callers guard `size(words) >= k` like the oracle does. */
-  private def kgramSet(ws: Column, k: Int): Column =
-    graft.functions.KgramMd5Set.kgramMd5Set(ws, k)
-
   /** Aggregate a LongType column into one Bloom filter with `numBits`
     * bits, returning the serialized filter bytes. One driver-side value
     * of numBits/8 bytes — bounded by construction, independent of row
@@ -75,10 +70,9 @@ object Sketches {
     // shingle definition).
     "q70_bloom_decontaminate" -> { (s, dir) =>
       import s.implicits._
-      val ws = words($"text")
-      val sh = t(s, dir, "documents")
-        .where(size(ws) >= 4)
-        .select($"doc_id", explode(kgramSet(ws, 4)) as "sh")
+      // One shingle definition shared with q66 (Curation.shingleStream):
+      // the two queries promise bit-identical results.
+      val sh = Curation.shingleStream(s, dir, 4)
       val eval5 = sh.where($"doc_id" % 97 === 0).select($"sh").distinct()
       // 2^20 bits / ~64k expected shingles ⇒ false-positive rate well
       // under 1%; at a real eval-set scale you'd size numBits to
@@ -147,21 +141,9 @@ object Sketches {
 
   val oracles: Map[String, String] = Map(
     // Bit-identical to the unpruned exact decontamination join: the
-    // bloom stage only prunes, the exact join decides.
-    "q70_bloom_decontaminate" ->
-      """WITH ws AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, len(w) - 3),
-        |    i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
-        |             w[i+3])))) AS sh
-        |  FROM ws WHERE len(w) >= 4),
-        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
-        |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
-        |SELECT train.doc_id, count(*) AS contaminated_shingles
-        |FROM train JOIN ev USING (sh)
-        |GROUP BY train.doc_id""".stripMargin,
+    // bloom stage only prunes, the exact join decides — one shared
+    // oracle with q66.
+    "q70_bloom_decontaminate" -> Curation.decontaminationOracle,
     // q71 deliberately has no SQL oracle (different sketch algorithms
     // on each side); SketchSpec pins its error bounds and merge law.
     "q72_salted_skew_join" ->

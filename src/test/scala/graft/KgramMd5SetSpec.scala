@@ -62,6 +62,19 @@ class KgramMd5SetSpec extends AnyFunSuite {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("null elements are skipped with their separator, like concat_ws") {
+    import spark.implicits._
+    val arr = array(lit("a"), lit(null).cast("string"), lit("b"), lit("c"))
+    val exp = spark.range(1).select(
+      array_distinct(transform(
+        sequence(lit(0), size(arr) - lit(2)),
+        i => md5(concat_ws(" ",
+          element_at(arr, i + lit(1)), element_at(arr, i + lit(2))))))).head.getSeq[String](0)
+    val got = spark.range(1)
+      .select(KgramMd5Set.kgramMd5Set(arr, 2)).head.getSeq[String](0)
+    assert(got == exp)
+  }
+
   test("sub-k and empty inputs yield empty sets") {
     val got = kernel(Seq("one two", ""), 4).collect()
     assert(got.forall(_.getSeq[String](1).isEmpty))

@@ -154,6 +154,53 @@ class RecoverySpec extends AnyFunSuite {
     assert(ex.query("TX").collect().toSeq == Seq(StatePop("TX", 2L)))
   }
 
+  test("recover() drops a stale trash copy of a partition whose swap completed") {
+    // A multi-partition fold/compact swap deletes .trash only after ALL
+    // directories swapped. A crash in between leaves some partitions
+    // fully swapped (dest = new content) with their OLD copy still in
+    // .trash. Restoring must NOT merge those stale files into the
+    // completed directory — that would duplicate every live row, and
+    // fold/compact swaps have no WAL that would ever repair it.
+    val store = Files.createTempDirectory("graft-rec7").toString
+    val ex = new Executer(PeopleCountByState, store)
+    ex.execute(spark.createDataset(Seq(
+      Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
+    val before = ex.queryAll().collect().toSet
+
+    val mapDir = java.nio.file.Paths.get(s"$store/map_results")
+    val parents = java.nio.file.Files.list(mapDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("parent=")).toSeq
+    val trash = java.nio.file.Paths.get(s"$store/map_results.trash")
+    // Swap COMPLETED for this partition: dest holds the (identical, in
+    // this simulation) new content, trash still holds the old copy with
+    // different part-file names — the merge hazard.
+    val done = parents.head
+    val doneTrash = trash.resolve(done.getFileName)
+    java.nio.file.Files.createDirectories(doneTrash)
+    java.nio.file.Files.list(done).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach { f =>
+        java.nio.file.Files.copy(f,
+          doneTrash.resolve("stale-" + f.getFileName.toString))
+      }
+    // And a second partition stranded MID-swap (dest missing) — the case
+    // restore must still repair.
+    if (parents.size > 1) {
+      val mid = parents(1)
+      java.nio.file.Files.move(mid, trash.resolve(mid.getFileName))
+    }
+
+    ex.recover()
+    assert(!java.nio.file.Files.exists(trash))
+    assert(ex.queryAll().collect().toSet == before,
+      "stale trash files merged into a completed swap (rows duplicated) " +
+        "or a stranded partition lost")
+    // The tree only re-reads map rows on the next re-reduce, so assert
+    // the duplication directly at the storage layer: one map row per doc.
+    assert(spark.read.parquet(s"$store/map_results").count() == 3L,
+      "stale trash files merged into a completed swap duplicated map rows")
+  }
+
   test("recover() after a crash mid-initial-build replays the full rebuild") {
     val store = Files.createTempDirectory("graft-rec3").toString
     val ex = new Executer(PeopleCountByState, store)

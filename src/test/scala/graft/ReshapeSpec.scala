@@ -69,6 +69,35 @@ class ReshapeSpec extends AnyFunSuite {
     }
   }
 
+  test("reshape under a custom strict lease: source stays held, destination claims its own") {
+    // A conditional-put style provider throws on double-acquire. Sharing
+    // the source's instance with the destination used to deadlock here
+    // (inner withLease re-acquiring the held source lease) and released
+    // the source lease mid-reshape on unwind.
+    class StrictLease extends graft.core.LeaseProvider {
+      var held = false
+      var acquisitions = 0
+      override def acquire(info: String): Unit = synchronized {
+        if (held) throw new IllegalStateException("already held")
+        held = true; acquisitions += 1
+      }
+      override def release(): Unit = synchronized { held = false }
+    }
+    val srcLease = new StrictLease
+    val src = new Executer(PeopleCountByState, tmp(),
+      ExecuterConfig(fanIn = 8, finalParts = 4), Some(srcLease))
+    src.execute(spark.createDataset(
+      (1 to 50).map(i => Person(s"l-$i", "S" + (i % 3)))))
+    val before = counts(src)
+
+    val dst = src.reshapeTo(tmp() + "/w",
+      ExecuterConfig(fanIn = 16, finalParts = 4))
+    assert(counts(dst) == before)
+    assert(!srcLease.held, "source lease leaked after reshape")
+    assert(srcLease.acquisitions == 2, // build + reshape, never the dst
+      s"source lease acquired ${srcLease.acquisitions} times")
+  }
+
   test("crash between map landing and tree build: destination recovers via the WAL sentinel") {
     val src = new Executer(PeopleCountByState, tmp(),
       ExecuterConfig(fanIn = 8, finalParts = 4))
