@@ -11,58 +11,79 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** All `numHashes` MinHash signature slots in ONE pass over the shingle
-  * array: slot k = min over shingles of md5("k:" ++ shingle), as
-  * lowercase hex — element-wise identical to the
-  * `array_min(transform(sh, x => md5(concat(k, ':', x))))` formulation
-  * and to DuckDB `list_min(list_transform(sh, x -> md5(k || ':' || x)))`.
+  * array, with ONE digest per shingle (not one per shingle×seed).
   *
-  * Exists because the HOF formulation re-walks the shingle array once per
-  * seed with per-element interpreted lambdas and intermediate arrays
-  * (numHashes·|sh| lambda calls + allocations per row); here one loop
-  * digests each shingle for all seeds with a reused MessageDigest.
-  * CodegenFallback: the body is already a tight loop; the md5 work
-  * dominates, not the eval dispatch.
+  * Per shingle x: md5(x) once; h1 = big-endian uint64 of digest bytes
+  * 0-7, h2 = big-endian uint64 of bytes 8-15. Slot k's hash of x is the
+  * classic double-hashing family (Kirsch–Mitzenmacher, "Less Hashing,
+  * Same Performance"): g_k(x) = h1 + k·h2 (mod 2^64). Slot k of the
+  * signature = min over shingles of g_k(x), emitted as 16-char lowercase
+  * hex (unsigned numeric order == fixed-width hex string order, so
+  * downstream string `min`/banding semantics are unchanged).
+  *
+  * Element-wise identical to the DuckDB oracle formulation
+  * {{{
+  *   list_min(list_transform(sh, x -> lower(lpad(to_hex(
+  *     ((('0x'||substr(md5(x),1,16))::UBIGINT::HUGEINT
+  *       + k * ('0x'||substr(md5(x),17,16))::UBIGINT::HUGEINT)
+  *      % 18446744073709551616::HUGEINT)::UBIGINT), 16, '0'))))
+  * }}}
+  * (see `ops/Dedup.mhSql`).
+  *
+  * Exists because per-seed digesting made md5 the suite's dominant CPU
+  * cost: the r4 form ran numHashes digests per shingle and was the
+  * single most throttle-amplified computation in the bench (q26 at 416s
+  * vs ~1.7s normal under the driver's CPU quota, VERDICT r4 #2). Now a
+  * shingle costs one digest plus numHashes adds/compares — the per-perm
+  * work is integer arithmetic, not hashing. CodegenFallback: the body is
+  * already a tight loop; the remaining md5-per-shingle dominates, not
+  * the eval dispatch.
   */
 case class MinHashSigs(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
 
-  // Seed prefixes ("0:", "1:", …) computed once per task, not per shingle.
-  @transient private lazy val seedPrefixes: Array[Array[Byte]] =
-    Array.tabulate(numHashes)(k => s"$k:".getBytes("UTF-8"))
-
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val md = MessageDigest.getInstance("MD5")
-    // Track minima as raw digest bytes (unsigned-lexicographic order ==
-    // lowercase-hex string order); hex-encode only the final winners —
-    // avoids one 32-char String per (shingle, seed).
-    val mins = Array.fill[Array[Byte]](numHashes)(null)
-    val scratch = new Array[Byte](16)
+    val mins = new Array[Long](numHashes)
+    var any = false
     var i = 0
     while (i < n) {
       val sh = arr.getUTF8String(i)
       if (sh != null) {
-        val shBytes = sh.getBytes
+        md.reset()
+        val digest = md.digest(sh.getBytes)
+        var h1 = 0L
+        var h2 = 0L
+        var j = 0
+        while (j < 8) {
+          h1 = (h1 << 8) | (digest(j) & 0xffL)
+          h2 = (h2 << 8) | (digest(j + 8) & 0xffL)
+          j += 1
+        }
+        // v walks h1 + k·h2 incrementally; Java long addition IS the
+        // mod-2^64 wrap the contract specifies.
+        var v = h1
         var k = 0
-        while (k < numHashes) {
-          md.reset()
-          md.update(seedPrefixes(k))
-          md.update(shBytes)
-          md.digest(scratch, 0, 16)
-          if (mins(k) == null || MinHashSigs.unsignedLt(scratch, mins(k))) {
-            if (mins(k) == null) mins(k) = new Array[Byte](16)
-            System.arraycopy(scratch, 0, mins(k), 0, 16)
+        if (!any) {
+          while (k < numHashes) { mins(k) = v; v += h2; k += 1 }
+          any = true
+        } else {
+          while (k < numHashes) {
+            if (java.lang.Long.compareUnsigned(v, mins(k)) < 0) mins(k) = v
+            v += h2
+            k += 1
           }
-          k += 1
         }
       }
       i += 1
     }
-    new GenericArrayData(mins.map(m =>
-      if (m == null) null else UTF8String.fromString(MinHashSigs.toHex(m))))
+    if (!any) new GenericArrayData(new Array[Any](numHashes))
+    else new GenericArrayData(
+      mins.map(m => UTF8String.fromString(MinHashSigs.toHex64(m)): Any))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -91,6 +112,17 @@ object MinHashSigs {
       val b = bytes(i) & 0xff
       out(2 * i) = HexChars(b >>> 4)
       out(2 * i + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** 16-char zero-padded lowercase hex of an unsigned 64-bit value. */
+  def toHex64(v: Long): String = {
+    val out = new Array[Char](16)
+    var i = 0
+    while (i < 16) {
+      out(15 - i) = HexChars(((v >>> (4 * i)) & 0xfL).toInt)
       i += 1
     }
     new String(out)

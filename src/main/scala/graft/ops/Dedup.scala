@@ -215,8 +215,15 @@ object Dedup {
        |       string_split_regex(text, '\\s+')[i+2])) AS sh
        |FROM $tbl WHERE len(string_split_regex(text, '\\s+')) >= 3""".stripMargin
 
-  private def mhSql(seed: Int): String =
-    s"list_min(list_transform(sh, x -> md5('$seed:' || x)))"
+  // Lockstep DuckDB mirror of the MinHashSigs double-hash kernel: one
+  // md5 per shingle, slot k = h1 + k·h2 mod 2^64 as 16-char hex (see
+  // functions/MinHashSigs.scala for the contract).
+  private def mhSql(seed: Int): String = {
+    val h1 = "('0x'||substr(md5(x),1,16))::UBIGINT::HUGEINT"
+    val h2 = "('0x'||substr(md5(x),17,16))::UBIGINT::HUGEINT"
+    s"list_min(list_transform(sh, x -> lower(lpad(to_hex((($h1 + " +
+      s"$seed*$h2) % 18446744073709551616::HUGEINT)::UBIGINT),16,'0'))))"
+  }
 
   val oracles: Map[String, String] = Map(
     "q26_minhash_signatures" ->

@@ -56,14 +56,34 @@ object IncrementalIndexes {
     new String(out)
   }
 
-  /** 3-word shingles + per-seed MinHash, JVM-side — the same formula as
-    * q26's `MinHashSigs` expression and its DuckDB oracle:
-    * mh_i = min over shingles of md5("i:" + shingle). */
+  /** 3-word shingles + MinHash, JVM-side — the same double-hash formula
+    * as q26's `MinHashSigs` expression and its DuckDB oracle: one md5
+    * per shingle, slot k = min over shingles of h1 + k·h2 mod 2^64
+    * (h1/h2 = big-endian uint64 of digest bytes 0-7 / 8-15) as 16-char
+    * lowercase hex. */
   private def minhashOf(text: String): Option[Seq[String]] = {
     val words = text.split("\\s+")
     if (words.length < 3) return None
     val sh = words.sliding(3).map(_.mkString(" ")).toArray.distinct
-    Some((0 until NumHashes).map(seed => sh.map(s => md5hex(s"$seed:$s")).min))
+    val mins = new Array[Long](NumHashes)
+    var any = false
+    for (s <- sh) {
+      val d = mdLocal.get().digest(s.getBytes("UTF-8"))
+      var h1 = 0L; var h2 = 0L
+      var j = 0
+      while (j < 8) {
+        h1 = (h1 << 8) | (d(j) & 0xffL)
+        h2 = (h2 << 8) | (d(j + 8) & 0xffL)
+        j += 1
+      }
+      var v = h1; var k = 0
+      while (k < NumHashes) {
+        if (!any || java.lang.Long.compareUnsigned(v, mins(k)) < 0) mins(k) = v
+        v += h2; k += 1
+      }
+      any = true
+    }
+    Some(mins.toSeq.map(graft.functions.MinHashSigs.toHex64))
   }
 
   case class DocText(doc_id: Long, text: String)
@@ -212,8 +232,14 @@ object IncrementalIndexes {
       ex.queryAll().select($"vec_id", $"cell")
     })
 
-  private def mhSql(seed: Int): String =
-    s"list_min(list_transform(sh, x -> md5('$seed:' || x)))"
+  // Lockstep DuckDB mirror of the MinHashSigs double-hash kernel (see
+  // functions/MinHashSigs.scala and ops/Dedup.mhSql).
+  private def mhSql(seed: Int): String = {
+    val h1 = "('0x'||substr(md5(x),1,16))::UBIGINT::HUGEINT"
+    val h2 = "('0x'||substr(md5(x),17,16))::UBIGINT::HUGEINT"
+    s"list_min(list_transform(sh, x -> lower(lpad(to_hex((($h1 + " +
+      s"$seed*$h2) % 18446744073709551616::HUGEINT)::UBIGINT),16,'0'))))"
+  }
 
   val oracles: Map[String, String] = Map(
     "q29_minhash_index_update" ->

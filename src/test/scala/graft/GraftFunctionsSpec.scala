@@ -19,7 +19,7 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getInt(0) == StableBucketHash.hash("PEOPLE-30", 65536))
     assert(r.getDouble(1) == 11.0)
     assert(r.getSeq[Int](2).length == 1)
-    assert(r.getSeq[String](3).forall(_.length == 32))
+    assert(r.getSeq[String](3).forall(_.length == 16))
   }
 
   test("hyperplane_buckets tolerates vectors shorter than dim") {
