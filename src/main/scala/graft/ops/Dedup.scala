@@ -113,34 +113,8 @@ object Dedup {
       val strong = lshCandidatePairs(s, dir)
         .where($"jaccard" >= 0.5)
         .select($"id_a", $"id_b")
-      val sym = barrier(strong.select($"id_a" as "src", $"id_b" as "dst")
-        .unionByName(strong.select($"id_b" as "src", $"id_a" as "dst")))
-      var persisted = barrier(sym.select($"src" as "id").distinct()
-        .select($"id", $"id" as "lbl"))
-      var labels = persisted
-      var changed = 1L
-      var iters = 0
-      val MaxIters = 64
-      while (changed > 0 && iters < MaxIters) {
-        val prop = labels.join(sym, $"id" === $"src")
-          .select($"dst" as "id", $"lbl", lit(null).cast("string") as "old")
-          .unionByName(labels.select($"id", $"lbl", $"lbl" as "old"))
-          .groupBy($"id").agg(min($"lbl") as "lbl", max($"old") as "old")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        changed = prop.where($"old".isNull || $"lbl" =!= $"old").count()
-        persisted.unpersist()
-        persisted = prop
-        labels = prop.select($"id", $"lbl")
-        iters += 1
-      }
-      // A component with diameter > MaxIters would otherwise be SILENTLY
-      // split into several cluster ids (wrong canonical-doc assignment);
-      // fail loudly instead — the fix at that scale is a
-      // pointer-doubling schedule, not a bigger cap.
-      if (changed > 0) throw new IllegalStateException(
-        s"near-dup clustering did not converge within $MaxIters rounds " +
-          s"($changed labels still improving) — component diameter exceeds the cap")
-      labels.select($"id" as "doc_id", $"lbl" as "cluster")
+      connectedComponents(s, strong)
+        .select($"id" as "doc_id", $"lbl" as "cluster")
     },
 
     // SimHash: 16-bit signature from md5-derived bit votes — the
@@ -162,6 +136,68 @@ object Dedup {
         .repartition(cpuWidth(s))
         .select($"doc_id", sig as "simhash")
     })
+
+  /** Connected components over an undirected edge list (`id_a`, `id_b`)
+    * by hash-min label propagation WITH POINTER JUMPING: component id =
+    * min node id in the component (string order, matching the q59
+    * contract "cluster id = min doc_id").
+    *
+    * Each round a node's label improves to the min of (its label, its
+    * neighbors' labels, its LABEL'S label). The third leg is the
+    * pointer-doubling step — following one hop of the label chain
+    * roughly halves every chain's length per round, so convergence is
+    * O(log d) rounds in the component diameter instead of O(d) (the r4
+    * shape, whose hard 64-round cap threw on any longer chain —
+    * VERDICT r4 #5; a 100 TB near-dup graph with one long chain
+    * component stopped the job). The 64-round cap is retained as a
+    * loud-failure backstop, now unreachable below diameter ~2^63.
+    *
+    * Per round: ONE bounded equi-join per leg against the label table,
+    * materialized through an eager `localCheckpoint` — a plain persist
+    * caches the DATA but the logical plan still triples per round (two
+    * label legs + the jump self-join), and the driver dies assembling
+    * exponential plan strings near round ~15 long before any data-size
+    * limit; the checkpoint truncates both the plan and the RDD lineage
+    * so every round's plan is flat. Checkpoint blocks are dropped by
+    * the ContextCleaner once a round's table becomes unreferenced.
+    * Convergence detection rides the propagation aggregation itself
+    * (each id's current label is carried through as `old`, and one
+    * action both materializes the round and counts improved labels).
+    * Works on the LSH-PRUNED edge set only — ≪ corpus; the all-pairs
+    * work was already avoided upstream. */
+  private[graft] def connectedComponents(
+      s: SparkSession, edges: org.apache.spark.sql.DataFrame,
+      maxIters: Int = 64): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val sym = barrier(edges.select($"id_a" as "src", $"id_b" as "dst")
+      .unionByName(edges.select($"id_b" as "src", $"id_a" as "dst")))
+    var labels = sym.select($"src" as "id").distinct()
+      .select($"id", $"id" as "lbl").localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val nbr = labels.join(sym, $"id" === $"src")
+        .select($"dst" as "id", $"lbl", lit(null).cast("string") as "old")
+      // Pointer jump: node v (label l) also learns lbl(l) — one
+      // self-join of the label table on lbl = id.
+      val jump = labels.as("v")
+        .join(labels.as("w"), col("v.lbl") === col("w.id"))
+        .select(col("v.id") as "id", col("w.lbl") as "lbl",
+          lit(null).cast("string") as "old")
+      val prop = nbr
+        .unionByName(jump)
+        .unionByName(labels.select($"id", $"lbl", $"lbl" as "old"))
+        .groupBy($"id").agg(min($"lbl") as "lbl", max($"old") as "old")
+        .localCheckpoint()
+      changed = prop.where($"old".isNull || $"lbl" =!= $"old").count()
+      labels = prop.select($"id", $"lbl")
+      iters += 1
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"connected components did not converge within $maxIters rounds " +
+        s"($changed labels still improving)")
+    labels
+  }
 
   /** The q27 pipeline: shingle → one-pass MinHash signature → banded
     * equi-join on (band, hash) for candidates → exact Jaccard on the
