@@ -76,3 +76,78 @@ final class AtomicCreateLeaseProvider(fs: () => FileSystem, leasePath: String)
   override def release(): Unit =
     fs().delete(new Path(leasePath), false)
 }
+
+/** The minimal conditional-write surface an object-store lease needs:
+  * atomic create-if-absent returning a generation tag, tag-conditional
+  * delete, and read. S3 (`If-None-Match: *` PUT + `If-Match` DELETE),
+  * GCS (`ifGenerationMatch=0`), and Azure Blob (ETag preconditions) all
+  * provide exactly these primitives; [[InMemoryEtagStore]] emulates the
+  * same strong semantics locally so the protocol is raceable in tests
+  * without a cloud endpoint. */
+trait EtagStore {
+
+  /** Atomic create-if-absent: `Some(etag)` when this call created the
+    * object, `None` when an object already existed. */
+  def putIfAbsent(key: String, value: Array[Byte]): Option[String]
+
+  /** Delete the object. With `Some(etag)` the delete only happens if the
+    * CURRENT object still carries that tag (compare-and-delete); with
+    * `None` it is unconditional (operator force-release). Returns true
+    * iff an object was deleted by this call. */
+  def deleteIf(key: String, etag: Option[String]): Boolean
+
+  def get(key: String): Option[(Array[Byte], String)]
+}
+
+/** Local emulation of the conditional-put object store: a concurrent map
+  * whose `putIfAbsent`/`remove(key, value)` give exactly the atomicity
+  * the cloud APIs promise. Tests race providers against this; production
+  * swaps in an S3/GCS/ABS-backed [[EtagStore]] with no provider change. */
+final class InMemoryEtagStore extends EtagStore {
+  private val m =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], String)]()
+  private val gen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  override def putIfAbsent(key: String, value: Array[Byte]): Option[String] = {
+    val tag = s"g${gen.incrementAndGet()}"
+    if (m.putIfAbsent(key, (value, tag)) == null) Some(tag) else None
+  }
+
+  override def deleteIf(key: String, etag: Option[String]): Boolean =
+    etag match {
+      case None => m.remove(key) != null
+      case Some(t) =>
+        val cur = m.get(key)
+        cur != null && cur._2 == t && m.remove(key, cur)
+    }
+
+  override def get(key: String): Option[(Array[Byte], String)] = Option(m.get(key))
+}
+
+/** Conditional-put lease for S3-family object stores, where plain file
+  * create is NOT atomic (see [[LeaseProvider]]): acquire is a
+  * create-if-absent PUT, and the holder's own release is an etag
+  * compare-and-delete — so a STALE holder (its lease force-broken by an
+  * operator, the store since re-leased to a new writer) cannot delete
+  * the new writer's lease. A provider that never acquired (fresh
+  * instance, `heldTag` empty) releases unconditionally: that is the
+  * operator force-release path the [[LeaseProvider]] contract requires. */
+final class ConditionalPutLeaseProvider(store: EtagStore, key: String)
+    extends LeaseProvider {
+
+  @volatile private var heldTag: Option[String] = None
+
+  override def acquire(info: String): Unit =
+    store.putIfAbsent(key, info.getBytes(java.nio.charset.StandardCharsets.UTF_8)) match {
+      case Some(tag) => heldTag = Some(tag)
+      case None => throw new IllegalStateException(
+        s"another writer holds $key — concurrent maintenance on one " +
+          "store is not supported (single-writer contract). If the " +
+          "previous writer crashed, run breakLease() then recover().")
+    }
+
+  override def release(): Unit = heldTag match {
+    case Some(t) => store.deleteIf(key, Some(t)); heldTag = None
+    case None => store.deleteIf(key, None)
+  }
+}

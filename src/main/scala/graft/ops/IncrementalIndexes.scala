@@ -171,6 +171,38 @@ object IncrementalIndexes {
     def documentId(d: VecDoc): String = s"vec-${d.vec_id}"
   }
 
+  case class ShingleFreq(sh: String, ndocs: Long)
+
+  /** The corpus shingle-frequency table (q69's artifact) as a maintained
+    * index — the first CURATION index through the engine, and the first
+    * whose reduce genuinely merges MANY documents per key (q29/q64/q37
+    * reduce one doc's own rows): reduce key = the shingle hash, reduce =
+    * count of contributing docs. An edited document retracts its old
+    * shingles and contributes its new ones through delete-and-invalidate
+    * + sibling re-reduce; every shingle no edited doc touches is
+    * untouched state. At 100 TB this is the table a production C4-style
+    * dedup pass consults, and rebuilding it per corpus drop is exactly
+    * the recompute the reference exists to avoid
+    * (reference: `MapReduce/Executer.cs:31-45`). */
+  object ShingleFreqIndex extends MapReduceTask[DocText, ShingleFreq] {
+    def map(docs: Iterator[DocText]): Iterator[(String, ShingleFreq)] =
+      docs.flatMap { d =>
+        val ws = d.text.split("\\s+")
+        if (ws.length < 3) Iterator.empty
+        else ws.sliding(3).map(g => md5hex(g.mkString(" ")))
+          .toArray.distinct.iterator
+          .map(sh => (s"doc-${d.doc_id}", ShingleFreq(sh, 1L)))
+      }
+    def reduce(entries: Iterator[ShingleFreq]): Iterator[ShingleFreq] = {
+      var sh: String = null; var n = 0L
+      entries.foreach { e => sh = e.sh; n += e.ndocs }
+      if (sh == null) Iterator.empty else Iterator(ShingleFreq(sh, n))
+    }
+    def reduceKey(e: ShingleFreq): String = e.sh
+    def documentId(d: DocText): String = s"doc-${d.doc_id}"
+    override def singleOutput: Boolean = true
+  }
+
   val queries: Map[String, Q] = Map(
     // Build the signature index over all documents, then incrementally
     // re-submit the ~1/7 of documents whose text changed (an appended
@@ -230,6 +262,28 @@ object IncrementalIndexes {
         .map(v => v.copy(embedding = v.embedding.map(x => -x)))
       ex.execute(updates)
       ex.queryAll().select($"vec_id", $"cell")
+    },
+
+    // Corpus shingle-frequency table as a maintained index: build over
+    // all documents, re-submit the ~1/7 mutated slice (text appended →
+    // old shingles retracted, new ones added), return the maintained
+    // (sh, ndocs) state; the oracle recomputes the same table from
+    // scratch over the post-update corpus, so equality IS the
+    // incremental ≡ batch proof for a many-docs-per-key reduce.
+    "q77_shingle_freq_index_update" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val store = Files.createTempDirectory("graft-q77").toString
+      val docs = t(s, dir, "documents")
+        .select($"doc_id".cast("long") as "doc_id", $"text")
+        .repartition(cpuWidth(s)).as[DocText]
+      val ex = new Executer(ShingleFreqIndex, store,
+        ExecuterConfig(fanIn = 16, finalParts = 8))
+      ex.execute(docs)
+      val updates = docs.filter(_.doc_id % 7 == 0)
+        .map(d => d.copy(text = d.text + " xrevision marker"))
+      ex.execute(updates)
+      ex.queryAll().select($"sh", $"ndocs")
     })
 
   // Lockstep DuckDB mirror of the MinHashSigs double-hash kernel (see
@@ -290,6 +344,19 @@ object IncrementalIndexes {
         |                    generate_subscripts(e, 1) AS i) ei) >= 0
         |      THEN power(2, b.bit) ELSE 0 END) AS INT)
         |   FROM (SELECT unnest(generate_series(0, 7)) AS bit) b) AS cell
-        |FROM src""".stripMargin
+        |FROM src""".stripMargin,
+    "q77_shingle_freq_index_update" ->
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' xrevision marker' ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM src),
+        |d AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(ws) - 2),
+        |    i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))) AS sh
+        |  FROM w WHERE len(ws) >= 3)
+        |SELECT sh, count(*) AS ndocs FROM d GROUP BY sh""".stripMargin
   )
 }

@@ -1,6 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-quality assertions — the scale story made testable: broadcasts on
@@ -14,6 +17,14 @@ class PlanSpec extends AnyFunSuite {
 
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  /** Collect over the physical plan tree, descending through AQE
+    * wrapper nodes (`AdaptiveSparkPlanExec` is a leaf whose real plan
+    * hangs off `executedPlan`) — tree matching instead of plan-string
+    * substrings, which drift across Spark versions. */
+  private def collectPlan[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    p.collect(pf) ++ p.collect { case a: AdaptiveSparkPlanExec => a }
+      .flatMap(a => collectPlan(a.executedPlan)(pf))
 
   test("broadcast joins on bounded dimensions") {
     assert(plan("q04_join_broadcast").contains("BroadcastHashJoin"))
@@ -148,15 +159,16 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("sequence packing stays strata-parallel: window and aggregate, no global sort") {
-    val p = plan("q68_pack_sequences")
     // A global ordered cumsum would plan a global Sort (range-partitioned
-    // exchange + `Sort [...], true`); the window's sort must stay
-    // partition-local (`Sort [...], false`).
-    assert(!p.contains("Exchange rangepartitioning") && !p.contains("], true, 0"),
-      s"unexpected global sort:\n${p.take(1200)}")
-    val exchanges = p.linesIterator.count(l => l.contains("Exchange hashpartitioning") ||
-      l.contains("Exchange rangepartitioning") || l.contains("Exchange SinglePartition"))
-    assert(exchanges <= 3, s"too many exchanges ($exchanges):\n${p.take(1500)}")
+    // exchange feeding `SortExec(global = true)`); the window's sort must
+    // stay partition-local. Assert on the plan TREE, not its string form.
+    val p = SparkEntry.queries("q68_pack_sequences")(spark, dir)
+      .queryExecution.executedPlan
+    val globalSorts = collectPlan(p) { case s: SortExec if s.global => s }
+    assert(globalSorts.isEmpty,
+      s"unexpected global sort: ${globalSorts.map(_.verboseString(2)).mkString("; ")}")
+    val exchanges = collectPlan(p) { case e: ShuffleExchangeLike => e }
+    assert(exchanges.size <= 3, s"too many exchanges (${exchanges.size}):\n${p.toString.take(1500)}")
   }
 
   test("the full-outer join keeps both aggregates partial-agg'd map-side") {
