@@ -261,12 +261,45 @@ class Executer[D, R <: Product: TypeTag](
     var jobs = 0
     val t = task // local val: closures must not capture `this`
     val batchSeq = bumpSeq()
-    val docsP = docs.persist()
+    // A batch submitted as a small LOCAL dataset (createDataset — the
+    // shape of every maintenance loop feeding driver-collected
+    // micro-batches) needs no persist: its rows live on the driver, and
+    // skipping the persist keeps `docs.collect()` a driver-side row
+    // decode (LocalTableScanExec short-circuit, no Spark job) for the
+    // ids probe below — persisting would cache-substitute the plan and
+    // turn that collect into a job.
+    val localSmall = docs.queryExecution.logical match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        if lr.data.length <= DriverDirtyLimit => true
+      case _ => false
+    }
+    val docsP = if (localSmall) docs else docs.persist()
     try {
-      val mapped: DataFrame = docsP
-        .mapPartitions { it => t.map(it).map { case (id, r) => (id, t.reduceKey(r), r) } }
-        .toDF("doc_id", "reduce_key", "payload")
-        .withColumn("doc_id", upper($"doc_id"))
+      // For a local batch the user's map runs ON THE DRIVER, once — the
+      // reference's single-node update model (`Executer.cs:31-45`)
+      // applied where it is genuinely cheaper: the output becomes a
+      // LocalRelation plan (no persist, no materialization job), the
+      // batch's new dirty pairs are computable without any Spark job,
+      // and the cluster never re-executes the map function for it.
+      // `UTF8String.toUpperCase` matches the SQL `upper()` exactly
+      // (JDK-locale upper would diverge on e.g. dotted-I).
+      val localDocRows: Option[Seq[D]] =
+        if (localSmall) Some(docs.collect().toSeq) else None
+      val localMapped: Option[Seq[(String, String, R)]] = localDocRows.map { ds =>
+        t.map(ds.iterator).map { case (id, r) =>
+          (org.apache.spark.unsafe.types.UTF8String.fromString(id)
+            .toUpperCase.toString, t.reduceKey(r), r)
+        }.toSeq
+      }
+      val mappedBase: DataFrame = localMapped match {
+        case Some(rows) =>
+          spark.createDataset(rows)(encKR).toDF("doc_id", "reduce_key", "payload")
+        case None => docsP
+          .mapPartitions { it => t.map(it).map { case (id, r) => (id, t.reduceKey(r), r) } }
+          .toDF("doc_id", "reduce_key", "payload")
+      }
+      val mapped: DataFrame = mappedBase
+        .withColumn("doc_id", upper($"doc_id")) // no-op for local rows: one spelling
         .withColumn(
           "bucket",
           StableBucketHash.stableBucket($"doc_id", config.buckets))
@@ -298,8 +331,20 @@ class Executer[D, R <: Product: TypeTag](
           (System.nanoTime() - t0) / 1000000))
       } else {
         // ---- probe 1: the incoming ids (bounded collect) --------------
-        val idsProbe = incomingIds.limit(DriverDirtyLimit + 1)
-          .as[String].collect(); jobs += 1
+        // Local batches decode their ids on the driver (no job);
+        // `UTF8String.toUpperCase` matches the SQL `upper()` the
+        // distributed probe applies (JDK-locale upper would diverge on
+        // e.g. dotted-I). Distributed batches keep the bounded collect.
+        val idsProbe: Array[String] =
+          if (localSmall)
+            localDocRows.get.iterator
+              .map(d => org.apache.spark.unsafe.types.UTF8String
+                .fromString(t.documentId(d)).toUpperCase.toString)
+              .toArray.distinct
+          else {
+            jobs += 1
+            incomingIds.limit(DriverDirtyLimit + 1).as[String].collect()
+          }
         val idsSmall = idsProbe.length <= DriverDirtyLimit
 
         // A document's bucket (hence `parent` partition) is a pure
@@ -333,7 +378,7 @@ class Executer[D, R <: Product: TypeTag](
         // runs exactly once per batch. The provenance flag (pair seen on
         // a stale row vs only on new map output) picks the append fast
         // path below.
-        val mappedP = mapped.persist()
+        val mappedP = if (localSmall) mapped else mapped.persist()
         def maintain(): Unit = {
           val stale =
             if (idsSmall) existing.where($"doc_id".isin(idsProbe.toIndexedSeq: _*))
@@ -346,22 +391,46 @@ class Executer[D, R <: Product: TypeTag](
           // single-partition; larger driver-pruned batches keep codegen
           // and a narrow fixed width.
           val tinyBatch = idsSmall && idsProbe.length <= 64
-          val pairsProbe =
-            if (idsSmall)
-              withTinyShuffle(if (tinyBatch) 1 else 8, codegenOff = tinyBatch)(
-                dirtyDF.limit(DriverDirtyLimit + 1).collect())
-            else dirtyDF.limit(DriverDirtyLimit + 1).collect()
-          jobs += 1
+          // The probe: (distinct dirty pairs, any stale row seen, probe
+          // overflowed past the driver limit). Local batches know their
+          // NEW pairs already (the map ran driver-side), so the probe job
+          // scans only the STALE side — filter + distinct on the incoming
+          // parents, no union with map output, no cache materialization.
+          // Distributed batches keep the combined probe, which also
+          // materializes `mappedP` into the block cache so the map
+          // function runs exactly once per batch.
+          val (pairs, anyStale, probeOverflow) =
+            if (localSmall) {
+              val newPairs = localMapped.get.map { case (id, key, _) =>
+                (key, StableBucketHash.hash(id, config.buckets) / config.fanIn)
+              }.distinct
+              val staleRows = withTinyShuffle(if (tinyBatch) 1 else 8,
+                  codegenOff = tinyBatch)(
+                stale.select($"reduce_key", $"parent").distinct()
+                  .limit(DriverDirtyLimit + 1).collect())
+              jobs += 1
+              val all = (staleRows.iterator.map(r => (r.getString(0), r.getInt(1)))
+                ++ newPairs.iterator).toSeq.distinct
+              (all, staleRows.nonEmpty,
+                staleRows.length > DriverDirtyLimit || all.length > DriverDirtyLimit)
+            } else {
+              val pairsProbe =
+                if (idsSmall)
+                  withTinyShuffle(if (tinyBatch) 1 else 8, codegenOff = tinyBatch)(
+                    dirtyDF.limit(DriverDirtyLimit + 1).collect())
+                else dirtyDF.limit(DriverDirtyLimit + 1).collect()
+              jobs += 1
+              (pairsProbe.map(r => (r.getString(0), r.getInt(1))).distinct.toSeq,
+                pairsProbe.exists(_.getBoolean(2)),
+                pairsProbe.length > DriverDirtyLimit)
+            }
 
-          if (pairsProbe.length <= DriverDirtyLimit)
+          if (!probeOverflow)
             withTinyShuffle(if (tinyBatch) 1 else 8, codegenOff = tinyBatch) {
             // Small dirty set — the common incremental case. Everything
             // downstream is derived from the probe: the WAL is written
             // from driver rows (a no-scan local-relation write), and all
             // state scans use pushed-down isin filters.
-            val pairs = pairsProbe.map(r => (r.getString(0), r.getInt(1)))
-              .distinct.toSeq
-            val anyStale = pairsProbe.exists(_.getBoolean(2))
             val dirtyParents = pairs.map(_._2).distinct.sorted
             // The dirty set is on the driver — write the WAL directly to
             // the store filesystem (no Spark job, no commit protocol).
@@ -488,7 +557,7 @@ class Executer[D, R <: Product: TypeTag](
         // fold is itself O(tombstoned partitions), and resets the clock).
         if (tombstoneEstimate() > config.tombstoneLimit) foldTombstonesLocked()
       }
-    } finally docsP.unpersist()
+    } finally if (!localSmall) docsP.unpersist()
     _lastStats.foreach(s => log.info(s"execute: $s"))
   }
 
@@ -1159,15 +1228,42 @@ class Executer[D, R <: Product: TypeTag](
   }
 
   /** A map row survives iff no tombstone for its doc is newer than the
-    * batch that wrote it. Broadcast by construction: the tombstone set is
-    * bounded by `tombstoneLimit` (auto-fold), so the big map-side scan is
-    * never shuffled for this. */
-  private def applyTombstones(df: DataFrame): DataFrame = tombstoneDF() match {
-    case None => df
-    case Some(t) =>
-      df.join(broadcast(t), Seq("doc_id"), "left")
-        .where($"tomb_seq".isNull || $"seq" >= $"tomb_seq")
-        .drop("tomb_seq")
+    * batch that wrote it. Two spellings by live-set size:
+    *
+    *   - SMALL sets living only in the driver-local file (the steady
+    *     state of a maintenance loop between folds): an exact predicate
+    *     — `¬(doc_id ∈ ids(s) ∧ seq < s)` per distinct tombstone seq —
+    *     instead of a join. A broadcast join here costs a broadcast-
+    *     exchange job (+ its ~100ms driver round trip) per state read
+    *     and deepens every downstream plan, which dominated the fixed
+    *     cost of a 1-doc update; the predicate adds zero jobs and its
+    *     `isin` pushes into the parquet scan. The local file is already
+    *     max-merged per doc, so the predicate is exact, not heuristic.
+    *   - Larger or distributed sets: broadcast join, broadcast-safe by
+    *     construction — the set is bounded by `tombstoneLimit`
+    *     (auto-fold), so the big map-side scan is never shuffled. */
+  private val TombPredicateLimit = 512
+
+  private def applyTombstones(df: DataFrame): DataFrame = {
+    val local = if (exists(tombLocalPath)) readTombLocal() else Nil
+    if (!exists(tombDistPath) && local.isEmpty) return df
+    // One OR clause per distinct seq: cap the clause count too — a deep
+    // Or-tree neither pushes down nor survives the analyzer's recursion
+    // (same failure shape as the dirty-pair Or-tree, rereducePruned).
+    if (!exists(tombDistPath) && local.size <= TombPredicateLimit &&
+        local.iterator.map(_._2).toSet.size <= 16) {
+      val dead = local.groupBy(_._2).toSeq.map { case (s, entries) =>
+        $"doc_id".isin(entries.map(_._1): _*) && $"seq" < lit(s)
+      }.reduce(_ || _)
+      return df.where(!dead)
+    }
+    tombstoneDF() match {
+      case None => df
+      case Some(t) =>
+        df.join(broadcast(t), Seq("doc_id"), "left")
+          .where($"tomb_seq".isNull || $"seq" >= $"tomb_seq")
+          .drop("tomb_seq")
+    }
   }
 
   /** EXACT entries in the live tombstone set, without a Spark job: the

@@ -184,12 +184,12 @@ object IncrementalIndexes {
     * dedup pass consults, and rebuilding it per corpus drop is exactly
     * the recompute the reference exists to avoid
     * (reference: `MapReduce/Executer.cs:31-45`). */
-  object ShingleFreqIndex extends MapReduceTask[DocText, ShingleFreq] {
+  class KgramFreqIndex(k: Int) extends MapReduceTask[DocText, ShingleFreq] {
     def map(docs: Iterator[DocText]): Iterator[(String, ShingleFreq)] =
       docs.flatMap { d =>
         val ws = d.text.split("\\s+")
-        if (ws.length < 3) Iterator.empty
-        else ws.sliding(3).map(g => md5hex(g.mkString(" ")))
+        if (ws.length < k) Iterator.empty
+        else ws.sliding(k).map(g => md5hex(g.mkString(" ")))
           .toArray.distinct.iterator
           .map(sh => (s"doc-${d.doc_id}", ShingleFreq(sh, 1L)))
       }
@@ -202,6 +202,14 @@ object IncrementalIndexes {
     def documentId(d: DocText): String = s"doc-${d.doc_id}"
     override def singleOutput: Boolean = true
   }
+
+  /** q69's table: 3-gram shingle frequency over the whole corpus. */
+  object ShingleFreqIndex extends KgramFreqIndex(3)
+
+  /** q66's probe table: the 4-gram shingle set of the held-out eval
+    * slice, maintained as an index so a benchmark release is an UPDATE
+    * (submit the new eval docs), not a recompute of the whole list. */
+  object EvalShingleIndex extends KgramFreqIndex(4)
 
   val queries: Map[String, Q] = Map(
     // Build the signature index over all documents, then incrementally
@@ -284,6 +292,35 @@ object IncrementalIndexes {
         .map(d => d.copy(text = d.text + " xrevision marker"))
       ex.execute(updates)
       ex.queryAll().select($"sh", $"ndocs")
+    },
+
+    // Incremental decontamination: the eval-shingle probe list lives in
+    // a maintained index. Build it from the initial benchmark slice
+    // (doc_id % 97), then a NEW benchmark release lands (doc_id % 89) as
+    // an UPDATE — only the new eval docs shingle; the list is never
+    // recomputed. The maintained state then drives q66's broadcast
+    // probe over the training side. At 100 TB the training scan is the
+    // expensive leg either way; this keeps the probe-list maintenance
+    // O(new benchmark), the reference's update contract applied to the
+    // curation family. Oracle: from-scratch decontamination against the
+    // union eval set.
+    "q78_decontaminate_index_update" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val store = Files.createTempDirectory("graft-q78").toString
+      val docs = t(s, dir, "documents")
+        .select($"doc_id".cast("long") as "doc_id", $"text")
+        .repartition(cpuWidth(s)).as[DocText]
+      val ex = new Executer(EvalShingleIndex, store,
+        ExecuterConfig(fanIn = 16, finalParts = 8))
+      ex.execute(docs.filter(_.doc_id % 97 == 0))
+      ex.execute(docs.filter(d => d.doc_id % 89 == 0 && d.doc_id % 97 != 0))
+      val evalSh = ex.queryAll().select($"sh")
+      val trainSh = Curation.shingleStream(s, dir, 4)
+        .where($"doc_id" % 97 =!= 0 && $"doc_id" % 89 =!= 0)
+      trainSh.join(org.apache.spark.sql.functions.broadcast(evalSh), "sh")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)) as "contaminated_shingles")
     })
 
   // Lockstep DuckDB mirror of the MinHashSigs double-hash kernel (see
@@ -357,6 +394,22 @@ object IncrementalIndexes {
         |    generate_series(1, len(ws) - 2),
         |    i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))) AS sh
         |  FROM w WHERE len(ws) >= 3)
-        |SELECT sh, count(*) AS ndocs FROM d GROUP BY sh""".stripMargin
+        |SELECT sh, count(*) AS ndocs FROM d GROUP BY sh""".stripMargin,
+    "q78_decontaminate_index_update" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w) - 3),
+        |    i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |             w[i+3])))) AS sh
+        |  FROM ws WHERE len(w) >= 4),
+        |ev AS (SELECT DISTINCT sh FROM sh
+        |       WHERE doc_id % 97 = 0 OR doc_id % 89 = 0),
+        |train AS (SELECT doc_id, sh FROM sh
+        |          WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0)
+        |SELECT train.doc_id, count(*) AS contaminated_shingles
+        |FROM train JOIN ev USING (sh)
+        |GROUP BY train.doc_id""".stripMargin
   )
 }

@@ -79,7 +79,11 @@ object ChurnProps extends Properties("Churn") {
         val effective = docs.map { case (i, s) => Person(docId(i), states(s)) }
           .groupBy(_.id).map(_._2.last).toSeq
         effective.foreach(p => model(p.id.toUpperCase) = p.state)
-        ex.execute(spark.createDataset(effective))
+        // Alternate the batch's plan shape: a LocalRelation batch takes
+        // the driver-local probe fast path, a repartitioned one the
+        // cluster-side probes — both must produce identical state.
+        val batch = spark.createDataset(effective)
+        ex.execute(if (effective.size % 2 == 0) batch else batch.repartition(2))
       case PurgeDocs(ids) =>
         val names = ids.distinct.map(docId)
         names.foreach(n => model.remove(n.toUpperCase))
