@@ -179,13 +179,19 @@ object Dedup {
       val nbr = labels.join(sym, $"id" === $"src")
         .select($"dst" as "id", $"lbl", lit(null).cast("string") as "old")
       // Pointer jump: node v (label l) also learns lbl(l) — one
-      // self-join of the label table on lbl = id.
-      val jump = labels.as("v")
-        .join(labels.as("w"), col("v.lbl") === col("w.id"))
-        .select(col("v.id") as "id", col("w.lbl") as "lbl",
-          lit(null).cast("string") as "old")
-      val prop = nbr
-        .unionByName(jump)
+      // self-join of the label table on lbl = id. Engaged only from
+      // round 3: with identity labels round 1's jump is a no-op by
+      // construction, and shallow components (the common near-dup
+      // shape — diameter 2-3) converge on neighbor propagation alone,
+      // so the self-join would be a pure extra shuffle per round.
+      // Long chains still converge in O(2 + log d) rounds.
+      val legs =
+        if (iters < 2) nbr
+        else nbr.unionByName(labels.as("v")
+          .join(labels.as("w"), col("v.lbl") === col("w.id"))
+          .select(col("v.id") as "id", col("w.lbl") as "lbl",
+            lit(null).cast("string") as "old"))
+      val prop = legs
         .unionByName(labels.select($"id", $"lbl", $"lbl" as "old"))
         .groupBy($"id").agg(min($"lbl") as "lbl", max($"old") as "old")
         .localCheckpoint()
