@@ -130,6 +130,34 @@ object Curation {
           min($"doc_id") as "first_doc")
     },
 
+    // PII scrubbing: regex detection + masking of emails/phone tokens,
+    // the pre-training redaction pass. The synthetic corpus has no
+    // organic PII, so the query INJECTS it deterministically first
+    // (doc_id-derived — same honest-synthesis pattern as the multimodal
+    // payloads); everything after injection is the production path:
+    // codegen'd regexp_count/regexp_replace per row, zero shuffles, the
+    // shape that streams a 100 TB corpus through the scan stage. Output
+    // pins both the counts and the md5 of the scrubbed text, so a
+    // masking regression cannot hide behind matching counts.
+    "q79_pii_scrub" -> { (s, dir) =>
+      import s.implicits._
+      val withEmail = when($"doc_id" % 5 === 0,
+        concat($"text", lit(" contact user"), $"doc_id",
+          lit("@example.com now"))).otherwise($"text")
+      val injected = when($"doc_id" % 11 === 0,
+        concat(withEmail, lit(" call 555-"), $"doc_id", lit(" today")))
+        .otherwise(withEmail)
+      val emailPat = "[a-z0-9]+@[a-z]+\\.com"
+      val phonePat = "555-[0-9]+"
+      t(s, dir, "documents")
+        .select($"doc_id", injected as "t")
+        .select($"doc_id",
+          regexp_count($"t", lit(emailPat)) as "emails",
+          regexp_count($"t", lit(phonePat)) as "phones",
+          md5(regexp_replace(regexp_replace($"t", emailPat, "[EMAIL]"),
+            phonePat, "[PHONE]")) as "clean_md5")
+    },
+
     // Cross-corpus duplicate-shingle rate (the C4 measurement): for
     // each doc, how many of its distinct 3-gram shingles also occur in
     // at least one OTHER doc. Shingle-frequency table (one shuffle on
@@ -154,6 +182,25 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q66_decontaminate" -> decontaminationOracle,
+    "q79_pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' contact user' || doc_id || '@example.com now'
+        |      ELSE text END AS t0
+        |  FROM documents),
+        |inj2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN t0 || ' call 555-' || doc_id || ' today' ELSE t0 END AS t
+        |  FROM inj)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.com')) AS INT)
+        |    AS emails,
+        |  CAST(len(regexp_extract_all(t, '555-[0-9]+')) AS INT) AS phones,
+        |  md5(regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\.com',
+        |    '[EMAIL]', 'g'), '555-[0-9]+', '[PHONE]', 'g')) AS clean_md5
+        |FROM inj2""".stripMargin,
     "q67_repetition_gate" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents

@@ -108,13 +108,27 @@ object Dedup {
     // materializing action both populates the cache and counts ids
     // whose label improved — the former separate prop⋈labels
     // convergence join doubled every iteration's work.
-    "q59_neardup_clusters" -> { (s, dir) =>
+    "q59_neardup_clusters" -> { (s, dir) => neardupClusters(s, dir) },
+
+    // Leakage-safe train/val/test split: the assignment hashes the
+    // near-dup CLUSTER id, not the doc id — every member of a near-dup
+    // cluster lands in the same split by construction, so an eval split
+    // can never contain a near-copy of a training document (the subtle
+    // leak a doc-hash split admits). Singleton docs are their own
+    // cluster. The salted-md5 split is reproducible and pure (no
+    // shuffle beyond the cluster computation it composes); 90/5/5 on
+    // the hash's first 4 hex digits mod 100.
+    "q81_leakage_safe_split" -> { (s, dir) =>
       import s.implicits._
-      val strong = lshCandidatePairs(s, dir)
-        .where($"jaccard" >= 0.5)
-        .select($"id_a", $"id_b")
-      connectedComponents(s, strong)
-        .select($"id" as "doc_id", $"lbl" as "cluster")
+      val clusters = neardupClusters(s, dir)
+      val assigned = t(s, dir, "documents").select($"doc_id")
+        .join(clusters, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"cluster", $"doc_id") as "cluster")
+      val h = conv(substring(
+        md5(concat(lit("split|"), $"cluster".cast("string"))), 1, 4), 16, 10)
+        .cast("int") % 100
+      assigned.select($"doc_id", $"cluster",
+        when(h < 90, "train").when(h < 95, "val").otherwise("test") as "split")
     },
 
     // SimHash: 16-bit signature from md5-derived bit votes — the
@@ -136,6 +150,18 @@ object Dedup {
         .repartition(cpuWidth(s))
         .select($"doc_id", sig as "simhash")
     })
+
+  /** q59's pipeline body, shared with q81: strong (jaccard ≥ 0.5)
+    * LSH candidates → connected components → (doc_id, cluster). */
+  private def neardupClusters(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val strong = lshCandidatePairs(s, dir)
+      .where($"jaccard" >= 0.5)
+      .select($"id_a", $"id_b")
+    connectedComponents(s, strong)
+      .select($"id" as "doc_id", $"lbl" as "cluster")
+  }
 
   /** Connected components over an undirected edge list (`id_a`, `id_b`)
     * by hash-min label propagation WITH POINTER JUMPING: component id =
@@ -267,6 +293,35 @@ object Dedup {
       s"$seed*$h2) % 18446744073709551616::HUGEINT)::UBIGINT),16,'0'))))"
   }
 
+  /** The near-dup cluster computation as a recursive CTE prefix (ends at
+    * `reach`), shared by the q59 oracle and q81's split on top of it. */
+  private lazy val clusterCteSql: String =
+    s"""WITH RECURSIVE d AS (${shinglesSql("documents")}),
+       |banded AS (
+       |  SELECT doc_id, sh, b.band,
+       |    CASE b.band ${(0 until Bands).map(bd =>
+             s"WHEN $bd THEN md5(${mhSql(bd * 2)} || '|' || ${mhSql(bd * 2 + 1)})").mkString(" ")}
+       |    END AS bh
+       |  FROM d, (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bh) AS bn FROM banded) t
+       |  WHERE bn <= $MaxBucket),
+       |strong AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        len(list_distinct(a.sh || b.sh)) >= 0.5),
+       |e AS (
+       |  SELECT id_a AS src, id_b AS dst FROM strong
+       |  UNION ALL SELECT id_b, id_a FROM strong),
+       |n AS (SELECT DISTINCT src AS id FROM e),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM n
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q26_minhash_signatures" ->
       s"""WITH d AS (${shinglesSql("documents")})
@@ -293,32 +348,21 @@ object Dedup {
          |    len(list_distinct(sh_a || sh_b)) AS jaccard
          |FROM pairs""".stripMargin,
     "q59_neardup_clusters" ->
-      s"""WITH RECURSIVE d AS (${shinglesSql("documents")}),
-         |banded AS (
-         |  SELECT doc_id, sh, b.band,
-         |    CASE b.band ${(0 until Bands).map(bd =>
-               s"WHEN $bd THEN md5(${mhSql(bd * 2)} || '|' || ${mhSql(bd * 2 + 1)})").mkString(" ")}
-         |    END AS bh
-         |  FROM d, (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b),
-         |capped AS (
-         |  SELECT * FROM (
-         |    SELECT *, count(*) OVER (PARTITION BY band, bh) AS bn FROM banded) t
-         |  WHERE bn <= $MaxBucket),
-         |strong AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh
-         |  WHERE a.doc_id < b.doc_id
-         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |        len(list_distinct(a.sh || b.sh)) >= 0.5),
-         |e AS (
-         |  SELECT id_a AS src, id_b AS dst FROM strong
-         |  UNION ALL SELECT id_b, id_a FROM strong),
-         |n AS (SELECT DISTINCT src AS id FROM e),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM n
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+      s"""$clusterCteSql
          |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "q81_leakage_safe_split" ->
+      s"""$clusterCteSql,
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+         |a AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+         |  FROM (SELECT doc_id FROM documents) d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, cluster,
+         |  CASE WHEN ('0x' || substr(md5('split|' || CAST(cluster AS VARCHAR)),
+         |      1, 4))::INT % 100 < 90 THEN 'train'
+         |    WHEN ('0x' || substr(md5('split|' || CAST(cluster AS VARCHAR)),
+         |      1, 4))::INT % 100 < 95 THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM a""".stripMargin,
     "q28_simhash" ->
       s"""SELECT doc_id,
          |CAST((SELECT sum(CASE WHEN

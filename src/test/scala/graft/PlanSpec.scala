@@ -171,6 +171,22 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.size <= 3, s"too many exchanges (${exchanges.size}):\n${p.toString.take(1500)}")
   }
 
+  test("round-5 plans: maintained probe list broadcasts; PII scrub never shuffles") {
+    // q78: the maintained eval-shingle state is the bounded side of the
+    // decontamination join — it must broadcast so the training-side
+    // shingle stream (the 100 TB leg) is never shuffled.
+    val p78 = plan("q78_decontaminate_index_update")
+    assert(p78.contains("BroadcastHashJoin"), p78.take(1200))
+    // q79: regex scrub is pure per-row work before the final count's
+    // aggregation — the scan→project stage must contain no exchange
+    // other than the output aggregation... in fact the query has no
+    // aggregation at all, so ZERO exchanges.
+    val p79 = SparkEntry.queries("q79_pii_scrub")(spark, dir)
+      .queryExecution.executedPlan
+    assert(collectPlan(p79) { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"PII scrub should be shuffle-free:\n${p79.toString.take(1200)}")
+  }
+
   test("the full-outer join keeps both aggregates partial-agg'd map-side") {
     val p = plan("q74_outer_join")
     assert(p.contains("FullOuter"), s"expected a full-outer join:\n${p.take(1200)}")
