@@ -110,6 +110,29 @@ object Dedup {
     // convergence join doubled every iteration's work.
     "q59_neardup_clusters" -> { (s, dir) => neardupClusters(s, dir) },
 
+    // The dedup MANIFEST — the actionable artifact of the whole family:
+    // one (doc_id, kept, reason) row per document to DROP, naming the
+    // canonical document that replaces it. Two rules, exact first:
+    // byte-identical text (keep the min doc_id per md5 — q21's rule)
+    // then near-duplicate (keep the cluster's canonical min id — q59's
+    // rule), each doc dropped at most once with the stronger reason.
+    // This is the file a 100 TB curation run broadcasts back against
+    // the corpus as an anti-join filter.
+    "q80_dedup_manifest" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val exact = t(s, dir, "documents")
+        .select($"doc_id", md5($"text") as "h")
+        .withColumn("kept", min($"doc_id").over(Window.partitionBy($"h")))
+        .where($"doc_id" =!= $"kept")
+        .select($"doc_id", $"kept", lit("exact") as "reason")
+      val near = neardupClusters(s, dir)
+        .where($"doc_id" =!= $"cluster")
+        .select($"doc_id", $"cluster" as "kept", lit("near") as "reason")
+      exact.unionByName(
+        near.join(exact.select($"doc_id"), Seq("doc_id"), "left_anti"))
+    },
+
     // Leakage-safe train/val/test split: the assignment hashes the
     // near-dup CLUSTER id, not the doc id — every member of a near-dup
     // cluster lands in the same split by construction, so an eval split
@@ -350,6 +373,21 @@ object Dedup {
     "q59_neardup_clusters" ->
       s"""$clusterCteSql
          |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "q80_dedup_manifest" ->
+      s"""$clusterCteSql,
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+         |ex AS (
+         |  SELECT doc_id,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS kept
+         |  FROM documents),
+         |exd AS (
+         |  SELECT doc_id, kept, 'exact' AS reason FROM ex
+         |  WHERE doc_id <> kept),
+         |nr AS (
+         |  SELECT cl.doc_id, cl.cluster AS kept, 'near' AS reason FROM cl
+         |  WHERE cl.doc_id <> cl.cluster
+         |    AND cl.doc_id NOT IN (SELECT doc_id FROM exd))
+         |SELECT * FROM exd UNION ALL SELECT * FROM nr""".stripMargin,
     "q81_leakage_safe_split" ->
       s"""$clusterCteSql,
          |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),

@@ -35,4 +35,26 @@ class DedupCapSpec extends AnyFunSpec {
       a.startsWith("clone") && b.startsWith("clone") },
       "pairs from the 100-member degenerate bucket must be capped away")
   }
+
+  it("dedup manifest applies the exact rule before the near rule") {
+    // The sf corpora contain no byte-identical documents, so the
+    // manifest's EXACT branch never fires in the oracle comparison —
+    // an empty-vs-empty match cannot catch a silently broken rule.
+    // Pin it on a crafted corpus: byte-identical docs drop by the
+    // exact rule (keeper = min doc_id), each at most once, and a doc
+    // dropped by exact must NOT reappear under the near rule even
+    // though identical texts always near-dup too.
+    val dir = Files.createTempDirectory("graft-manifest").toString
+    val docs = Seq(
+      ("a1", "quick brown foxes jump over the lazy sleeping dogs daily"),
+      ("a2", "quick brown foxes jump over the lazy sleeping dogs daily"),
+      ("a3", "quick brown foxes jump over the lazy sleeping dogs daily"),
+      ("b1", "completely unrelated content with its own distinct words here"))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = graft.ops.Dedup.queries("q80_dedup_manifest")(spark, dir)
+      .as[(String, String, String)].collect().toSet
+    assert(m == Set(("a2", "a1", "exact"), ("a3", "a1", "exact")),
+      s"unexpected manifest: $m")
+  }
 }
