@@ -25,19 +25,29 @@ object Tables {
   def cpuWidth(spark: SparkSession): Int =
     math.min(8, spark.sparkContext.defaultParallelism)
 
-  /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
-    * Read nanos as long and rebuild a microsecond timestamp (floor-div,
-    * matching how nanosecond-to-microsecond truncation behaves in the
-    * DuckDB oracle). */
+  /** The `events` table's `ts` column has shipped in two parquet layouts
+    * across testdata generations: TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]), so it
+    * is read as a nanos long and rebuilt as a microsecond timestamp
+    * (floor-div, matching DuckDB's nanos→micros truncation) — and plain
+    * TIMESTAMP(MICROS), which Spark reads natively (as NTZ when the file
+    * says not-UTC-adjusted). Dispatch on the type actually read and
+    * normalize both to a session-local TIMESTAMP; every session here
+    * pins `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast is
+    * wall-clock-identical to the DuckDB oracle's naive timestamp. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Set once per session, not unconditionally per call: a no-op set is
     // still a session-state write, and concurrent queries shouldn't race
     // on it (Bench/Verify also set it at session build).
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Exact-decimal view of a 2-decimal money column. The synthetic data
