@@ -158,6 +158,115 @@ object Curation {
             phonePat, "[PHONE]")) as "clean_md5")
     },
 
+    // Exact repeated-span scrubbing (the span-level cousin of Lee et
+    // al. 2022's substring dedup): chunk every document into fixed
+    // 10-word spans, drop each span whose content hash occurs in MORE
+    // THAN ONE document, and reconstruct the scrubbed text from the
+    // surviving spans in order. Two shuffles at any corpus size: the
+    // span-frequency aggregation on the 32-char span hash and the
+    // per-doc regroup for reconstruction — the frequency table is the
+    // same updatable-index shape as q77, so a production run maintains
+    // it incrementally instead of recomputing. Output pins kept/total
+    // span counts AND the md5 of the reconstruction, so a span dropped
+    // out of order (or a wrong survivor) cannot hide behind counts.
+    "q82_span_scrub" -> { (s, dir) =>
+      import s.implicits._
+      val ws = words($"text")
+      val nSpans = floor((size(ws) - lit(1)) / lit(10)).cast("int")
+      val segs = t(s, dir, "documents")
+        .select($"doc_id",
+          posexplode(transform(sequence(lit(0), nSpans),
+            i => concat_ws(" ", slice(ws, (i * 10 + 1).cast("int"), lit(10))))))
+        .toDF("doc_id", "pos", "seg")
+        .withColumn("h", md5($"seg"))
+      val freq = segs.select($"doc_id", $"h").distinct()
+        .groupBy($"h").agg(count(lit(1)) as "ndocs")
+      segs.join(freq, "h")
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)) as "n_spans",
+          sum(when($"ndocs" === 1, 1L).otherwise(0L)) as "kept_spans",
+          // collect_list skips nulls, so only surviving spans are
+          // gathered; array_sort on (pos, seg) structs restores order.
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(
+              when($"ndocs" === 1, struct($"pos" as "p", $"seg" as "sg")))),
+            x => x.getField("sg")))) as "scrub_md5")
+    },
+
+    // Bigram-LM fluency proxy (the CCNet/quality-filter shape without
+    // float logs): score each document by the corpus-wide frequency of
+    // its bigrams — a doc of common word pairs is "fluent", a doc whose
+    // rarest bigram is unique is an outlier. Integer sums + one final
+    // division keep it bit-identical cross-engine where a log-perplexity
+    // would ride on libm rounding. Same two-aggregation shape as q67
+    // plus the q69 frequency join-back — all partial-agg'd, all on
+    // fixed-width md5 keys.
+    "q83_bigram_fluency" -> { (s, dir) =>
+      import s.implicits._
+      val ws = words($"text")
+      val grams = t(s, dir, "documents")
+        .where(size(ws) >= 2)
+        .select($"doc_id",
+          explode(graft.functions.KgramMd5Set.kgramMd5List(ws, 2)) as "gram")
+      val freq = grams.groupBy($"gram").agg(count(lit(1)) as "cf")
+      grams.join(freq, "gram")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)) as "n_bigrams",
+          sum($"cf") as "freq_sum",
+          min($"cf") as "rarest")
+        .select($"doc_id", $"n_bigrams", $"freq_sum", $"rarest",
+          ($"freq_sum".cast("double") / $"n_bigrams") as "avg_bigram_freq")
+    },
+
+    // Source-level quality filter (the RefinedWeb/FineWeb "bad domain"
+    // rule): roll q69's duplicate-shingle measurement up to the SOURCE
+    // and block any source whose corpus-duplicated shingle share
+    // crosses 60% — curation drops whole spammy domains, not just
+    // documents. The verdict compares integers (shared*100 >= total*60)
+    // so it never rides on float rounding; the output verdict table is
+    // tiny (one row per source) and is what a 100 TB run broadcasts
+    // back as an anti-join filter on the ingest path.
+    "q84_source_quality_filter" -> { (s, dir) =>
+      import s.implicits._
+      val ws = words($"text")
+      val sh = t(s, dir, "documents")
+        .where(size(ws) >= 3)
+        .select($"doc_id", $"source", explode(kgramSet(ws, 3)) as "sh")
+      val freq = sh.groupBy($"sh").agg(count(lit(1)) as "ndocs")
+      sh.join(freq, "sh")
+        .groupBy($"source")
+        .agg(countDistinct($"doc_id") as "docs",
+          count(lit(1)) as "shingles",
+          sum(when($"ndocs" >= 2, 1L).otherwise(0L)) as "shared")
+        .select($"source", $"docs", $"shingles", $"shared",
+          ($"shared".cast("double") / $"shingles") as "dup_pct",
+          ($"shared" * 100 >= $"shingles" * 60) as "blocked")
+    },
+
+    // Out-of-vocabulary rate against a frequency-truncated vocabulary —
+    // the tokenizer-prep measurement: build the top-10 token vocabulary
+    // by corpus frequency (deterministic (tf DESC, token ASC) total
+    // order), then score every document by the share of its tokens
+    // falling outside it. The vocabulary is bounded by construction, so
+    // the scoring join BROADCASTS and the corpus side streams through
+    // the scan once — the 100 TB shape. Integer counts + one division.
+    "q85_oov_rate" -> { (s, dir) =>
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", explode(
+          regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0))) as "token")
+      val vocab = toks.groupBy($"token").agg(count(lit(1)) as "tf")
+        .orderBy($"tf".desc, $"token".asc).limit(10)
+        .select($"token", lit(1) as "in_vocab")
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)) as "tokens",
+          sum(when($"in_vocab".isNull, 1L).otherwise(0L)) as "oov")
+        .select($"doc_id", $"tokens", $"oov",
+          ($"oov".cast("double") / $"tokens") as "oov_rate")
+    },
+
     // Cross-corpus duplicate-shingle rate (the C4 measurement): for
     // each doc, how many of its distinct 3-gram shingles also occur in
     // at least one OTHER doc. Shingle-frequency table (one shuffle on
@@ -232,6 +341,83 @@ object Curation {
         |  CAST(sum(toks) AS BIGINT) AS tokens,
         |  CAST(min(doc_id) AS BIGINT) AS first_doc
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "q82_span_scrub" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |seg0 AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(0, (len(w) - 1) // 10),
+        |    i -> struct_pack(pos := i,
+        |      seg := array_to_string(
+        |        w[i * 10 + 1 : least((i + 1) * 10, len(w))], ' ')))) AS s
+        |  FROM ws),
+        |seg AS (
+        |  SELECT doc_id, s.pos AS pos, s.seg AS seg, md5(s.seg) AS h
+        |  FROM seg0),
+        |freq AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM seg GROUP BY h)
+        |SELECT seg.doc_id,
+        |  count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN ndocs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept_spans,
+        |  md5(coalesce(string_agg(CASE WHEN ndocs = 1 THEN seg END,
+        |    ' ' ORDER BY pos), '')) AS scrub_md5
+        |FROM seg JOIN freq USING (h)
+        |GROUP BY seg.doc_id""".stripMargin,
+    "q83_bigram_fluency" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+        |  WHERE len(string_split_regex(text, '\s+')) >= 2),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 1), i -> md5(w[i] || ' ' || w[i+1])))
+        |    AS gram
+        |  FROM ws),
+        |freq AS (SELECT gram, count(*) AS cf FROM g GROUP BY gram)
+        |SELECT g.doc_id,
+        |  count(*) AS n_bigrams,
+        |  CAST(sum(cf) AS BIGINT) AS freq_sum,
+        |  CAST(min(cf) AS BIGINT) AS rarest,
+        |  CAST(sum(cf) AS DOUBLE) / count(*) AS avg_bigram_freq
+        |FROM g JOIN freq USING (gram)
+        |GROUP BY g.doc_id""".stripMargin,
+    "q84_source_quality_filter" ->
+      """WITH ws AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])))) AS sh
+        |  FROM ws WHERE len(w) >= 3),
+        |freq AS (SELECT sh, count(*) AS ndocs FROM sh GROUP BY sh)
+        |SELECT source,
+        |  count(DISTINCT sh.doc_id) AS docs,
+        |  count(*) AS shingles,
+        |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS shared,
+        |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS dup_pct,
+        |  (sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) * 100
+        |    >= count(*) * 60) AS blocked
+        |FROM sh JOIN freq USING (sh)
+        |GROUP BY source""".stripMargin,
+    "q85_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |    AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token, 1 AS in_vocab FROM (
+        |    SELECT token, count(*) AS tf FROM tok GROUP BY token
+        |    ORDER BY tf DESC, token ASC LIMIT 10))
+        |SELECT tok.doc_id,
+        |  count(*) AS tokens,
+        |  CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS oov,
+        |  CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS oov_rate
+        |FROM tok LEFT JOIN vocab USING (token)
+        |GROUP BY tok.doc_id""".stripMargin,
     "q69_dup_shingle_rate" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
