@@ -187,6 +187,22 @@ class PlanSpec extends AnyFunSuite {
       s"PII scrub should be shuffle-free:\n${p79.toString.take(1200)}")
   }
 
+  test("round-5 curation plans: bounded vocab broadcasts, span scrub joins on hash") {
+    // q85: the top-10 vocabulary is bounded by construction — the
+    // scoring join must BROADCAST it so the token stream (the 100 TB
+    // leg) is never shuffled for the join; its only shuffles are the
+    // vocab aggregation and the final per-doc rollup.
+    val p85 = plan("q85_oov_rate")
+    assert(p85.contains("BroadcastHashJoin"), p85.take(1200))
+    // q82/q83/q84: frequency join-back must be an equi-join on the
+    // fixed-width hash, never a cartesian/nested-loop explosion.
+    for (q <- Seq("q82_span_scrub", "q83_bigram_fluency", "q84_source_quality_filter")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q candidate join degenerated:\n${p.take(1200)}")
+    }
+  }
+
   test("the full-outer join keeps both aggregates partial-agg'd map-side") {
     val p = plan("q74_outer_join")
     assert(p.contains("FullOuter"), s"expected a full-outer join:\n${p.take(1200)}")
