@@ -267,6 +267,67 @@ object Curation {
           ($"oov".cast("double") / $"tokens") as "oov_rate")
     },
 
+    // The curation FUNNEL: the whole pipeline's gates composed in
+    // production order — hold out the eval slice, then drop short docs,
+    // boilerplate (q67's repetition gate), heavily-duplicated docs
+    // (q69's corpus dup-shingle share ≥ 50%), and contaminated docs
+    // (q66's exact 4-gram probe) — reporting docs_in/docs_out per
+    // stage. One row per doc computes its FIRST failing stage (each
+    // gate an integer-exact predicate joined from the same aggregations
+    // the standalone queries pin), then a single global aggregation
+    // folds the funnel; the 6-row output is the report a 100 TB run
+    // publishes per snapshot. Measures are corpus-wide (computed once
+    // at ingest), gates apply in sequence; per-stage joins are on
+    // doc_id, all partial-agg'd, nothing quadratic anywhere.
+    "q87_curation_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val ws = words($"text")
+      val base = t(s, dir, "documents")
+        .select($"doc_id", size(ws) as "toks")
+      // q67's verdict: top bigram covers ≤ 20% of the text.
+      val grams = t(s, dir, "documents")
+        .where(size(ws) >= 2)
+        .select($"doc_id",
+          explode(graft.functions.KgramMd5Set.kgramMd5List(ws, 2)) as "gram")
+      val rep = grams.groupBy($"doc_id", $"gram").agg(count(lit(1)) as "cnt")
+        .groupBy($"doc_id")
+        .agg((max($"cnt") * 5 <= sum($"cnt")) as "rep_ok")
+      // q69's measure: share of distinct 3-gram shingles seen in ≥2 docs.
+      val sh3 = shingleStream(s, dir, 3)
+      val freq3 = sh3.groupBy($"sh").agg(count(lit(1)) as "ndocs")
+      val dup = sh3.join(freq3, "sh")
+        .groupBy($"doc_id")
+        .agg((sum(when($"ndocs" >= 2, 1L).otherwise(0L)) * 2 <
+          count(lit(1))) as "dup_ok")
+      // q66's probe: any 4-gram shared with the eval slice (%97).
+      val sh4 = shingleStream(s, dir, 4)
+      val eval4 = sh4.where($"doc_id" % 97 === 0).select($"sh").distinct()
+      val contaminated = sh4.where($"doc_id" % 97 =!= 0)
+        .join(broadcast(eval4), "sh")
+        .select($"doc_id").distinct()
+        .withColumn("contam", lit(true))
+      val fail = base
+        .join(rep, Seq("doc_id"), "left")
+        .join(dup, Seq("doc_id"), "left")
+        .join(contaminated, Seq("doc_id"), "left")
+        .select(
+          when($"doc_id" % 97 === 0, 1)
+            .when($"toks" < 20, 2)
+            .when(!coalesce($"rep_ok", lit(true)), 3)
+            .when(!coalesce($"dup_ok", lit(true)), 4)
+            .when(coalesce($"contam", lit(false)), 5)
+            .otherwise(99) as "fs")
+      val stages = Seq("ingest", "eval_holdout", "min_length",
+        "repetition", "dup_shingle", "decontaminate")
+      fail.agg(count(lit(1)) as "c0",
+          (1 to 5).map(k => sum(when($"fs" > k, 1L).otherwise(0L)) as s"c$k"): _*)
+        .select(explode(array((0 to 5).map(k =>
+          struct(lit(k) as "stage_no", lit(stages(k)) as "stage",
+            (if (k == 0) col("c0") else col(s"c${k - 1}")) as "docs_in",
+            col(s"c$k") as "docs_out")): _*)) as "r")
+        .select($"r.stage_no", $"r.stage", $"r.docs_in", $"r.docs_out")
+    },
+
     // Cross-corpus duplicate-shingle rate (the C4 measurement): for
     // each doc, how many of its distinct 3-gram shingles also occur in
     // at least one OTHER doc. Shingle-frequency table (one shuffle on
@@ -341,6 +402,64 @@ object Curation {
         |  CAST(sum(toks) AS BIGINT) AS tokens,
         |  CAST(min(doc_id) AS BIGINT) AS first_doc
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "q87_curation_funnel" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |base AS (SELECT doc_id, len(w) AS toks FROM ws),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 1), i -> md5(w[i] || ' ' || w[i+1])))
+        |    AS gram
+        |  FROM ws WHERE len(w) >= 2),
+        |rep AS (
+        |  SELECT doc_id, (max(cnt) * 5 <= sum(cnt)) AS rep_ok FROM (
+        |    SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+        |  GROUP BY doc_id),
+        |sh3 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])))) AS sh
+        |  FROM ws WHERE len(w) >= 3),
+        |freq3 AS (SELECT sh, count(*) AS ndocs FROM sh3 GROUP BY sh),
+        |dup AS (
+        |  SELECT sh3.doc_id,
+        |    (sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) * 2 < count(*))
+        |      AS dup_ok
+        |  FROM sh3 JOIN freq3 USING (sh) GROUP BY sh3.doc_id),
+        |sh4 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w) - 3),
+        |    i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |             w[i+3])))) AS sh
+        |  FROM ws WHERE len(w) >= 4),
+        |ev AS (SELECT DISTINCT sh FROM sh4 WHERE doc_id % 97 = 0),
+        |contam AS (
+        |  SELECT DISTINCT sh4.doc_id FROM sh4 JOIN ev USING (sh)
+        |  WHERE doc_id % 97 <> 0),
+        |fail AS (
+        |  SELECT CASE WHEN base.doc_id % 97 = 0 THEN 1
+        |    WHEN toks < 20 THEN 2
+        |    WHEN NOT coalesce(rep_ok, TRUE) THEN 3
+        |    WHEN NOT coalesce(dup_ok, TRUE) THEN 4
+        |    WHEN contam.doc_id IS NOT NULL THEN 5
+        |    ELSE 99 END AS fs
+        |  FROM base LEFT JOIN rep USING (doc_id) LEFT JOIN dup USING (doc_id)
+        |    LEFT JOIN contam ON base.doc_id = contam.doc_id),
+        |c AS (SELECT
+        |  count(*) AS c0,
+        |  CAST(sum(CASE WHEN fs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN fs > 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |  CAST(sum(CASE WHEN fs > 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |  CAST(sum(CASE WHEN fs > 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+        |  CAST(sum(CASE WHEN fs > 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+        |  FROM fail)
+        |SELECT CAST(0 AS INT) AS stage_no, 'ingest' AS stage,
+        |  c0 AS docs_in, c0 AS docs_out FROM c
+        |UNION ALL SELECT 1, 'eval_holdout', c0, c1 FROM c
+        |UNION ALL SELECT 2, 'min_length', c1, c2 FROM c
+        |UNION ALL SELECT 3, 'repetition', c2, c3 FROM c
+        |UNION ALL SELECT 4, 'dup_shingle', c3, c4 FROM c
+        |UNION ALL SELECT 5, 'decontaminate', c4, c5 FROM c""".stripMargin,
     "q82_span_scrub" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),

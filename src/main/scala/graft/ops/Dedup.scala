@@ -154,6 +154,49 @@ object Dedup {
         when(h < 90, "train").when(h < 95, "val").otherwise("test") as "split")
     },
 
+    // FUZZY benchmark decontamination: q66 catches training docs that
+    // share an exact word 4-gram with the eval slice; a lightly edited
+    // eval copy (reworded every few words) slips that net. This is the
+    // MinHash answer: both sides sign identically (one-pass kernel, 4
+    // bands × 2 rows), candidates come from an equi-join on (band,
+    // band-hash), and the exact Jaccard re-rank runs on candidates
+    // only. The eval slice (doc_id % 7 — a stand-in for the benchmark)
+    // is bounded, so its banded signature table BROADCASTS and the
+    // 100 TB training side streams through the probe unshuffled — the
+    // same shape as q66's exact probe, with the LSH recall profile.
+    // Output: every (train doc, eval doc) candidate with its exact
+    // Jaccard — the evidence table a removal step thresholds.
+    "q86_fuzzy_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .where(size(split($"text", "\\s+")) >= 3)
+        .repartition(cpuWidth(s))
+        .select($"doc_id", shingles($"text") as "sh")
+        .transform(barrier)
+      val banded = docs.select($"doc_id",
+          graft.functions.MinHashSigs.minhashSigs($"sh", NumHashes) as "mh")
+        .select($"doc_id",
+          explode(array((0 until Bands).map(b =>
+            struct(lit(b) as "band",
+              md5(concat_ws("|",
+                element_at($"mh", 2 * b + 1),
+                element_at($"mh", 2 * b + 2))) as "bh")): _*)) as "e")
+        .select($"doc_id", $"e.band", $"e.bh")
+        .transform(barrier)
+      val cand = banded.where($"doc_id" % 7 =!= 0)
+        .join(broadcast(
+          banded.where($"doc_id" % 7 === 0)
+            .select($"band", $"bh", $"doc_id" as "eval_id")),
+          Seq("band", "bh"))
+        .select($"doc_id", $"eval_id").distinct()
+      cand
+        .join(docs, "doc_id")
+        .join(docs.select($"doc_id" as "eval_id", $"sh" as "sh_e"), "eval_id")
+        .select($"doc_id", $"eval_id",
+          (size(array_intersect($"sh", $"sh_e")).cast("double") /
+            size(array_union($"sh", $"sh_e"))) as "jaccard")
+    },
+
     // SimHash: 16-bit signature from md5-derived bit votes — the
     // constant-size near-dup fingerprint (hamming-distance family).
     "q28_simhash" -> { (s, dir) =>
@@ -410,6 +453,24 @@ object Dedup {
          |      1, 4))::INT % 100 < 95 THEN 'val'
          |    ELSE 'test' END AS split
          |FROM a""".stripMargin,
+    "q86_fuzzy_decontaminate" ->
+      s"""WITH d AS (${shinglesSql("documents")}),
+         |banded AS (
+         |  SELECT doc_id, sh, b.band,
+         |    CASE b.band ${(0 until Bands).map(bd =>
+               s"WHEN $bd THEN md5(${mhSql(bd * 2)} || '|' || ${mhSql(bd * 2 + 1)})").mkString(" ")}
+         |    END AS bh
+         |  FROM d, (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b),
+         |pairs AS (
+         |  SELECT DISTINCT tr.doc_id, ev.doc_id AS eval_id,
+         |    tr.sh AS sh_t, ev.sh AS sh_e
+         |  FROM banded tr JOIN banded ev
+         |    ON tr.band = ev.band AND tr.bh = ev.bh
+         |  WHERE tr.doc_id % 7 <> 0 AND ev.doc_id % 7 = 0)
+         |SELECT doc_id, eval_id,
+         |  CAST(len(list_intersect(sh_t, sh_e)) AS DOUBLE) /
+         |    len(list_distinct(sh_t || sh_e)) AS jaccard
+         |FROM pairs""".stripMargin,
     "q28_simhash" ->
       s"""SELECT doc_id,
          |CAST((SELECT sum(CASE WHEN

@@ -49,6 +49,24 @@ object TextOps {
           max($"toks") as "max_tokens")
     },
 
+    // Sequence-length histogram: fixed-width 16-token bins per source —
+    // the tokenizer-prep distribution behind packing/truncation choices
+    // (what fraction of docs overflow the context window, per ingest
+    // shard). One partial-agg'd hash aggregation on (source, bin);
+    // output is bounded by sources × (max_len/16) regardless of corpus
+    // size. Integer bin arithmetic, no percentile sketches to drift.
+    "q88_length_histogram" -> { (s, dir) =>
+      import s.implicits._
+      val toks = size(split($"text", "\\s+"))
+      t(s, dir, "documents")
+        .select($"source", toks as "toks")
+        .groupBy($"source", expr("toks div 16") as "len_bin")
+        .agg(count(lit(1)) as "docs",
+          sum($"toks") as "tokens",
+          min($"toks") as "min_toks",
+          max($"toks") as "max_toks")
+    },
+
     // Exact deduplication: hash-groupBy on normalized content; keep the
     // smallest doc_id as the canonical representative.
     "q21_dedup_exact" -> { (s, dir) =>
@@ -253,6 +271,16 @@ object TextOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "q88_length_histogram" ->
+      """WITH d AS (
+        |  SELECT source, len(string_split_regex(text, '\s+')) AS toks
+        |  FROM documents)
+        |SELECT source, toks // 16 AS len_bin,
+        |  count(*) AS docs,
+        |  CAST(sum(toks) AS BIGINT) AS tokens,
+        |  CAST(min(toks) AS INT) AS min_toks,
+        |  CAST(max(toks) AS INT) AS max_toks
+        |FROM d GROUP BY source, toks // 16""".stripMargin,
     "q48_vocab_df" ->
       """WITH tok AS (
         |  SELECT doc_id,
