@@ -203,6 +203,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy decontamination broadcasts the banded eval side") {
+    // q86: the eval slice's banded signature table is the bounded side —
+    // it must broadcast so the training side's signatures are never
+    // shuffled for candidate generation (the 100 TB leg), and the
+    // candidate join must stay an equi-join on (band, bh).
+    val p = plan("q86_fuzzy_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("the full-outer join keeps both aggregates partial-agg'd map-side") {
     val p = plan("q74_outer_join")
     assert(p.contains("FullOuter"), s"expected a full-outer join:\n${p.take(1200)}")
