@@ -206,6 +206,41 @@ object IncrementalIndexes {
   /** q69's table: 3-gram shingle frequency over the whole corpus. */
   object ShingleFreqIndex extends KgramFreqIndex(3)
 
+  case class DocLen(doc_id: Long, source: String, text: String)
+  case class HistRow(source: String, len_bin: Long, docs: Long,
+      tokens: Long, min_toks: Int, max_toks: Int)
+
+  /** q88's sequence-length histogram as a maintained index: reduce key =
+    * (source, 16-token bin), reduce = merge of (count, token sum, min,
+    * max) — all four re-reducible, so the update path is exact: an
+    * edited document retracts its old bin row and contributes to its new
+    * bin through delete-and-invalidate + sibling re-reduce (min/max need
+    * the re-reduce from surviving map outputs — a pure decrement
+    * could not recover a retracted minimum). The histogram a 100 TB
+    * pipeline consults before packing is maintained per batch, never
+    * recomputed. */
+  object LengthHistIndex extends MapReduceTask[DocLen, HistRow] {
+    def map(docs: Iterator[DocLen]): Iterator[(String, HistRow)] =
+      docs.map { d =>
+        val toks = d.text.split("\\s+").length
+        (s"doc-${d.doc_id}",
+          HistRow(d.source, toks.toLong / 16, 1L, toks.toLong, toks, toks))
+      }
+    def reduce(entries: Iterator[HistRow]): Iterator[HistRow] = {
+      var acc: HistRow = null
+      entries.foreach { e =>
+        acc = if (acc == null) e
+        else acc.copy(docs = acc.docs + e.docs, tokens = acc.tokens + e.tokens,
+          min_toks = math.min(acc.min_toks, e.min_toks),
+          max_toks = math.max(acc.max_toks, e.max_toks))
+      }
+      if (acc == null) Iterator.empty else Iterator(acc)
+    }
+    def reduceKey(e: HistRow): String = s"${e.source}|${e.len_bin}"
+    def documentId(d: DocLen): String = s"doc-${d.doc_id}"
+    override def singleOutput: Boolean = true
+  }
+
   /** q66's probe table: the 4-gram shingle set of the held-out eval
     * slice, maintained as an index so a benchmark release is an UPDATE
     * (submit the new eval docs), not a recompute of the whole list. */
@@ -292,6 +327,30 @@ object IncrementalIndexes {
         .map(d => d.copy(text = d.text + " xrevision marker"))
       ex.execute(updates)
       ex.queryAll().select($"sh", $"ndocs")
+    },
+
+    // q88's length histogram as a maintained index: build over all
+    // documents, re-submit the ~1/7 slice whose text grew (appended
+    // tokens move docs to HIGHER bins — the retraction path must clear
+    // them from their old bins, including bin min/max recovery via
+    // sibling re-reduce), return the maintained state; the oracle
+    // recomputes the histogram from scratch over the post-update corpus.
+    "q89_length_hist_index_update" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val store = Files.createTempDirectory("graft-q89").toString
+      val docs = t(s, dir, "documents")
+        .select($"doc_id".cast("long") as "doc_id", $"source", $"text")
+        .repartition(cpuWidth(s)).as[DocLen]
+      val ex = new Executer(LengthHistIndex, store,
+        ExecuterConfig(fanIn = 16, finalParts = 8))
+      ex.execute(docs)
+      val updates = docs.filter(_.doc_id % 7 == 0)
+        .map(d => d.copy(text = d.text +
+          " twenty more revision tokens appended to move this doc up bins"))
+      ex.execute(updates)
+      ex.queryAll().select($"source", $"len_bin", $"docs", $"tokens",
+        $"min_toks", $"max_toks")
     },
 
     // Incremental decontamination: the eval-shingle probe list lives in
@@ -395,6 +454,22 @@ object IncrementalIndexes {
         |    i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))) AS sh
         |  FROM w WHERE len(ws) >= 3)
         |SELECT sh, count(*) AS ndocs FROM d GROUP BY sh""".stripMargin,
+    "q89_length_hist_index_update" ->
+      """WITH src AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN text ||
+        |      ' twenty more revision tokens appended to move this doc up bins'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |d AS (
+        |  SELECT source, len(string_split_regex(text, '\s+')) AS toks
+        |  FROM src)
+        |SELECT source, toks // 16 AS len_bin,
+        |  count(*) AS docs,
+        |  CAST(sum(toks) AS BIGINT) AS tokens,
+        |  CAST(min(toks) AS INT) AS min_toks,
+        |  CAST(max(toks) AS INT) AS max_toks
+        |FROM d GROUP BY source, toks // 16""".stripMargin,
     "q78_decontaminate_index_update" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
