@@ -171,6 +171,46 @@ object IncrementalIndexes {
     def documentId(d: VecDoc): String = s"vec-${d.vec_id}"
   }
 
+  case class CentroidRow(cell: Int, n_vecs: Long, qsum: Array[Long])
+
+  /** The IVF CENTROID table as a maintained index — the vector-state
+    * companion to q37's cell assignment: reduce key = cell, state =
+    * (member count, element-wise component sum). Means are not
+    * re-reducible but (sum, count) is, and to keep the incremental ≡
+    * batch equality EXACT across engines the summed components are
+    * fixed-point quantized first (floor(x·1000 + 0.5), the q75 trick —
+    * float addition reordered across partitions would otherwise differ
+    * in the last ulp and the oracle hash with it); the centroid is one
+    * final division of exact integers. A re-embedded vector moves
+    * cells: retraction from the old cell's sum happens through
+    * delete-and-invalidate + sibling re-reduce, never a subtraction
+    * (which could not survive a lost update). At 100 TB this is the
+    * coarse-quantizer refresh a production ANN index runs per ingest
+    * batch without touching the 99% of cells no vector left or
+    * joined. */
+  object IvfCentroidIndex extends MapReduceTask[VecDoc, CentroidRow] {
+    def map(docs: Iterator[VecDoc]): Iterator[(String, CentroidRow)] =
+      docs.map { v =>
+        val q = Array.tabulate(Dim)(i =>
+          if (i < v.embedding.length)
+            math.floor(v.embedding(i).toDouble * 1000 + 0.5).toLong
+          else 0L)
+        (s"vec-${v.vec_id}", CentroidRow(cellOf(v.embedding), 1L, q))
+      }
+    def reduce(entries: Iterator[CentroidRow]): Iterator[CentroidRow] = {
+      var acc: CentroidRow = null
+      entries.foreach { e =>
+        acc = if (acc == null) e
+        else acc.copy(n_vecs = acc.n_vecs + e.n_vecs,
+          qsum = Array.tabulate(Dim)(i => acc.qsum(i) + e.qsum(i)))
+      }
+      if (acc == null) Iterator.empty else Iterator(acc)
+    }
+    def reduceKey(e: CentroidRow): String = e.cell.toString
+    def documentId(d: VecDoc): String = s"vec-${d.vec_id}"
+    override def singleOutput: Boolean = true
+  }
+
   case class ShingleFreq(sh: String, ndocs: Long)
 
   /** The corpus shingle-frequency table (q69's artifact) as a maintained
@@ -329,6 +369,32 @@ object IncrementalIndexes {
       ex.queryAll().select($"sh", $"ndocs")
     },
 
+    // IVF centroid table as a maintained index: build over all
+    // embeddings, re-submit the ~1/7 re-embedded slice (negated —
+    // provably moves each to the complement cell, so BOTH the old and
+    // new cells' sums must update through retraction + re-reduce),
+    // return the maintained per-(cell, dim) state; the oracle
+    // recomputes centroids from scratch over the post-update vectors.
+    "q91_ivf_centroid_index_update" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val store = Files.createTempDirectory("graft-q91").toString
+      val vecs = t(s, dir, "embeddings")
+        .select($"vec_id".cast("long") as "vec_id", $"embedding")
+        .repartition(cpuWidth(s)).as[VecDoc]
+      val ex = new Executer(IvfCentroidIndex, store,
+        ExecuterConfig(fanIn = 16, finalParts = 8))
+      ex.execute(vecs)
+      val updates = vecs.filter(_.vec_id % 7 == 0)
+        .map(v => v.copy(embedding = v.embedding.map(x => -x)))
+      ex.execute(updates)
+      ex.queryAll()
+        .select($"cell", $"n_vecs", posexplode($"qsum"))
+        .toDF("cell", "n_vecs", "dim", "qsum")
+        .select($"cell", $"dim".cast("int") as "dim", $"n_vecs", $"qsum",
+          ($"qsum".cast("double") / ($"n_vecs" * 1000)) as "centroid")
+    },
+
     // q88's length histogram as a maintained index: build over all
     // documents, re-submit the ~1/7 slice whose text grew (appended
     // tokens move docs to HIGHER bins — the retraction path must clear
@@ -454,6 +520,32 @@ object IncrementalIndexes {
         |    i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))) AS sh
         |  FROM w WHERE len(ws) >= 3)
         |SELECT sh, count(*) AS ndocs FROM d GROUP BY sh""".stripMargin,
+    "q91_ivf_centroid_index_update" ->
+      """WITH src AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    CASE WHEN vec_id % 7 = 0
+        |      THEN list_transform(embedding::DOUBLE[], x -> -x)
+        |      ELSE embedding::DOUBLE[] END AS e
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT vec_id, e,
+        |    (SELECT CAST(sum(CASE WHEN
+        |        (SELECT sum(ei.emb * sin((ei.i - 1 + b.bit * 64) * 9973.0))
+        |         FROM (SELECT unnest(e) AS emb,
+        |                      generate_subscripts(e, 1) AS i) ei) >= 0
+        |        THEN power(2, b.bit) ELSE 0 END) AS INT)
+        |     FROM (SELECT unnest(generate_series(0, 7)) AS bit) b) AS cell
+        |  FROM src),
+        |expl AS (
+        |  SELECT cell,
+        |    unnest(generate_series(1, len(e))) - 1 AS dim,
+        |    CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS qc
+        |  FROM cells)
+        |SELECT cell, CAST(dim AS INT) AS dim,
+        |  count(*) AS n_vecs,
+        |  CAST(sum(qc) AS BIGINT) AS qsum,
+        |  CAST(sum(qc) AS DOUBLE) / (1000 * count(*)) AS centroid
+        |FROM expl GROUP BY cell, dim""".stripMargin,
     "q89_length_hist_index_update" ->
       """WITH src AS (
         |  SELECT doc_id, source,
