@@ -202,6 +202,48 @@ class StreamingExecuterSpec extends AnyFunSuite {
     assert(got == Set((1L, "10:00", "10:02")), s"unexpected attribution: $got")
   }
 
+  test("streamed histogram index handles a doc moving bins between micro-batches") {
+    // q89's min/max-merging task on the streaming ingest path: a later
+    // micro-batch re-submits a document at a different length, so the
+    // old bin must retract it (bin row disappears when it was the only
+    // member — the state a pure streaming aggregation could never
+    // produce, which is why update-capable ingest goes through
+    // attach()/Executer) and the new bin's extrema must re-reduce.
+    import graft.ops.IncrementalIndexes.{DocLen, LengthHistIndex}
+    val in = Files.createTempDirectory("graft-shist-in").toString
+    val store = Files.createTempDirectory("graft-shist-store").toString
+    val ckpt = Files.createTempDirectory("graft-shist-ckpt").toString
+    def doc(id: Long, src: String, n: Int) =
+      DocLen(id, src, Seq.fill(n)("w").mkString(" "))
+
+    spark.createDataset(Seq(
+      doc(1, "web", 10), doc(2, "web", 40), doc(3, "books", 20)))
+      .write.mode("append").parquet(in)
+    val sx = new StreamingExecuter(LengthHistIndex, store)
+    def drain(): Unit = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, source STRING, text STRING")
+        .parquet(in).as[DocLen]
+      sx.attach(docs, ckpt).awaitTermination()
+    }
+    drain()
+    def state() = sx.queryAll()
+      .select("source", "len_bin", "docs", "min_toks", "max_toks")
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(state() == Map(
+      ("web", 0L) -> ((1L, 10, 10)), ("web", 2L) -> ((1L, 40, 40)),
+      ("books", 1L) -> ((1L, 20, 20))))
+
+    // Doc 1 grows 10 → 45 tokens: web bin 0 must vanish (it was the
+    // only member), web bin 2's count and extrema must absorb it.
+    spark.createDataset(Seq(doc(1, "web", 45)))
+      .write.mode("append").parquet(in)
+    drain()
+    assert(state() == Map(
+      ("web", 2L) -> ((2L, 40, 45)), ("books", 1L) -> ((1L, 20, 20))))
+  }
+
   test("watermarked event-time window aggregation over a stream") {
     import org.apache.spark.sql.functions._
     val in = Files.createTempDirectory("graft-wm-in").toString
