@@ -154,6 +154,41 @@ object Dedup {
         when(h < 90, "train").when(h < 95, "val").otherwise("test") as "split")
     },
 
+    // INCREMENTAL cluster assignment — the production answer to "q59
+    // is a batch recluster": a new ingest batch (doc_id % 13 here)
+    // does not recompute the corpus's clusters; each new doc probes
+    // LSH for strong (jaccard ≥ 0.5) neighbors among the EXISTING
+    // corpus and adopts the minimum existing cluster id (its neighbor's
+    // own id when the neighbor is a singleton), else becomes its own
+    // singleton. Cost is O(new batch × bands) — the corpus leg is the
+    // maintained signature index (q29's artifact) and the old cluster
+    // table is untouched state. Documented approximation, exactly as
+    // production dedup runs it: links BETWEEN two new docs, and merges
+    // of two old clusters bridged by a new doc, defer to the periodic
+    // full recluster (q59) — assignment must never mutate old state.
+    "q92_incremental_cluster_assign" -> { (s, dir) =>
+      import s.implicits._
+      val strong = barrier(lshCandidatePairs(s, dir)
+        .where($"jaccard" >= 0.5).select($"id_a", $"id_b"))
+      val oldPairs = strong.where($"id_a" % 13 =!= 0 && $"id_b" % 13 =!= 0)
+      val cl = connectedComponents(s, oldPairs)
+        .select($"id" as "o", $"lbl" as "cluster")
+      val probe = strong
+        .where(($"id_a" % 13 === 0) =!= ($"id_b" % 13 === 0))
+        .select(
+          when($"id_a" % 13 === 0, $"id_a").otherwise($"id_b") as "doc_id",
+          when($"id_a" % 13 === 0, $"id_b").otherwise($"id_a") as "o")
+      val assigned = probe.join(cl, Seq("o"), "left")
+        .groupBy($"doc_id")
+        .agg(min(coalesce($"cluster", $"o")) as "nbr_cluster",
+          count(lit(1)) as "n_neighbors")
+      t(s, dir, "documents").where($"doc_id" % 13 === 0).select($"doc_id")
+        .join(assigned, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"nbr_cluster", $"doc_id") as "cluster",
+          coalesce($"n_neighbors", lit(0L)) as "n_neighbors")
+    },
+
     // Cross-source duplication matrix: near-dup pair counts rolled up
     // to (source, source) — the "which ingest feeds copy from each
     // other" measurement that decides whether a source is redundant
@@ -489,6 +524,50 @@ object Dedup {
          |      1, 4))::INT % 100 < 95 THEN 'val'
          |    ELSE 'test' END AS split
          |FROM a""".stripMargin,
+    "q92_incremental_cluster_assign" ->
+      s"""WITH RECURSIVE d AS (${shinglesSql("documents")}),
+         |banded AS (
+         |  SELECT doc_id, sh, b.band,
+         |    CASE b.band ${(0 until Bands).map(bd =>
+               s"WHEN $bd THEN md5(${mhSql(bd * 2)} || '|' || ${mhSql(bd * 2 + 1)})").mkString(" ")}
+         |    END AS bh
+         |  FROM d, (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bh) AS bn FROM banded) t
+         |  WHERE bn <= $MaxBucket),
+         |strong AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh
+         |  WHERE a.doc_id < b.doc_id
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)) >= 0.5),
+         |eO AS (
+         |  SELECT id_a AS src, id_b AS dst FROM strong
+         |  WHERE id_a % 13 <> 0 AND id_b % 13 <> 0
+         |  UNION ALL SELECT id_b, id_a FROM strong
+         |  WHERE id_a % 13 <> 0 AND id_b % 13 <> 0),
+         |nO AS (SELECT DISTINCT src AS id FROM eO),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nO
+         |  UNION
+         |  SELECT eO.dst, reach.r FROM reach JOIN eO ON eO.src = reach.id),
+         |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |probe AS (
+         |  SELECT CASE WHEN id_a % 13 = 0 THEN id_a ELSE id_b END AS doc_id,
+         |         CASE WHEN id_a % 13 = 0 THEN id_b ELSE id_a END AS o
+         |  FROM strong WHERE (id_a % 13 = 0) <> (id_b % 13 = 0)),
+         |assigned AS (
+         |  SELECT probe.doc_id,
+         |    min(coalesce(cl.cluster, probe.o)) AS nbr_cluster,
+         |    count(*) AS n_neighbors
+         |  FROM probe LEFT JOIN cl ON probe.o = cl.id
+         |  GROUP BY probe.doc_id)
+         |SELECT nd.doc_id,
+         |  coalesce(assigned.nbr_cluster, nd.doc_id) AS cluster,
+         |  CAST(coalesce(assigned.n_neighbors, 0) AS BIGINT) AS n_neighbors
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 13 = 0) nd
+         |LEFT JOIN assigned USING (doc_id)""".stripMargin,
     "q90_cross_source_dups" ->
       s"""WITH d AS (${shinglesSql("documents")}),
          |banded AS (
