@@ -79,14 +79,9 @@ object Dedup {
     // incremental dedup index maintains per doc).
     "q26_minhash_signatures" -> { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents")
-        .where(size(split($"text", "\\s+")) >= 3)
-        .repartition(cpuWidth(s))
-        .select($"doc_id",
-          graft.functions.MinHashSigs.minhashSigs(shingles($"text"), NumHashes) as "mh")
-        .transform(barrier)
-        .select($"doc_id" +:
-          (0 until NumHashes).map(i => element_at($"mh", i + 1) as s"mh$i"): _*)
+      val (_, sigs, _) = sigTables(s, dir)
+      sigs.select($"doc_id" +:
+        (0 until NumHashes).map(i => element_at($"mh", i + 1) as s"mh$i"): _*)
     },
 
     // LSH banded candidate pairs + exact Jaccard re-rank: the scalable
@@ -225,7 +220,7 @@ object Dedup {
     // Jaccard — the evidence table a removal step thresholds.
     "q86_fuzzy_decontaminate" -> { (s, dir) =>
       import s.implicits._
-      val (docs, banded) = sigTables(s, dir)
+      val (docs, _, banded) = sigTables(s, dir)
       val cand = banded.where($"doc_id" % 7 =!= 0)
         .join(broadcast(
           banded.where($"doc_id" % 7 === 0)
@@ -358,10 +353,12 @@ object Dedup {
     * pattern as [[ccCache]]. */
   private val sigCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String),
-      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)]
 
   private[ops] def sigTables(s: SparkSession, dir: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame) =
     sigCache.getOrElseUpdate((s, dir), {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -380,7 +377,7 @@ object Dedup {
                 element_at($"mh", 2 * b + 2))) as "bh")): _*)) as "e")
         .select($"doc_id", $"e.band", $"e.bh")
         .transform(barrier)
-      (docs, banded)
+      (docs, sigs, banded)
     })
 
   /** Memoized q27 pipeline result per (session, dir) — q27, q90, and
@@ -404,7 +401,7 @@ object Dedup {
   private def lshCandidatePairsUncached(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val (docs, banded) = sigTables(s, dir)
+    val (docs, _, banded) = sigTables(s, dir)
     // Cap degenerate buckets before the quadratic self-join, then
     // materialize: the capped table is scanned from both sides.
     val capped = barrier(capHotBuckets(banded, Seq($"band", $"bh"), MaxBucket))

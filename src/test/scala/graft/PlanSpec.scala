@@ -196,7 +196,8 @@ class PlanSpec extends AnyFunSuite {
     assert(p85.contains("BroadcastHashJoin"), p85.take(1200))
     // q82/q83/q84: frequency join-back must be an equi-join on the
     // fixed-width hash, never a cartesian/nested-loop explosion.
-    for (q <- Seq("q82_span_scrub", "q83_bigram_fluency", "q84_source_quality_filter")) {
+    for (q <- Seq("q82_span_scrub", "q83_bigram_fluency",
+        "q84_source_quality_filter", "q87_curation_funnel")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
         s"$q candidate join degenerated:\n${p.take(1200)}")
