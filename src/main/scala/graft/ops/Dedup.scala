@@ -136,17 +136,24 @@ object Dedup {
     // cluster. The salted-md5 split is reproducible and pure (no
     // shuffle beyond the cluster computation it composes); 90/5/5 on
     // the hash's first 4 hex digits mod 100.
-    "q81_leakage_safe_split" -> { (s, dir) =>
+    "q81_leakage_safe_split" -> { (s, dir) => leakageSafeSplit(s, dir) },
+
+    // Token budget per leakage-safe split — the recipe report on top of
+    // q81: docs, whitespace tokens, and distinct near-dup clusters per
+    // train/val/test assignment. The measurement that tells you the
+    // 90/5/5 CLUSTER-hash split actually delivered ~90/5/5 of the
+    // TOKENS (cluster sizes skew; a doc-hash split would lie here).
+    // One join on doc_id against the memoized split, one partial-agg'd
+    // rollup to 3 rows.
+    "q93_split_token_budget" -> { (s, dir) =>
       import s.implicits._
-      val clusters = neardupClusters(s, dir)
-      val assigned = t(s, dir, "documents").select($"doc_id")
-        .join(clusters, Seq("doc_id"), "left")
-        .select($"doc_id", coalesce($"cluster", $"doc_id") as "cluster")
-      val h = conv(substring(
-        md5(concat(lit("split|"), $"cluster".cast("string"))), 1, 4), 16, 10)
-        .cast("int") % 100
-      assigned.select($"doc_id", $"cluster",
-        when(h < 90, "train").when(h < 95, "val").otherwise("test") as "split")
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", size(split($"text", "\\s+")) as "toks")
+      leakageSafeSplit(s, dir).join(toks, "doc_id")
+        .groupBy($"split")
+        .agg(count(lit(1)) as "docs",
+          sum($"toks") as "tokens",
+          countDistinct($"cluster") as "clusters")
     },
 
     // INCREMENTAL cluster assignment — the production answer to "q59
@@ -264,6 +271,23 @@ object Dedup {
     * the shared mr-index store (`IndexQueries.cachedIndex`). */
   private val ccCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  /** q81's pipeline body, shared with q93: hash the near-dup CLUSTER id
+    * (singletons are their own cluster) into a reproducible 90/5/5
+    * assignment — every member of a cluster lands in the same split. */
+  private def leakageSafeSplit(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val clusters = neardupClusters(s, dir)
+    val assigned = t(s, dir, "documents").select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster", $"doc_id") as "cluster")
+    val h = conv(substring(
+      md5(concat(lit("split|"), $"cluster".cast("string"))), 1, 4), 16, 10)
+      .cast("int") % 100
+    assigned.select($"doc_id", $"cluster",
+      when(h < 90, "train").when(h < 95, "val").otherwise("test") as "split")
+  }
 
   private def neardupClusters(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
@@ -608,6 +632,29 @@ object Dedup {
          |  CAST(len(list_intersect(sh_t, sh_e)) AS DOUBLE) /
          |    len(list_distinct(sh_t || sh_e)) AS jaccard
          |FROM pairs""".stripMargin,
+    "q93_split_token_budget" ->
+      s"""$clusterCteSql,
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+         |a AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+         |  FROM (SELECT doc_id FROM documents) d LEFT JOIN cl USING (doc_id)),
+         |spl AS (
+         |  SELECT doc_id, cluster,
+         |    CASE WHEN ('0x' || substr(md5('split|' || CAST(cluster AS VARCHAR)),
+         |        1, 4))::INT % 100 < 90 THEN 'train'
+         |      WHEN ('0x' || substr(md5('split|' || CAST(cluster AS VARCHAR)),
+         |        1, 4))::INT % 100 < 95 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM a),
+         |tok AS (
+         |  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS toks
+         |  FROM documents)
+         |SELECT spl.split,
+         |  count(*) AS docs,
+         |  CAST(sum(toks) AS BIGINT) AS tokens,
+         |  CAST(count(DISTINCT cluster) AS BIGINT) AS clusters
+         |FROM spl JOIN tok USING (doc_id)
+         |GROUP BY spl.split""".stripMargin,
     "q28_simhash" ->
       s"""SELECT doc_id,
          |CAST((SELECT sum(CASE WHEN
