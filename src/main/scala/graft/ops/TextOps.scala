@@ -191,6 +191,34 @@ object TextOps {
             .winnowFps(split($"text", "\\s+"), k, w)) as "fp")
     },
 
+    // Winnowing MATCHES — the MOSS plagiarism-detection shape on top of
+    // q53's fingerprint table: doc pairs sharing ≥3 winnow fingerprints,
+    // with the shared count as the match strength. Same scale discipline
+    // as the LSH family: hot fingerprints are capped before the
+    // quadratic self-join (a boilerplate fingerprint shared by thousands
+    // of docs is not evidence of copying, and uncapped it turns the join
+    // O(n²)); candidates come from the fp equi-join only. Winnowing's
+    // guarantee makes this the EXACT-substring complement to q27's
+    // token-set Jaccard: shared fingerprints witness shared ≥8-word
+    // regions, not just shared vocabulary.
+    "q94_winnow_matches" -> { (s, dir) =>
+      import s.implicits._
+      val k = 4; val w = 5
+      val fps = Dedup.barrier(t(s, dir, "documents")
+        .where(size(split($"text", "\\s+")) >= k + w - 1)
+        .repartition(cpuWidth(s))
+        .select($"doc_id", explode(graft.functions.WinnowFingerprints
+          .winnowFps(split($"text", "\\s+"), k, w)) as "fp"))
+      val capped = Dedup.barrier(
+        Dedup.capHotBuckets(fps, Seq($"fp"), Dedup.MaxBucket))
+      capped.as("x").join(capped.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id") as "id_a", col("y.doc_id") as "id_b")
+        .groupBy($"id_a", $"id_b")
+        .agg(count(lit(1)) as "shared_fps")
+        .where($"shared_fps" >= 3)
+    },
+
     // The stages composed as ONE pipeline — what a training-data run
     // actually executes: normalize → exact-dedup (canonical = min doc_id
     // per content hash) → quality gate (length + stopword-ratio) →
@@ -349,6 +377,29 @@ object TextOps {
         |    i -> list_min(hs[i:i+4]))) AS fps
         |  FROM h)
         |SELECT doc_id, unnest(fps) AS fp FROM m""".stripMargin,
+    "q94_winnow_matches" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_transform(
+         |    generate_series(1, len(w) - 3),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS kg
+         |  FROM ws WHERE len(w) >= 8),
+         |h AS (SELECT doc_id, list_transform(kg, x -> md5(x)) AS hs FROM g),
+         |m AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(hs) - 4),
+         |    i -> list_min(hs[i:i+4]))) AS fps
+         |  FROM h),
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY fp) AS bn FROM f) t
+         |  WHERE bn <= ${Dedup.MaxBucket})
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+         |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 3""".stripMargin,
     "q20_token_count" ->
       """SELECT lang, count(*) AS docs,
         |CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens,
