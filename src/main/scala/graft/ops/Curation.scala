@@ -42,6 +42,29 @@ object Curation {
       .select($"doc_id", explode(kgramSet(ws, k)) as "sh")
   }
 
+  /** Memoized (3-gram shingle stream with source, corpus frequency
+    * table) per (session, dir), both barriered — q69, q84, and the
+    * funnel's dup gate (q87) consume the same two tables; without the
+    * cache each re-ran the explode AND the frequency aggregation.
+    * Read-only reuse, same pattern as `Dedup.sigTables`. */
+  private val freq3Cache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+
+  private[ops] def shingleFreq3(s: org.apache.spark.sql.SparkSession,
+      dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    freq3Cache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val ws = words($"text")
+      val sh = Dedup.barrier(t(s, dir, "documents")
+        .where(size(ws) >= 3)
+        .select($"doc_id", $"source", explode(kgramSet(ws, 3)) as "sh"))
+      val freq = Dedup.barrier(
+        sh.groupBy($"sh").agg(count(lit(1)) as "ndocs"))
+      (sh, freq)
+    })
+
   /** The decontamination oracle — shared verbatim by q66 and q70 (the
     * bloom stage only prunes; the exact join decides, so both queries
     * have the same answer by construction). */
@@ -229,11 +252,7 @@ object Curation {
     // back as an anti-join filter on the ingest path.
     "q84_source_quality_filter" -> { (s, dir) =>
       import s.implicits._
-      val ws = words($"text")
-      val sh = t(s, dir, "documents")
-        .where(size(ws) >= 3)
-        .select($"doc_id", $"source", explode(kgramSet(ws, 3)) as "sh")
-      val freq = sh.groupBy($"sh").agg(count(lit(1)) as "ndocs")
+      val (sh, freq) = shingleFreq3(s, dir)
       sh.join(freq, "sh")
         .groupBy($"source")
         .agg(countDistinct($"doc_id") as "docs",
@@ -293,8 +312,7 @@ object Curation {
         .groupBy($"doc_id")
         .agg((max($"cnt") * 5 <= sum($"cnt")) as "rep_ok")
       // q69's measure: share of distinct 3-gram shingles seen in ≥2 docs.
-      val sh3 = shingleStream(s, dir, 3)
-      val freq3 = sh3.groupBy($"sh").agg(count(lit(1)) as "ndocs")
+      val (sh3, freq3) = shingleFreq3(s, dir)
       val dup = sh3.join(freq3, "sh")
         .groupBy($"doc_id")
         .agg((sum(when($"ndocs" >= 2, 1L).otherwise(0L)) * 2 <
@@ -337,11 +355,7 @@ object Curation {
     // ranks docs for near-dup removal where MinHash would be overkill.
     "q69_dup_shingle_rate" -> { (s, dir) =>
       import s.implicits._
-      val ws = words($"text")
-      val sh = t(s, dir, "documents")
-        .where(size(ws) >= 3)
-        .select($"doc_id", explode(kgramSet(ws, 3)) as "sh")
-      val freq = sh.groupBy($"sh").agg(count(lit(1)) as "ndocs")
+      val (sh, freq) = shingleFreq3(s, dir)
       sh.join(freq, "sh")
         .groupBy($"doc_id")
         .agg(count(lit(1)) as "distinct_shingles",
