@@ -244,23 +244,62 @@ object Dedup {
 
     // SimHash: 16-bit signature from md5-derived bit votes — the
     // constant-size near-dup fingerprint (hamming-distance family).
-    "q28_simhash" -> { (s, dir) =>
+    "q28_simhash" -> { (s, dir) => simhashTable(s, dir) },
+
+    // SimHash PAIRS — closing the hamming-distance family's loop: doc
+    // pairs within hamming distance 2 of each other's 16-bit signature.
+    // The scale shape is the PIGEONHOLE equi-join, not an all-pairs
+    // XOR: split the signature into 3 chunks (6/5/5 bits) — any pair
+    // with ≤2 differing bits agrees EXACTLY on at least one chunk
+    // (3 chunks, 2 errors: one chunk is untouched) — so candidates
+    // come from an equi-join on (chunk id, chunk value) and the exact
+    // bit_count(xor) check runs on candidates only. Hot chunks capped
+    // like every self-join in this family. 16-bit signatures are
+    // coarse (collisions expected on a synthetic corpus); the QUERY
+    // SHAPE is what scales — a 64-bit production simhash swaps the
+    // chunk widths and nothing else.
+    "q95_simhash_pairs" -> { (s, dir) =>
       import s.implicits._
-      val words = array_distinct(split($"text", "\\s+"))
-      val sig = (0 until 16).map { bit =>
-        // Vote of each word on this bit: +1 if hex digit `bit` of
-        // md5(word) is >= '8', else -1; bit set iff the sum is >= 0.
-        val votes = aggregate(
-          transform(words, w =>
-            when(substring(md5(w), bit + 1, 1)
-              .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)),
-          lit(0), (acc, v) => acc + v)
-        when(votes >= 0, lit(1 << bit)).otherwise(lit(0))
-      }.reduce(_ + _)
-      t(s, dir, "documents")
-        .repartition(cpuWidth(s))
-        .select($"doc_id", sig as "simhash")
+      val sh = simhashTable(s, dir)
+      val chunks = sh.select($"doc_id", $"simhash",
+          explode(array(
+            struct(lit(0) as "c", $"simhash".bitwiseAND(63) as "v"),
+            struct(lit(1) as "c",
+              shiftright($"simhash", 6).bitwiseAND(31) as "v"),
+            struct(lit(2) as "c",
+              shiftright($"simhash", 11).bitwiseAND(31) as "v"))) as "e")
+        .select($"doc_id", $"simhash", $"e.c" as "c", $"e.v" as "v")
+      val capped = barrier(capHotBuckets(chunks, Seq($"c", $"v"), MaxBucket))
+      capped.as("x").join(capped.as("y"),
+          col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id") as "id_a", col("y.doc_id") as "id_b",
+          col("x.simhash") as "sa", col("y.simhash") as "sb")
+        .distinct()
+        .select($"id_a", $"id_b",
+          bit_count($"sa".bitwiseXOR($"sb")).cast("int") as "hamming")
+        .where($"hamming" <= 2)
     })
+
+  /** q28's signature computation, shared with q95. */
+  private def simhashTable(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val words = array_distinct(split($"text", "\\s+"))
+    val sig = (0 until 16).map { bit =>
+      // Vote of each word on this bit: +1 if hex digit `bit` of
+      // md5(word) is >= '8', else -1; bit set iff the sum is >= 0.
+      val votes = aggregate(
+        transform(words, w =>
+          when(substring(md5(w), bit + 1, 1)
+            .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)),
+        lit(0), (acc, v) => acc + v)
+      when(votes >= 0, lit(1 << bit)).otherwise(lit(0))
+    }.reduce(_ + _)
+    t(s, dir, "documents")
+      .repartition(cpuWidth(s))
+      .select($"doc_id", sig as "simhash")
+  }
 
   /** q59's pipeline body, shared with q80/q81: strong (jaccard ≥ 0.5)
     * LSH candidates → connected components → (doc_id, cluster).
@@ -655,6 +694,34 @@ object Dedup {
          |  CAST(count(DISTINCT cluster) AS BIGINT) AS clusters
          |FROM spl JOIN tok USING (doc_id)
          |GROUP BY spl.split""".stripMargin,
+    "q95_simhash_pairs" ->
+      s"""WITH sim AS (
+         |  SELECT doc_id,
+         |  CAST((SELECT sum(CASE WHEN
+         |      (SELECT sum(CASE WHEN substr(md5(w.w), b.bit + 1, 1) >= '8'
+         |         THEN 1 ELSE -1 END)
+         |       FROM (SELECT unnest(list_distinct(string_split_regex(text, '\\s+'))) AS w) w) >= 0
+         |    THEN power(2, b.bit) ELSE 0 END)
+         |    FROM (SELECT unnest(generate_series(0, 15)) AS bit) b) AS INT) AS simhash
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id, simhash, e.c AS c, e.v AS v FROM (
+         |    SELECT doc_id, simhash, unnest([
+         |      struct_pack(c := 0, v := simhash & 63),
+         |      struct_pack(c := 1, v := (simhash >> 6) & 31),
+         |      struct_pack(c := 2, v := (simhash >> 11) & 31)]) AS e
+         |    FROM sim) t),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY c, v) AS bn FROM ch) t
+         |  WHERE bn <= $MaxBucket),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM capped a JOIN capped b ON a.c = b.c AND a.v = b.v
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM p WHERE bit_count(xor(sa, sb)) <= 2""".stripMargin,
     "q28_simhash" ->
       s"""SELECT doc_id,
          |CAST((SELECT sum(CASE WHEN
