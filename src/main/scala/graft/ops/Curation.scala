@@ -65,6 +65,25 @@ object Curation {
       (sh, freq)
     })
 
+  /** q83's pipeline body, shared with q96's composite rank. */
+  private def bigramFluency(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ws = words($"text")
+    val grams = t(s, dir, "documents")
+      .where(size(ws) >= 2)
+      .select($"doc_id",
+        explode(graft.functions.KgramMd5Set.kgramMd5List(ws, 2)) as "gram")
+    val freq = grams.groupBy($"gram").agg(count(lit(1)) as "cf")
+    grams.join(freq, "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)) as "n_bigrams",
+        sum($"cf") as "freq_sum",
+        min($"cf") as "rarest")
+      .select($"doc_id", $"n_bigrams", $"freq_sum", $"rarest",
+        ($"freq_sum".cast("double") / $"n_bigrams") as "avg_bigram_freq")
+  }
+
   /** The decontamination oracle — shared verbatim by q66 and q70 (the
     * bloom stage only prunes; the exact join decides, so both queries
     * have the same answer by construction). */
@@ -225,21 +244,28 @@ object Curation {
     // would ride on libm rounding. Same two-aggregation shape as q67
     // plus the q69 frequency join-back — all partial-agg'd, all on
     // fixed-width md5 keys.
-    "q83_bigram_fluency" -> { (s, dir) =>
+    "q83_bigram_fluency" -> { (s, dir) => bigramFluency(s, dir) },
+
+    // Composite quality RANK — the inclusion ranking a FineWeb-style
+    // curation run sorts by: fluent documents (high corpus bigram
+    // frequency) that are NOT corpus-duplicated, score = fluency ×
+    // (1 − dup_ratio). Each factor is a single exact-integer division,
+    // the product is one fixed-order double expression (bit-identical
+    // cross-engine), ties broken by doc_id. Top-50 plans as
+    // TakeOrderedAndProject — per-partition heaps, never a global sort
+    // of the corpus.
+    "q96_quality_rank" -> { (s, dir) =>
       import s.implicits._
-      val ws = words($"text")
-      val grams = t(s, dir, "documents")
-        .where(size(ws) >= 2)
-        .select($"doc_id",
-          explode(graft.functions.KgramMd5Set.kgramMd5List(ws, 2)) as "gram")
-      val freq = grams.groupBy($"gram").agg(count(lit(1)) as "cf")
-      grams.join(freq, "gram")
+      val (sh3, freq3) = shingleFreq3(s, dir)
+      val dup = sh3.join(freq3, "sh")
         .groupBy($"doc_id")
-        .agg(count(lit(1)) as "n_bigrams",
-          sum($"cf") as "freq_sum",
-          min($"cf") as "rarest")
-        .select($"doc_id", $"n_bigrams", $"freq_sum", $"rarest",
-          ($"freq_sum".cast("double") / $"n_bigrams") as "avg_bigram_freq")
+        .agg((sum(when($"ndocs" >= 2, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))) as "dup_ratio")
+      bigramFluency(s, dir).join(dup, "doc_id")
+        .select($"doc_id", $"avg_bigram_freq", $"dup_ratio",
+          ($"avg_bigram_freq" * (lit(1.0) - $"dup_ratio")) as "score")
+        .orderBy($"score".desc, $"doc_id".asc)
+        .limit(50)
     },
 
     // Source-level quality filter (the RefinedWeb/FineWeb "bad domain"
@@ -496,6 +522,34 @@ object Curation {
         |    ' ' ORDER BY pos), '')) AS scrub_md5
         |FROM seg JOIN freq USING (h)
         |GROUP BY seg.doc_id""".stripMargin,
+    "q96_quality_rank" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 1), i -> md5(w[i] || ' ' || w[i+1])))
+        |    AS gram
+        |  FROM ws WHERE len(w) >= 2),
+        |bfreq AS (SELECT gram, count(*) AS cf FROM g GROUP BY gram),
+        |flu AS (
+        |  SELECT g.doc_id, CAST(sum(cf) AS DOUBLE) / count(*) AS avg_bigram_freq
+        |  FROM g JOIN bfreq USING (gram) GROUP BY g.doc_id),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])))) AS sh
+        |  FROM ws WHERE len(w) >= 3),
+        |sfreq AS (SELECT sh, count(*) AS ndocs FROM sh GROUP BY sh),
+        |dup AS (
+        |  SELECT sh.doc_id,
+        |    CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) AS dup_ratio
+        |  FROM sh JOIN sfreq USING (sh) GROUP BY sh.doc_id)
+        |SELECT flu.doc_id, avg_bigram_freq, dup_ratio,
+        |  avg_bigram_freq * (1 - dup_ratio) AS score
+        |FROM flu JOIN dup ON flu.doc_id = dup.doc_id
+        |ORDER BY score DESC, flu.doc_id ASC
+        |LIMIT 50""".stripMargin,
     "q83_bigram_fluency" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents

@@ -204,6 +204,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("match-pair families stay equi-joins; quality rank short-circuits top-k") {
+    // q94 (winnow matches) and q95 (simhash pairs): candidates must come
+    // from the fingerprint/chunk equi-join — never a nested-loop.
+    for (q <- Seq("q94_winnow_matches", "q95_simhash_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q candidate join degenerated:\n${p.take(1200)}")
+    }
+    // q96's top-50 must plan as TakeOrderedAndProject (per-partition
+    // heaps + merge), never a global sort of the scored corpus.
+    assert(plan("q96_quality_rank").contains("TakeOrderedAndProject"),
+      plan("q96_quality_rank").take(800))
+  }
+
   test("fuzzy decontamination broadcasts the banded eval side") {
     // q86: the eval slice's banded signature table is the bounded side —
     // it must broadcast so the training side's signatures are never
