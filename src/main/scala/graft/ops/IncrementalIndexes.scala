@@ -171,6 +171,38 @@ object IncrementalIndexes {
     def documentId(d: VecDoc): String = s"vec-${d.vec_id}"
   }
 
+  case class SimhashRow(doc_id: Long, simhash: Int)
+
+  /** JVM-side simhash, bit-identical to q28's column expression (and
+    * its DuckDB oracle): each DISTINCT word votes ±1 on bit b by hex
+    * digit b of md5(word) (≥ '8' → +1); bit set iff the vote sum ≥ 0. */
+  private def simhashOf(text: String): Int = {
+    val words = text.split("\\s+").distinct
+    val digests = words.map(md5hex)
+    var sig = 0
+    var bit = 0
+    while (bit < 16) {
+      var votes = 0
+      for (d <- digests) votes += (if (d.charAt(bit) >= '8') 1 else -1)
+      if (votes >= 0) sig |= 1 << bit
+      bit += 1
+    }
+    sig
+  }
+
+  /** The per-doc SimHash signature (q28's artifact) as a maintained
+    * index — completes the family (sig q28, pairs q95, maintained
+    * here) and the symmetry with MinHash (q26/q27/q29): an edited
+    * document re-signs only itself. */
+  object SimhashIndex extends MapReduceTask[DocText, SimhashRow] {
+    def map(docs: Iterator[DocText]): Iterator[(String, SimhashRow)] =
+      docs.map(d =>
+        (s"doc-${d.doc_id}", SimhashRow(d.doc_id, simhashOf(d.text))))
+    def reduce(entries: Iterator[SimhashRow]): Iterator[SimhashRow] = entries
+    def reduceKey(e: SimhashRow): String = e.doc_id.toString
+    def documentId(d: DocText): String = s"doc-${d.doc_id}"
+  }
+
   case class CentroidRow(cell: Int, n_vecs: Long, qsum: Array[Long])
 
   /** The IVF CENTROID table as a maintained index — the vector-state
@@ -369,6 +401,26 @@ object IncrementalIndexes {
       ex.queryAll().select($"sh", $"ndocs")
     },
 
+    // SimHash signature index under the incremental ≡ batch proof:
+    // build over all documents, re-submit the ~1/7 mutated slice (new
+    // words shift the bit votes), return the maintained state vs a
+    // from-scratch oracle recompute over the post-update corpus.
+    "q97_simhash_index_update" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val store = Files.createTempDirectory("graft-q97").toString
+      val docs = t(s, dir, "documents")
+        .select($"doc_id".cast("long") as "doc_id", $"text")
+        .repartition(cpuWidth(s)).as[DocText]
+      val ex = new Executer(SimhashIndex, store,
+        ExecuterConfig(fanIn = 16, finalParts = 8))
+      ex.execute(docs)
+      val updates = docs.filter(_.doc_id % 7 == 0)
+        .map(d => d.copy(text = d.text + " xrevision"))
+      ex.execute(updates)
+      ex.queryAll().select($"doc_id", $"simhash")
+    },
+
     // IVF centroid table as a maintained index: build over all
     // embeddings, re-submit the ~1/7 re-embedded slice (negated —
     // provably moves each to the complement cell, so BOTH the old and
@@ -520,6 +572,20 @@ object IncrementalIndexes {
         |    i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))) AS sh
         |  FROM w WHERE len(ws) >= 3)
         |SELECT sh, count(*) AS ndocs FROM d GROUP BY sh""".stripMargin,
+    "q97_simhash_index_update" ->
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' xrevision'
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |CAST((SELECT sum(CASE WHEN
+        |    (SELECT sum(CASE WHEN substr(md5(w.w), b.bit + 1, 1) >= '8'
+        |       THEN 1 ELSE -1 END)
+        |     FROM (SELECT unnest(list_distinct(string_split_regex(text, '\s+'))) AS w) w) >= 0
+        |  THEN power(2, b.bit) ELSE 0 END)
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS bit) b) AS INT) AS simhash
+        |FROM src""".stripMargin,
     "q91_ivf_centroid_index_update" ->
       """WITH src AS (
         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
