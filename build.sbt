@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to this process's stdout/stderr —
+// no `[info] ` logger prefix on every line. The bench/verify mains
+// print machine-readable JSON lines that a last-line parser must be
+// able to read verbatim (BENCH r1-r5 all landed `parsed: null` because
+// sbt's logger prefixed every line and appended `[success] Total
+// time`).
+outputStrategy := Some(StdoutOutput)
+Global / excludeLintKeys += outputStrategy
+// ...and no trailing `[success] Total time: …` line after the run:
+// the bench's own final summary JSON must be the last stdout line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

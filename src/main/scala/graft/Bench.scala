@@ -112,6 +112,9 @@ object Bench {
     var rows1x = 0L
     var rows10x = 0L
     var scaleUsed = 0
+    var lastSummary = ""
+    val summaryFile =
+      sys.env.getOrElse("SPARK_GRAFT_SUMMARY_FILE", "bench_summary.json")
 
     // Cumulative summary: same schema every time (superset fields), one
     // SHORT line — no per-query maps — so it survives a recorder that
@@ -143,8 +146,16 @@ object Bench {
         }
       val skipFields =
         f""","elapsed_sec":$elapsed%.1f,"budget_sec":$budgetSec%.0f,"skipped_queries":${skippedQueries.size},"skipped_sections":${skippedSections.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-      println(
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"errs":$errs,"threads":$cpus,"sf":"$sfDir"$skipFields$incFields$inc10xFields}""")
+      lastSummary =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"errs":$errs,"threads":$cpus,"sf":"$sfDir"$skipFields$incFields$inc10xFields}"""
+      println(lastSummary)
+      // Belt-and-braces for the driver's parser (VERDICT r5 #1): every
+      // summary is ALSO written (overwrite) to a plain file, so the
+      // latest summary is machine-readable no matter what a launcher
+      // wrapper does to stdout or where the process dies.
+      try Files.write(Paths.get(summaryFile),
+        (lastSummary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
     }
 
     // ---- section 1: the query sweep ----
@@ -291,5 +302,13 @@ object Bench {
       }
     }
     spark.stop()
+    // The final summary is re-printed as the ABSOLUTE LAST stdout line
+    // of the process: `spark.stop()` and shutdown hooks log to stderr,
+    // but anything a launcher appends after the run (sbt's `[success]`
+    // line was the 5-round offender) is suppressed in build.sbt
+    // (StdoutOutput + showSuccess := false); this line is what a
+    // last-line JSON parser sees.
+    if (lastSummary.nonEmpty) println(lastSummary)
+    System.out.flush()
   }
 }
