@@ -54,7 +54,7 @@ object Curation {
   private[ops] def shingleFreq3(s: org.apache.spark.sql.SparkSession,
       dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    freq3Cache.getOrElseUpdate((s, dir), {
+    Memo.memo(freq3Cache, (s, dir)) {
       import s.implicits._
       val ws = words($"text")
       val sh = Dedup.barrier(t(s, dir, "documents")
@@ -63,7 +63,7 @@ object Curation {
       val freq = Dedup.barrier(
         sh.groupBy($"sh").agg(count(lit(1)) as "ndocs"))
       (sh, freq)
-    })
+    }
 
   /** q83's pipeline body, shared with q96's composite rank. */
   private def bigramFluency(s: org.apache.spark.sql.SparkSession,

@@ -330,14 +330,14 @@ object Dedup {
 
   private def neardupClusters(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    ccCache.getOrElseUpdate((s, dir), {
+    Memo.memo(ccCache, (s, dir)) {
       import s.implicits._
       val strong = lshCandidatePairs(s, dir)
         .where($"jaccard" >= 0.5)
         .select($"id_a", $"id_b")
       connectedComponents(s, strong)
         .select($"id" as "doc_id", $"lbl" as "cluster")
-    })
+    }
 
   /** Connected components over an undirected edge list (`id_a`, `id_b`)
     * by hash-min label propagation WITH POINTER JUMPING: component id =
@@ -422,7 +422,7 @@ object Dedup {
   private[ops] def sigTables(s: SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
           org.apache.spark.sql.DataFrame) =
-    sigCache.getOrElseUpdate((s, dir), {
+    Memo.memo(sigCache, (s, dir)) {
       import s.implicits._
       val docs = t(s, dir, "documents")
         .where(size(split($"text", "\\s+")) >= 3)
@@ -441,7 +441,7 @@ object Dedup {
         .select($"doc_id", $"e.band", $"e.bh")
         .transform(barrier)
       (docs, sigs, banded)
-    })
+    }
 
   /** Memoized q27 pipeline result per (session, dir) — q27, q90, and
     * the cluster family all consume the same candidate-pair table. */
@@ -450,7 +450,7 @@ object Dedup {
 
   private[ops] def lshCandidatePairs(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    lshCache.getOrElseUpdate((s, dir), lshCandidatePairsUncached(s, dir))
+    Memo.memo(lshCache, (s, dir))(lshCandidatePairsUncached(s, dir))
 
   /** The q27 pipeline: shingle → one-pass MinHash signature → banded
     * equi-join on (band, hash) for candidates → exact Jaccard on the

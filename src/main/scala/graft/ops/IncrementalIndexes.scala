@@ -61,8 +61,13 @@ object IncrementalIndexes {
     * per shingle, slot k = min over shingles of h1 + k·h2 mod 2^64
     * (h1/h2 = big-endian uint64 of digest bytes 0-7 / 8-15) as 16-char
     * lowercase hex. */
+  // All JVM tokenizers here split with limit -1: Java's default
+  // `split` DROPS trailing empty tokens, while Spark's `split()` and
+  // DuckDB's `string_split_regex` keep them — a doc with trailing
+  // whitespace would otherwise hash differently here than in the
+  // column-expression/oracle mirrors (ADVICE r5).
   private def minhashOf(text: String): Option[Seq[String]] = {
-    val words = text.split("\\s+")
+    val words = text.split("\\s+", -1)
     if (words.length < 3) return None
     val sh = words.sliding(3).map(_.mkString(" ")).toArray.distinct
     val mins = new Array[Long](NumHashes)
@@ -112,7 +117,7 @@ object IncrementalIndexes {
     * sorted, '|'-joined fingerprint set. */
   private def winnowOf(text: String): Option[(Int, String)] = {
     val k = 4; val w = 5
-    val words = text.split("\\s+")
+    val words = text.split("\\s+", -1)
     val m = words.length - k + 1
     if (m < w) return None
     val hs = Array.tabulate(m)(i => md5hex(words.slice(i, i + k).mkString(" ")))
@@ -177,7 +182,7 @@ object IncrementalIndexes {
     * its DuckDB oracle): each DISTINCT word votes ±1 on bit b by hex
     * digit b of md5(word) (≥ '8' → +1); bit set iff the vote sum ≥ 0. */
   private def simhashOf(text: String): Int = {
-    val words = text.split("\\s+").distinct
+    val words = text.split("\\s+", -1).distinct
     val digests = words.map(md5hex)
     var sig = 0
     var bit = 0
@@ -223,10 +228,14 @@ object IncrementalIndexes {
   object IvfCentroidIndex extends MapReduceTask[VecDoc, CentroidRow] {
     def map(docs: Iterator[VecDoc]): Iterator[(String, CentroidRow)] =
       docs.map { v =>
+        // The q91 oracle iterates the ACTUAL embedding length; padding
+        // or truncating to Dim here would silently diverge from it for
+        // any non-Dim vector, so reject those loudly (ADVICE r5).
+        require(v.embedding.length == Dim,
+          s"IvfCentroidIndex requires $Dim-dim embeddings, " +
+            s"got ${v.embedding.length} for vec ${v.vec_id}")
         val q = Array.tabulate(Dim)(i =>
-          if (i < v.embedding.length)
-            math.floor(v.embedding(i).toDouble * 1000 + 0.5).toLong
-          else 0L)
+          math.floor(v.embedding(i).toDouble * 1000 + 0.5).toLong)
         (s"vec-${v.vec_id}", CentroidRow(cellOf(v.embedding), 1L, q))
       }
     def reduce(entries: Iterator[CentroidRow]): Iterator[CentroidRow] = {
@@ -259,7 +268,7 @@ object IncrementalIndexes {
   class KgramFreqIndex(k: Int) extends MapReduceTask[DocText, ShingleFreq] {
     def map(docs: Iterator[DocText]): Iterator[(String, ShingleFreq)] =
       docs.flatMap { d =>
-        val ws = d.text.split("\\s+")
+        val ws = d.text.split("\\s+", -1)
         if (ws.length < k) Iterator.empty
         else ws.sliding(k).map(g => md5hex(g.mkString(" ")))
           .toArray.distinct.iterator
@@ -294,7 +303,7 @@ object IncrementalIndexes {
   object LengthHistIndex extends MapReduceTask[DocLen, HistRow] {
     def map(docs: Iterator[DocLen]): Iterator[(String, HistRow)] =
       docs.map { d =>
-        val toks = d.text.split("\\s+").length
+        val toks = d.text.split("\\s+", -1).length
         (s"doc-${d.doc_id}",
           HistRow(d.source, toks.toLong / 16, 1L, toks.toLong, toks, toks))
       }

@@ -69,7 +69,7 @@ object IndexQueries {
     scala.collection.concurrent.TrieMap.empty[(String, String), Any]
 
   private def cachedIndex[A](key: String, dir: String)(build: => A): A =
-    storeCache.getOrElseUpdate((key, dir), build).asInstanceOf[A]
+    Memo.memo(storeCache, (key, dir))(build).asInstanceOf[A]
 
   private def custByNationIndex(
       s: SparkSession, dir: String): Executer[CustDoc, NationAgg] =
