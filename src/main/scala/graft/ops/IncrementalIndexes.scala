@@ -335,7 +335,7 @@ object IncrementalIndexes {
     "q29_minhash_index_update" -> { (s, dir) =>
       implicit val spark: SparkSession = s
       import s.implicits._
-      val store = Files.createTempDirectory("graft-q29").toString
+      val store = TempStores.scratch("graft-q29")
       val docs = t(s, dir, "documents")
         .select($"doc_id".cast("long") as "doc_id", $"text")
         .repartition(cpuWidth(s)).as[DocText]
@@ -355,7 +355,7 @@ object IncrementalIndexes {
     "q64_winnow_index_update" -> { (s, dir) =>
       implicit val spark: SparkSession = s
       import s.implicits._
-      val store = Files.createTempDirectory("graft-q64").toString
+      val store = TempStores.scratch("graft-q64")
       val docs = t(s, dir, "documents")
         .select($"doc_id".cast("long") as "doc_id", $"text")
         .repartition(cpuWidth(s)).as[DocText]
@@ -375,7 +375,7 @@ object IncrementalIndexes {
     "q37_ivf_cell_index_update" -> { (s, dir) =>
       implicit val spark: SparkSession = s
       import s.implicits._
-      val store = Files.createTempDirectory("graft-q37").toString
+      val store = TempStores.scratch("graft-q37")
       val vecs = t(s, dir, "embeddings")
         .select($"vec_id".cast("long") as "vec_id", $"embedding")
         .repartition(cpuWidth(s)).as[VecDoc]
@@ -397,7 +397,7 @@ object IncrementalIndexes {
     "q77_shingle_freq_index_update" -> { (s, dir) =>
       implicit val spark: SparkSession = s
       import s.implicits._
-      val store = Files.createTempDirectory("graft-q77").toString
+      val store = TempStores.scratch("graft-q77")
       val docs = t(s, dir, "documents")
         .select($"doc_id".cast("long") as "doc_id", $"text")
         .repartition(cpuWidth(s)).as[DocText]
@@ -417,7 +417,7 @@ object IncrementalIndexes {
     "q97_simhash_index_update" -> { (s, dir) =>
       implicit val spark: SparkSession = s
       import s.implicits._
-      val store = Files.createTempDirectory("graft-q97").toString
+      val store = TempStores.scratch("graft-q97")
       val docs = t(s, dir, "documents")
         .select($"doc_id".cast("long") as "doc_id", $"text")
         .repartition(cpuWidth(s)).as[DocText]
@@ -439,7 +439,7 @@ object IncrementalIndexes {
     "q91_ivf_centroid_index_update" -> { (s, dir) =>
       implicit val spark: SparkSession = s
       import s.implicits._
-      val store = Files.createTempDirectory("graft-q91").toString
+      val store = TempStores.scratch("graft-q91")
       val vecs = t(s, dir, "embeddings")
         .select($"vec_id".cast("long") as "vec_id", $"embedding")
         .repartition(cpuWidth(s)).as[VecDoc]
@@ -465,7 +465,7 @@ object IncrementalIndexes {
     "q89_length_hist_index_update" -> { (s, dir) =>
       implicit val spark: SparkSession = s
       import s.implicits._
-      val store = Files.createTempDirectory("graft-q89").toString
+      val store = TempStores.scratch("graft-q89")
       val docs = t(s, dir, "documents")
         .select($"doc_id".cast("long") as "doc_id", $"source", $"text")
         .repartition(cpuWidth(s)).as[DocLen]
@@ -493,7 +493,7 @@ object IncrementalIndexes {
     "q78_decontaminate_index_update" -> { (s, dir) =>
       implicit val spark: SparkSession = s
       import s.implicits._
-      val store = Files.createTempDirectory("graft-q78").toString
+      val store = TempStores.scratch("graft-q78")
       val docs = t(s, dir, "documents")
         .select($"doc_id".cast("long") as "doc_id", $"text")
         .repartition(cpuWidth(s)).as[DocText]

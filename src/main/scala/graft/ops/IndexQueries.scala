@@ -76,7 +76,7 @@ object IndexQueries {
     cachedIndex("CustByNation", dir) {
       implicit val spark: SparkSession = s
       import s.implicits._
-      val store = Files.createTempDirectory("graft-custbynation").toString
+      val store = TempStores.scratch("graft-custbynation")
       val docs = t(s, dir, "customer")
         .select($"c_custkey", $"c_nationkey", $"c_acctbal").as[CustDoc]
       val ex = new Executer(CustByNation, store,
@@ -90,7 +90,7 @@ object IndexQueries {
     cachedIndex("OrdersMultiTag", dir) {
       implicit val spark: SparkSession = s
       import s.implicits._
-      val store = Files.createTempDirectory("graft-ordersmultitag").toString
+      val store = TempStores.scratch("graft-ordersmultitag")
       val orders = t(s, dir, "orders")
         .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus", $"o_totalprice")
         .as[OrderDoc2]
@@ -115,7 +115,7 @@ object IndexQueries {
     "q41_mr_index_update" -> { (s, dir) =>
       implicit val spark: SparkSession = s
       import s.implicits._
-      val store = Files.createTempDirectory("graft-q41").toString
+      val store = TempStores.scratch("graft-q41")
       val orders = t(s, dir, "orders")
         .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").as[OrderDoc]
       val ex = new Executer(OrdersByPriority, store, ExecuterConfig(fanIn = 64, finalParts = 16))
@@ -233,7 +233,7 @@ object IndexQueries {
     "q43_mr_delete_key" -> { (s, dir) =>
       implicit val spark: SparkSession = s
       import s.implicits._
-      val store = Files.createTempDirectory("graft-q43").toString
+      val store = TempStores.scratch("graft-q43")
       val custs = t(s, dir, "customer")
         .select($"c_custkey", $"c_nationkey", $"c_acctbal").as[CustDoc]
       val ex = new Executer(CustByNation, store, ExecuterConfig(fanIn = 16, finalParts = 8))

@@ -396,7 +396,7 @@ object Relational {
     // inferSchema at scale — it double-reads the input).
     "q51_csv_json_sources" -> { (s, dir) =>
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q51").toString
+      val tmp = TempStores.scratch("graft-q51")
       val o = t(s, dir, "orders")
         .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
       o.where($"o_orderkey" % 2 === 0)
@@ -418,7 +418,7 @@ object Relational {
     // pushdown/pruning machinery as the parquet scans.
     "q52_orc_source" -> { (s, dir) =>
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q52").toString
+      val tmp = TempStores.scratch("graft-q52")
       t(s, dir, "supplier")
         .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
         .write.mode("overwrite").orc(s"$tmp/orc")

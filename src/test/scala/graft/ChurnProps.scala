@@ -59,7 +59,7 @@ object ChurnProps extends Properties("Churn") {
   // later schedules run against whatever state earlier ones built up.
   implicit private lazy val spark: org.apache.spark.sql.SparkSession =
     TestSpark.spark
-  private var store = Files.createTempDirectory("graft-churn").toString
+  private var store = TestTmp.dir("graft-churn")
   private lazy val ex0 = new Executer(PeopleCountByState, store,
     ExecuterConfig(fanIn = 4, finalParts = 2))
   private var exOpt: Option[Executer[Person, StatePop]] = None
@@ -103,7 +103,7 @@ object ChurnProps extends Properties("Churn") {
           val cfg =
             if (reshapes % 2 == 1) ExecuterConfig(fanIn = 8, finalParts = 4)
             else ExecuterConfig(fanIn = 4, finalParts = 2)
-          val dst = Files.createTempDirectory("graft-churn-rs").toString + "/s"
+          val dst = TestTmp.dir("graft-churn-rs") + "/s"
           exOpt = Some(ex.reshapeTo(dst, cfg))
           store = dst
         }

@@ -24,7 +24,7 @@ class CompactSpec extends AnyFunSuite {
   }
 
   test("compact() consolidates append fragmentation, results unchanged") {
-    val store = Files.createTempDirectory("graft-compact").toString
+    val store = TestTmp.dir("graft-compact")
     val cfg = ExecuterConfig(fanIn = 4, finalParts = 2)
     val ex = new Executer(PeopleCountByState, store, cfg)
     ex.execute(spark.createDataset(

@@ -15,7 +15,7 @@ class DedupCapSpec extends AnyFunSpec {
   import spark.implicits._
 
   it("drops degenerate buckets from candidate generation, keeps small ones") {
-    val dir = Files.createTempDirectory("graft-capspec").toString
+    val dir = TestTmp.dir("graft-capspec")
     val clones = (1 to 100).map(i =>
       (f"clone-$i%03d", "the same exact text repeated again and again forever"))
     val dups = Seq(
@@ -44,7 +44,7 @@ class DedupCapSpec extends AnyFunSpec {
     // exact rule (keeper = min doc_id), each at most once, and a doc
     // dropped by exact must NOT reappear under the near rule even
     // though identical texts always near-dup too.
-    val dir = Files.createTempDirectory("graft-manifest").toString
+    val dir = TestTmp.dir("graft-manifest")
     val docs = Seq(
       ("a1", "quick brown foxes jump over the lazy sleeping dogs daily"),
       ("a2", "quick brown foxes jump over the lazy sleeping dogs daily"),

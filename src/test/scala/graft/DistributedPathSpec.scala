@@ -27,7 +27,7 @@ class DistributedPathSpec extends AnyFunSuite {
 
     // Incremental: build, then update 40 docs — all through the
     // distributed join path.
-    val store = Files.createTempDirectory("graft-dist").toString
+    val store = TestTmp.dir("graft-dist")
     val cfg = ExecuterConfig(fanIn = 8, finalParts = 4, driverDirtyLimit = 0)
     val ex = new Executer(PeopleCountByState, store, cfg)
     ex.execute(spark.createDataset(people))
@@ -35,7 +35,7 @@ class DistributedPathSpec extends AnyFunSuite {
     assert(ex.lastStats.exists(_.mode == "incremental-distributed"))
 
     // Batch oracle: one fresh build over the post-update document state.
-    val store2 = Files.createTempDirectory("graft-dist2").toString
+    val store2 = TestTmp.dir("graft-dist2")
     val ex2 = new Executer(PeopleCountByState, store2, cfg)
     ex2.execute(spark.createDataset(finalState))
 

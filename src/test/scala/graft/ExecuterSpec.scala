@@ -27,7 +27,7 @@ class ExecuterSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-exec").toString
+    TestTmp.dir("graft-exec")
 
   private def counts(ex: Executer[Person, StatePop]): Map[String, Long] =
     ex.queryAll().as[(String, String, Long)].collect()

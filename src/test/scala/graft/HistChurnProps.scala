@@ -57,7 +57,7 @@ object HistChurnProps extends Properties("HistChurn") {
 
   implicit private lazy val spark: org.apache.spark.sql.SparkSession =
     TestSpark.spark
-  private val store = Files.createTempDirectory("graft-histchurn").toString
+  private val store = TestTmp.dir("graft-histchurn")
   private lazy val ex = new Executer(LengthHistIndex, store,
     ExecuterConfig(fanIn = 4, finalParts = 2))
   private val model = collection.mutable.Map[Long, (String, Int)]() // id -> (source, toks)

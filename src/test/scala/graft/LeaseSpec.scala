@@ -25,7 +25,7 @@ class LeaseSpec extends AnyFunSuite {
   }
 
   test("default provider: second acquire fails until release") {
-    val lease = Files.createTempDirectory("graft-lease").toString + "/_writer.lease"
+    val lease = TestTmp.dir("graft-lease") + "/_writer.lease"
     val p = new AtomicCreateLeaseProvider(fsThunk, lease)
     p.acquire("w1")
     intercept[IllegalStateException](p.acquire("w2"))
@@ -36,7 +36,7 @@ class LeaseSpec extends AnyFunSuite {
   }
 
   test("default provider: exactly one winner under a concurrent race") {
-    val lease = Files.createTempDirectory("graft-lease2").toString + "/_writer.lease"
+    val lease = TestTmp.dir("graft-lease2") + "/_writer.lease"
     val wins = new AtomicInteger(0)
     val losses = new AtomicInteger(0)
     val gate = new java.util.concurrent.CountDownLatch(1)
@@ -99,7 +99,7 @@ class LeaseSpec extends AnyFunSuite {
 
   test("Executer runs maintenance under the conditional-put provider") {
     val store = new InMemoryEtagStore
-    val dir = Files.createTempDirectory("graft-lease4").toString
+    val dir = TestTmp.dir("graft-lease4")
     val ex = new Executer(PeopleCountByState, dir,
       lease = Some(new ConditionalPutLeaseProvider(store, s"$dir/_writer.lease")))
     ex.execute(spark.createDataset(Seq(Person("a", "CA"), Person("b", "TX"))))
@@ -127,7 +127,7 @@ class LeaseSpec extends AnyFunSuite {
       }
       def release(): Unit = synchronized { held = false; events += "release" }
     }
-    val store = Files.createTempDirectory("graft-lease3").toString
+    val store = TestTmp.dir("graft-lease3")
     val ex = new Executer(PeopleCountByState, store, lease = Some(fake))
     ex.execute(spark.createDataset(Seq(Person("a", "CA"), Person("b", "TX"))))
     ex.delete("TX")

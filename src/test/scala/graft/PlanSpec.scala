@@ -120,7 +120,7 @@ class PlanSpec extends AnyFunSuite {
   test("index point query prunes to one reduce-tree partition") {
     implicit val s: SparkSession = spark
     import s.implicits._
-    val store = java.nio.file.Files.createTempDirectory("graft-planspec").toString
+    val store = TestTmp.dir("graft-planspec")
     val ex = new graft.core.Executer(PeopleCountByState, store)
     ex.execute(spark.createDataset(Seq(
       Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))

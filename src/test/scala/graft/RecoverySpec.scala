@@ -19,7 +19,7 @@ class RecoverySpec extends AnyFunSuite {
   import spark.implicits._
 
   test("recover() is a no-op on a clean store") {
-    val store = Files.createTempDirectory("graft-rec").toString
+    val store = TestTmp.dir("graft-rec")
     val ex = new Executer(PeopleCountByState, store)
     ex.execute(spark.createDataset(Seq(Person("a", "CA"), Person("b", "TX"))))
     val before = ex.queryAll().collect().toSet
@@ -28,7 +28,7 @@ class RecoverySpec extends AnyFunSuite {
   }
 
   test("recover() after a simulated crash between WAL write and reduce") {
-    val store = Files.createTempDirectory("graft-rec2").toString
+    val store = TestTmp.dir("graft-rec2")
     val ex = new Executer(PeopleCountByState, store)
     ex.execute(spark.createDataset(Seq(
       Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
@@ -51,7 +51,7 @@ class RecoverySpec extends AnyFunSuite {
     // dirty WAL written, tombstones written, new rows NOT yet appended.
     // recover() must land on the consistent "docs deleted" state (the
     // interrupted batch is the caller's to re-submit), never duplicates.
-    val store = Files.createTempDirectory("graft-rec4").toString
+    val store = TestTmp.dir("graft-rec4")
     val ex = new Executer(PeopleCountByState, store)
     ex.execute(spark.createDataset(Seq(
       Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
@@ -95,7 +95,7 @@ class RecoverySpec extends AnyFunSuite {
     // (emulated via tombstones, which make them equally invisible) but
     // the tree rewrite never ran — the WAL must let recover() finish
     // the job, or the key would stay queryable forever.
-    val store = Files.createTempDirectory("graft-rec5").toString
+    val store = TestTmp.dir("graft-rec5")
     val ex = new Executer(PeopleCountByState, store)
     ex.execute(spark.createDataset(Seq(
       Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
@@ -131,7 +131,7 @@ class RecoverySpec extends AnyFunSuite {
     // partition permanently — map_results is SOURCE state, not
     // reconstructible from the WAL (ADVICE r3). recover() must rename
     // the stranded directory back before anything else runs.
-    val store = Files.createTempDirectory("graft-rec6").toString
+    val store = TestTmp.dir("graft-rec6")
     val ex = new Executer(PeopleCountByState, store)
     ex.execute(spark.createDataset(Seq(
       Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
@@ -161,7 +161,7 @@ class RecoverySpec extends AnyFunSuite {
     // .trash. Restoring must NOT merge those stale files into the
     // completed directory — that would duplicate every live row, and
     // fold/compact swaps have no WAL that would ever repair it.
-    val store = Files.createTempDirectory("graft-rec7").toString
+    val store = TestTmp.dir("graft-rec7")
     val ex = new Executer(PeopleCountByState, store)
     ex.execute(spark.createDataset(Seq(
       Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
@@ -202,7 +202,7 @@ class RecoverySpec extends AnyFunSuite {
   }
 
   test("recover() after a crash mid-initial-build replays the full rebuild") {
-    val store = Files.createTempDirectory("graft-rec3").toString
+    val store = TestTmp.dir("graft-rec3")
     val ex = new Executer(PeopleCountByState, store)
     ex.execute(spark.createDataset(Seq(
       Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))

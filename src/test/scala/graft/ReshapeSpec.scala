@@ -17,7 +17,7 @@ class ReshapeSpec extends AnyFunSuite {
   implicit lazy val spark: SparkSession = TestSpark.spark
   import spark.implicits._
 
-  private def tmp(): String = Files.createTempDirectory("graft-reshape").toString
+  private def tmp(): String = TestTmp.dir("graft-reshape")
 
   private def counts(ex: Executer[Person, StatePop]): Map[String, Long] =
     ex.queryAll().as[(String, String, Long)].collect()

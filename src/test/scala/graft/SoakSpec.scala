@@ -26,7 +26,7 @@ class SoakSpec extends AnyFunSuite {
 
   test("30 random mixed batches: index ≡ model after every batch") {
     val rnd = new Random(20260812L)
-    val store = Files.createTempDirectory("graft-soak").toString
+    val store = TestTmp.dir("graft-soak")
     // Small fanIn stresses sibling inclusion; tiny driverDirtyLimit on
     // odd batches forces the distributed path to interleave with the
     // driver-pruned one on the SAME store.

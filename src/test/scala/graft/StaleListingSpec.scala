@@ -29,7 +29,7 @@ class StaleListingSpec extends AnyFunSuite {
     ex.queryAll().collect().map(r => r.getString(0) -> r.getLong(2)).toMap
 
   test("same instance: reads after an update see the new tree") {
-    val store = Files.createTempDirectory("graft-stale1").toString
+    val store = TestTmp.dir("graft-stale1")
     val ex = new Executer(PeopleCountByState, store)
     ex.execute(people("a" -> "CA", "b" -> "CA", "c" -> "TX"))
     assert(counts(ex) == Map("CA" -> 2L, "TX" -> 1L)) // populates the cache
@@ -38,7 +38,7 @@ class StaleListingSpec extends AnyFunSuite {
   }
 
   test("second instance's update invalidates the first instance's cache") {
-    val store = Files.createTempDirectory("graft-stale2").toString
+    val store = TestTmp.dir("graft-stale2")
     val a = new Executer(PeopleCountByState, store)
     a.execute(people("a" -> "CA", "b" -> "CA", "c" -> "TX"))
     assert(counts(a) == Map("CA" -> 2L, "TX" -> 1L)) // a's cache now warm
@@ -55,7 +55,7 @@ class StaleListingSpec extends AnyFunSuite {
   }
 
   test("cross-instance key delete and doc purge are visible immediately") {
-    val store = Files.createTempDirectory("graft-stale3").toString
+    val store = TestTmp.dir("graft-stale3")
     val a = new Executer(PeopleCountByState, store)
     a.execute(people("a" -> "CA", "b" -> "CA", "c" -> "TX", "d" -> "TX"))
     assert(counts(a) == Map("CA" -> 2L, "TX" -> 2L))
@@ -71,7 +71,7 @@ class StaleListingSpec extends AnyFunSuite {
   }
 
   test("cross-instance compact (tombstone fold) keeps reads consistent") {
-    val store = Files.createTempDirectory("graft-stale4").toString
+    val store = TestTmp.dir("graft-stale4")
     val a = new Executer(PeopleCountByState, store)
     a.execute(people("a" -> "CA", "b" -> "CA", "c" -> "TX"))
     val b = new Executer(PeopleCountByState, store)
@@ -85,7 +85,7 @@ class StaleListingSpec extends AnyFunSuite {
   test("fanIn=2 store: swap-heavy churn across two instances stays exact") {
     // Small fanIn concentrates every update into few partitions, so each
     // batch swaps directories the other instance has certainly listed.
-    val store = Files.createTempDirectory("graft-stale5").toString
+    val store = TestTmp.dir("graft-stale5")
     val cfg = ExecuterConfig(fanIn = 2, finalParts = 2)
     val a = new Executer(PeopleCountByState, store, cfg)
     val b = new Executer(PeopleCountByState, store, cfg)

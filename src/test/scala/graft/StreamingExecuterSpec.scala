@@ -25,9 +25,9 @@ class StreamingExecuterSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("micro-batches incrementally maintain the persistent index") {
-    val in = Files.createTempDirectory("graft-stream-in").toString
-    val store = Files.createTempDirectory("graft-stream-store").toString
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val in = TestTmp.dir("graft-stream-in")
+    val store = TestTmp.dir("graft-stream-store")
+    val ckpt = TestTmp.dir("graft-stream-ckpt")
 
     // Batch 1: initial documents land in the source directory.
     spark.createDataset(Seq(
@@ -62,16 +62,16 @@ class StreamingExecuterSpec extends AnyFunSuite {
     // Proven against the Executer path on the same append-only docs,
     // and the update-mode contract (only CHANGED keys emitted per
     // trigger) is pinned alongside.
-    val in = Files.createTempDirectory("graft-natagg-in").toString
-    val ckpt = Files.createTempDirectory("graft-natagg-ckpt").toString
-    val store = Files.createTempDirectory("graft-natagg-store").toString
+    val in = TestTmp.dir("graft-natagg-in")
+    val ckpt = TestTmp.dir("graft-natagg-ckpt")
+    val store = TestTmp.dir("graft-natagg-store")
     val batch1 = Seq(Person("p-1", "CA"), Person("p-2", "CA"), Person("p-3", "TX"))
     val batch2 = Seq(Person("p-4", "CA"), Person("p-5", "WA"))
     spark.createDataset(batch1).coalesce(1).write.mode("append").parquet(in)
     spark.createDataset(batch2).coalesce(1).write.mode("append").parquet(in)
 
     val sx = new StreamingExecuter(PeopleCountSingle,
-      Files.createTempDirectory("graft-natagg-unused").toString)
+      TestTmp.dir("graft-natagg-unused"))
     val docs = spark.readStream
       .schema("id STRING, state STRING")
       .option("maxFilesPerTrigger", 1).parquet(in).as[Person]
@@ -115,7 +115,7 @@ class StreamingExecuterSpec extends AnyFunSuite {
       def documentId(d: Person): String = d.id
     }
     val sxMulti = new StreamingExecuter(multi,
-      Files.createTempDirectory("graft-natagg-multi").toString)
+      TestTmp.dir("graft-natagg-multi"))
     intercept[IllegalArgumentException](sxMulti.aggregateStream(docs))
   }
 
@@ -126,7 +126,7 @@ class StreamingExecuterSpec extends AnyFunSuite {
     // watermark — the bounded-state requirement of a 100 TB
     // always-on ingest (an unbounded dropDuplicates would OOM).
     import org.apache.spark.sql.functions._
-    val in = Files.createTempDirectory("graft-sdedup-in").toString
+    val in = TestTmp.dir("graft-sdedup-in")
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
     def ts(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
     // Two files = two micro-batches (maxFilesPerTrigger=1). 5 docs, 3
@@ -163,8 +163,8 @@ class StreamingExecuterSpec extends AnyFunSuite {
     // two-stream join feasible (unbounded state would OOM; with these
     // constraints state is O(watermark-window of data), not O(stream)).
     import org.apache.spark.sql.functions._
-    val impDir = Files.createTempDirectory("graft-ssj-imp").toString
-    val clkDir = Files.createTempDirectory("graft-ssj-clk").toString
+    val impDir = TestTmp.dir("graft-ssj-imp")
+    val clkDir = TestTmp.dir("graft-ssj-clk")
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
     def ts(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
 
@@ -210,9 +210,9 @@ class StreamingExecuterSpec extends AnyFunSuite {
     // produce, which is why update-capable ingest goes through
     // attach()/Executer) and the new bin's extrema must re-reduce.
     import graft.ops.IncrementalIndexes.{DocLen, LengthHistIndex}
-    val in = Files.createTempDirectory("graft-shist-in").toString
-    val store = Files.createTempDirectory("graft-shist-store").toString
-    val ckpt = Files.createTempDirectory("graft-shist-ckpt").toString
+    val in = TestTmp.dir("graft-shist-in")
+    val store = TestTmp.dir("graft-shist-store")
+    val ckpt = TestTmp.dir("graft-shist-ckpt")
     def doc(id: Long, src: String, n: Int) =
       DocLen(id, src, Seq.fill(n)("w").mkString(" "))
 
@@ -246,7 +246,7 @@ class StreamingExecuterSpec extends AnyFunSuite {
 
   test("watermarked event-time window aggregation over a stream") {
     import org.apache.spark.sql.functions._
-    val in = Files.createTempDirectory("graft-wm-in").toString
+    val in = TestTmp.dir("graft-wm-in")
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
     def ts(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
     spark.createDataset(Seq(

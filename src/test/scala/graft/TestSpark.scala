@@ -10,6 +10,6 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      TestTmp.dir("graft-warehouse"))
     .getOrCreate()
 }

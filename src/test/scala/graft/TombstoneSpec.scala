@@ -21,7 +21,7 @@ class TombstoneSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-tomb").toString
+    TestTmp.dir("graft-tomb")
 
   /** (path, length) of every data file under map_results. */
   private def mapFiles(store: String): Set[(String, Long)] = {
