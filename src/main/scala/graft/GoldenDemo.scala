@@ -75,6 +75,12 @@ object GoldenDemo {
     println(s"store stats:  ${ex.storeStats().toSeq.sorted.mkString(", ")}")
     println(s"contributors('TX') sample: " +
       ex.contributors("TX").limit(3).collect().map(_.getString(0)).sorted.toSeq)
+    // Maintained state through plain SQL (round 6): views refresh after
+    // every mutation, so SQL clients always read current state.
+    ex.registerStore("people_by_state")
+    println("SQL view: " + spark.sql(
+      "SELECT reduce_key, count FROM people_by_state ORDER BY reduce_key")
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" "))
     spark.stop()
     if (!(total0 == total1 && total1 == 653 &&
         ca1 == Seq(StatePop("CA", 396)) && tx1 == Seq(StatePop("TX", 257))))
