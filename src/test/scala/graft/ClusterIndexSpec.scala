@@ -57,4 +57,32 @@ class ClusterIndexSpec extends AnyFunSuite {
       ExecuterConfig(fanIn = 4, finalParts = 2))
     assert(table(ex2) === table(ex))
   }
+
+  test("streamed ingest maintains the cluster index per micro-batch") {
+    // The production ingestion topology for the round-6 cluster store:
+    // assignment batches arrive on a stream; every micro-batch is one
+    // engine update against the maintained table (never a recompute),
+    // and a later batch's re-assignment replaces the earlier row
+    // through the same delete-and-invalidate path.
+    val in = TestTmp.dir("graft-clstream-in")
+    val store = TestTmp.dir("graft-clstream-store")
+    val ckpt = TestTmp.dir("graft-clstream-ckpt")
+    val sx = new graft.streaming.StreamingExecuter(
+      NearDupClusterIndex, store,
+      ExecuterConfig(fanIn = 4, finalParts = 2))
+    def drain(): Unit = sx.attach(
+      spark.readStream.schema("doc_id LONG, cluster LONG")
+        .parquet(in).as[ClusterRow], ckpt).awaitTermination()
+
+    spark.createDataset(Seq(ClusterRow(1, 1), ClusterRow(2, 1),
+      ClusterRow(3, 3))).write.mode("append").parquet(in)
+    drain()
+    assert(table(sx.executer) === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+
+    spark.createDataset(Seq(ClusterRow(4, 1), ClusterRow(3, 1)))
+      .write.mode("append").parquet(in)
+    drain()
+    assert(table(sx.executer) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
 }
