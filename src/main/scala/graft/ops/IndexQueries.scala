@@ -127,6 +127,18 @@ object IndexQueries {
       ex.execute(updates)
       ex.queryAll()
         .select($"reduce_key", $"cnt", toDouble($"total") as "total")
+    },
+
+    // The round-6 SQL catalog, oracle-gated: register the (cached,
+    // read-only) CustByNation store as temp views and answer entirely
+    // through `spark.sql` — the SQL-only consumer's path to maintained
+    // state (`Executer.registerStore`; views re-resolve after every
+    // mutation). Same result contract as q40; what is under test is
+    // the SURFACE: SQL over a maintained store, no Scala reads.
+    "q99_sql_view_read" -> { (s, dir) =>
+      custByNationIndex(s, dir).registerStore("graft_cust_by_nation")
+      s.sql("""SELECT reduce_key, cnt, CAST(acctbal AS DOUBLE) AS acctbal
+              |FROM graft_cust_by_nation""".stripMargin)
     })
 
   case class LineitemDoc(l_orderkey: Long, l_linenumber: Int,
@@ -292,6 +304,10 @@ object IndexQueries {
          |            ELSE o_orderpriority END AS reduce_key,
          |count(*) AS cnt,
          |CAST(sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS total
-         |FROM orders GROUP BY 1""".stripMargin
+         |FROM orders GROUP BY 1""".stripMargin,
+    "q99_sql_view_read" ->
+      s"""SELECT CAST(c_nationkey AS VARCHAR) AS reduce_key, count(*) AS cnt,
+         |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal
+         |FROM customer GROUP BY 1""".stripMargin
   )
 }
