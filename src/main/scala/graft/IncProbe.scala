@@ -27,8 +27,10 @@ object IncProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Reused across runs when passed explicitly; a fresh default store
+    // registers for deletion at exit (round 6 temp hygiene).
     val store = args.headOption.getOrElse(
-      Files.createTempDirectory("graft-probe").toString)
+      graft.ops.TempStores.scratch("graft-probe"))
     val scaleN = args.lift(1).map(_.toInt).getOrElse(1)
     val fanIn = args.lift(2).map(_.toInt).getOrElse(64)
     val preBuilt = new java.io.File(store, "map_results").exists()

@@ -51,7 +51,7 @@ object ProfileUpdate {
       lineitem.orderBy($"l_orderkey", $"l_linenumber").limit(k)
         .map(l => l.copy(l_quantity = l.l_quantity * 2)).collect().toSeq)
 
-    val store = Files.createTempDirectory("graft-profile").toString
+    val store = graft.ops.TempStores.scratch("graft-profile")
     val ex = new Executer(IndexQueries.LineitemByFlagStatus, store,
       ExecuterConfig(fanIn = 64, finalParts = 16))
     ex.execute(lineitem)
