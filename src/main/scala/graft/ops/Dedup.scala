@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -470,8 +470,19 @@ object Dedup {
     * work was already avoided upstream. */
   private[graft] def connectedComponents(
       s: SparkSession, edges: org.apache.spark.sql.DataFrame,
-      maxIters: Int = 64): org.apache.spark.sql.DataFrame = {
+      maxIters: Int = 64,
+      driverEdgeLimit: Int = 100000): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    // Driver-local fast path (round 6): the LSH-pruned strong-pair
+    // graph is ≪ corpus by construction — at bench SFs a few hundred
+    // edges, and at 100 TB still only O(near-dup pairs). When it fits
+    // the driver comfortably, iterative label propagation's per-round
+    // job latency (3-5 Spark jobs × rounds) dwarfs the actual work, so
+    // run classic min-rooted union-find locally — the same
+    // driver-pruning philosophy as Executer.DriverDirtyLimit. Above the
+    // limit the distributed pointer-jumping path below takes over
+    // unchanged (its convergence pin passes driverEdgeLimit = 0).
+    if (edges.count() <= driverEdgeLimit) return driverCc(s, edges)
     val sym = barrier(edges.select($"id_a" as "src", $"id_b" as "dst")
       .unionByName(edges.select($"id_b" as "src", $"id_a" as "dst")))
     var labels = sym.select($"src" as "id").distinct()
@@ -506,6 +517,39 @@ object Dedup {
       s"connected components did not converge within $maxIters rounds " +
         s"($changed labels still improving)")
     labels
+  }
+
+  /** Min-rooted union-find over a collected edge list — every union
+    * links the larger root under the smaller, so each component's final
+    * root IS its minimum member (the q59 "cluster id = min doc_id"
+    * contract), for any Comparable id type (Long doc ids in production,
+    * String ids in the convergence spec). Output matches the
+    * distributed path: one (id, lbl) row per node appearing in an edge. */
+  private def driverCc(s: SparkSession,
+      edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val dt = edges.schema.fields(0).dataType
+    val parent = scala.collection.mutable.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    edges.collect().foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    parent.keys.foreach(k => rows.add(Row(k, find(k))))
+    s.createDataFrame(rows,
+      StructType(Seq(StructField("id", dt), StructField("lbl", dt))))
   }
 
   /** Memoized (shingle sets, banded signatures) per (session, dir):

@@ -20,7 +20,10 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val ids = (0 until 200).map(i => f"n$i%03d")
     val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq
       .toDF("id_a", "id_b")
-    val labels = Dedup.connectedComponents(spark, edges, maxIters = 20)
+    // driverEdgeLimit = 0: this spec pins the DISTRIBUTED algorithm's
+    // convergence; the driver-local union-find path is pinned below.
+    val labels = Dedup.connectedComponents(spark, edges, maxIters = 20,
+        driverEdgeLimit = 0)
       .collect().map(r => r.getString(0) -> r.getString(1))
     assert(labels.length == 200)
     assert(labels.forall(_._2 == "n000"))
@@ -50,8 +53,23 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       val members = touched.filter(o => find(o) == find(id))
       id -> members.min
     }.toMap
-    val got = Dedup.connectedComponents(spark, edgeSeq.toDF("id_a", "id_b"))
+    val got = Dedup.connectedComponents(spark, edgeSeq.toDF("id_a", "id_b"),
+        driverEdgeLimit = 0)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == expect)
+
+    // The driver-local fast path (bounded edge sets skip iterative
+    // label propagation entirely, round 6) must agree exactly with the
+    // distributed result on the same graph...
+    val local = Dedup.connectedComponents(spark, edgeSeq.toDF("id_a", "id_b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local == expect)
+
+    // ...and for LONG ids must label by NUMERIC min, not string order
+    // (string order would call "10" < "9").
+    val longEdges = Seq((9L, 10L), (10L, 11L)).toDF("id_a", "id_b")
+    val longLabels = Dedup.connectedComponents(spark, longEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(longLabels === Map(9L -> 9L, 10L -> 9L, 11L -> 9L))
   }
 }
