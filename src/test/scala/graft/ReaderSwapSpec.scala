@@ -76,6 +76,12 @@ class ReaderSwapSpec extends AnyFunSuite {
         val batch = (1 to 60).map(i => person(i * 4 % N + 1, flip))
           .distinctBy(_.id)
         ex.execute(spark.createDataset(batch))
+        // A short quiescent window per round: the reader's consistent
+        // path needs SOME even-epoch daylight to complete reads in —
+        // back-to-back batches on a throttled host could otherwise
+        // starve it into the (legitimate) degraded path and flake the
+        // goodReads assertion.
+        Thread.sleep(150)
       }
     } finally {
       stop.set(true)
