@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Executer, ExecuterConfig}
+import graft.GoldenDemo.{Person, StatePop, PeopleCountByState}
+
+/** Cross-PROCESS validation of the reader-swap epoch contract (round
+  * 6): ReaderSwapSpec runs reader and writer in one JVM (two
+  * SparkSessions); this main runs them as two real processes sharing
+  * only the store directory.
+  *
+  *   tools/run.sh graft.SwapChurnDemo writer /tmp/swapdemo 20   # churn
+  *   tools/run.sh graft.SwapChurnDemo reader /tmp/swapdemo 20   # loop
+  *
+  * The writer builds 240 docs and then churns update batches that move
+  * 60 docs between CA and TX for ~N seconds; moves conserve the total,
+  * so the reader detects any torn read as a wrong total. The reader
+  * prints one line per read: `ok total=240` or `RETRIABLE <error>`;
+  * it must NEVER print `TORN`. Exit code 1 on any torn read.
+  */
+object SwapChurnDemo {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val store = args(1)
+    val seconds = args.lift(2).map(_.toInt).getOrElse(20)
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master("local[4]")
+      .appName(s"graft-swapchurn-$mode")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val N = 240
+    def person(i: Int, flip: Boolean): Person =
+      Person(s"p-$i", if ((i % 2 == 0) ^ flip) "CA" else "TX")
+    val ex = new Executer(PeopleCountByState, store,
+      ExecuterConfig(fanIn = 4, finalParts = 2))
+    val deadline = System.nanoTime() + seconds * 1000000000L
+
+    mode match {
+      case "writer" =>
+        ex.execute(spark.createDataset((1 to N).map(person(_, flip = false))))
+        println(s"writer: built $N docs, churning ${seconds}s")
+        var round = 0
+        while (System.nanoTime() < deadline) {
+          round += 1
+          val batch = (1 to 60).map(i => person(i * 4 % N + 1, round % 2 == 1))
+            .distinctBy(_.id)
+          ex.execute(spark.createDataset(batch))
+          Thread.sleep(100)
+        }
+        println(s"writer: done after $round rounds")
+      case "reader" =>
+        var good = 0; var retriable = 0; var torn = 0
+        while (System.nanoTime() < deadline) {
+          try {
+            val total = ex.queryAll().select("count")
+              .collect().map(_.getLong(0)).sum
+            if (total == N) { good += 1; println(s"ok total=$total") }
+            else if (total == 0) { retriable += 1 } // store not built yet
+            else { torn += 1; println(s"TORN total=$total != $N") }
+          } catch {
+            case e: Throwable =>
+              retriable += 1
+              println(s"RETRIABLE ${e.getClass.getSimpleName}")
+          }
+        }
+        println(s"reader: good=$good retriable=$retriable torn=$torn")
+        spark.stop()
+        if (torn > 0 || good == 0) sys.exit(1)
+      case other => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}
