@@ -25,9 +25,31 @@ final case class ExecuterConfig(
     fanIn: Int = 256,
     finalParts: Int = 64,
     driverDirtyLimit: Int = 4096,
-    tombstoneLimit: Int = 1 << 17) {
+    tombstoneLimit: Int = 1 << 17,
+    manifests: Boolean = true,
+    manifestRetention: Int = 2,
+    manifestGraceMs: Long = 600000L) {
   val buckets: Int = fanIn * fanIn
 }
+// `manifests` governs FRESH stores only: an existing store keeps the layout
+// it was built with (a `_current` pointer on disk means manifest reads; its
+// absence on a non-empty store means the legacy listing+seqlock protocol).
+// `manifestRetention`/`manifestGraceMs`: a retired data file is deleted only
+// once it is BOTH ≥ retention generations old AND ≥ grace millis old, so any
+// reader holding a recent snapshot never loses a file under it.
+
+/** One generation of a manifest store's file layout (SURVEY §14): the
+  * exact live data files per table, the current local-tombstone file, and
+  * the retired files awaiting GC. Published as `_manifests/m<version>`
+  * with `_current` atomically renamed to point at it; data files are
+  * immutable and never change path, so a resolved snapshot stays readable
+  * no matter how many mutations land after it. */
+private[core] final case class Retired(path: String, version: Long, millis: Long)
+private[core] final case class Snapshot(
+    version: Long,
+    live: Map[String, Vector[String]], // table name -> store-relative paths
+    tombLocal: Option[String],         // "_tomb/t<seq>.bin"
+    retired: Vector[Retired])
 
 /** Per-batch maintenance observability — the reference's NLog step trace
   * (`MapReduce/Executer.cs:65-78,98-104`) re-expressed as metrics: which
@@ -112,7 +134,7 @@ class Executer[D, R <: Product: TypeTag](
   private lazy val configChecked: Unit = {
     val p = new Path(configPath)
     if (fs.exists(p)) {
-      val in = new java.io.DataInputStream(fs.open(p))
+      val in = new java.io.DataInputStream(stateFs.open(p))
       try {
         val (fi, fp) = (in.readInt(), in.readInt())
         require(fi == config.fanIn && fp == config.finalParts,
@@ -122,7 +144,7 @@ class Executer[D, R <: Product: TypeTag](
     } else if (!exists(mapResultsPath)) {
       // Fresh store: this instance's layout becomes the store's layout.
       fs.mkdirs(new Path(storePath))
-      val out = fs.create(p, true)
+      val out = stateFs.create(p, true)
       try { out.writeInt(config.fanIn); out.writeInt(config.finalParts) }
       finally out.close()
     } // else: pre-_config store — accept as-is.
@@ -133,6 +155,11 @@ class Executer[D, R <: Product: TypeTag](
   private val seqPath = s"$storePath/_seq"
   private val modPath = s"$storePath/_mod"
   private val epochPath = s"$storePath/_epoch"
+  // Generation-manifest state (SURVEY §14): one small file per published
+  // generation plus an atomically-renamed pointer to the current one.
+  private val manifestsPath = s"$storePath/_manifests"
+  private val currentPath = s"$storePath/_current"
+  private val tombDirPath = s"$storePath/_tomb"
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[Executer[_, _]])
 
@@ -168,7 +195,26 @@ class Executer[D, R <: Product: TypeTag](
   private def withLease[A](f: => A): A = {
     acquireLease()
     beginMutation()
-    try f finally {
+    // Manifest stores load the writer-side pending generation here: the
+    // published snapshot (or an empty one on a fresh store) that every
+    // write step below mutates in memory and publishPending() lands.
+    // Inside any locked context, `pending != null` ⇔ manifest store.
+    if (exists(currentPath) || (config.manifests && !exists(mapResultsPath))) {
+      pending = publishedSnapshot().getOrElse(
+        Snapshot(-1L, Map.empty, None, Vector.empty))
+      pendingRev += 1
+      pendingDirty = false
+    }
+    try {
+      val r = f
+      // Operations that mutate outside the WAL-cleared batch shape (the
+      // auto-fold, compact's consolidation) land their generation here.
+      // An EXCEPTION deliberately skips this: a half-applied batch must
+      // stay invisible — its WAL survives and recovery replays it.
+      publishPending()
+      r
+    } finally {
+      pending = null
       try {
         endMutation()
         // Registered SQL views pin their plan (and parquet file
@@ -202,7 +248,7 @@ class Executer[D, R <: Product: TypeTag](
   private def readEpoch(): Long =
     if (!exists(epochPath)) 0L
     else {
-      val in = new java.io.DataInputStream(fs.open(new Path(epochPath)))
+      val in = new java.io.DataInputStream(stateFs.open(new Path(epochPath)))
       try in.readLong() finally in.close()
     }
 
@@ -224,6 +270,10 @@ class Executer[D, R <: Product: TypeTag](
     * is replayed, and a reader must degrade to best-effort rather than
     * block forever behind a corpse. */
   private def consistentRead[A](build: => A): A = {
+    // Manifest stores need no spin: the plan is built from an immutable
+    // published file list, valid regardless of concurrent mutations
+    // (SURVEY §14.6 — the seqlock survives as the legacy-store fallback).
+    if (pending != null || exists(currentPath)) return build
     var tries = 0
     while (tries < 64) {
       val e1 = readEpoch()
@@ -235,6 +285,240 @@ class Executer[D, R <: Product: TypeTag](
       Thread.sleep(math.min(200L, 5L * tries))
     }
     build
+  }
+
+  // ---------------------------------------------------------------------
+  // Generation manifests (SURVEY §14) — lock-free stable snapshot reads.
+  //
+  // The seqlock above guarantees no SILENT loss, but a swap landing after
+  // a read's file listing still surfaced as a retriable error (~38%
+  // retriable under adversarial churn, SwapChurnDemo). The manifest layer
+  // converts those retries into successes, Iceberg/Delta-style but scoped
+  // to this engine's needs:
+  //
+  //   1. Data files are immutable and never change path. Every write
+  //      stages to a scratch dir, then RENAMES its data files additively
+  //      into the destination partition directories — replaced files stay
+  //      where they are, retired in the manifest instead of moved aside.
+  //   2. Each mutation step publishes `_manifests/m<version>` naming every
+  //      live data file (map_results, reduce_tree, distributed tombstones)
+  //      plus the current immutable local-tombstone file under `_tomb/`,
+  //      then atomically renames `_current` to point at it. Readers
+  //      resolve _current → manifest → exact file list; partition columns
+  //      still derive from the paths (basePath), so pruning is unchanged.
+  //   3. Retired files are GC'd only once BOTH `manifestRetention`
+  //      generations and `manifestGraceMs` have passed, so a reader
+  //      holding a recent snapshot never errors; compact() reclaims
+  //      everything immediately (the explicit hammer) and sweeps orphans.
+  //   4. Crash contract (STRONGER than the legacy path): the manifest is
+  //      published after all of a batch's data renames and before the WAL
+  //      clear, so a crash anywhere mid-batch leaves the whole batch
+  //      invisible — readers keep the previous generation, the surviving
+  //      WAL replays an idempotent re-reduce of published state, and the
+  //      crashed batch's files (including its tombstone file, which the
+  //      old manifest does not reference) are orphans that compact()
+  //      sweeps. Re-submitting the batch applies it.
+  //
+  // Legacy stores (built pre-manifest, or with manifests=false) keep the
+  // listing+seqlock+trash protocol untouched; reshapeTo migrates.
+  // ---------------------------------------------------------------------
+
+  /** Writer-side pending generation: non-null exactly while this instance
+    * holds the lease on a manifest store. Mutated in memory by each write
+    * step; published by [[publishPending]]. */
+  @volatile private var pending: Snapshot = _
+  private var pendingRev: Long = 0L // bumps per model mutation → plan-cache key
+  private var pendingDirty = false
+
+  private def readCurrentVersion(): Long =
+    if (!exists(currentPath)) -1L
+    else {
+      val in = new java.io.DataInputStream(stateFs.open(new Path(currentPath)))
+      try in.readLong() finally in.close()
+    }
+
+  private def manifestFile(v: Long): String = s"$manifestsPath/m$v"
+
+  private def tableOf(rel: String): String = {
+    val i = rel.indexOf('/')
+    if (i < 0) rel else rel.substring(0, i)
+  }
+
+  private def writeManifest(s: Snapshot): Unit =
+    writeLocalAtomic(manifestFile(s.version)) { out =>
+      out.writeLong(s.version)
+      out.writeUTF(s.tombLocal.getOrElse(""))
+      val all = s.live.valuesIterator.flatten.toVector
+      out.writeInt(all.size); all.foreach(out.writeUTF)
+      out.writeInt(s.retired.size)
+      s.retired.foreach { r =>
+        out.writeUTF(r.path); out.writeLong(r.version); out.writeLong(r.millis)
+      }
+    }
+
+  private def readManifest(v: Long): Snapshot = {
+    val in = new java.io.DataInputStream(stateFs.open(new Path(manifestFile(v))))
+    try {
+      val ver = in.readLong()
+      val tl = in.readUTF()
+      val n = in.readInt()
+      val live = (0 until n).map(_ => in.readUTF()).toVector.groupBy(tableOf)
+      val nr = in.readInt()
+      val retired = (0 until nr).map(_ =>
+        Retired(in.readUTF(), in.readLong(), in.readLong())).toVector
+      Snapshot(ver, live, if (tl.isEmpty) None else Some(tl), retired)
+    } finally in.close()
+  }
+
+  /** Parsed manifests by version — immutable once written, so the cache
+    * never staleness-checks; bounded by eviction. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Snapshot]()
+
+  private def publishedSnapshot(): Option[Snapshot] = {
+    val v = readCurrentVersion()
+    if (v < 0) None
+    else {
+      val hit = manifestCache.get(v)
+      if (hit != null) Some(hit)
+      else {
+        val s = readManifest(v)
+        if (manifestCache.size > 16) manifestCache.clear()
+        manifestCache.put(v, s)
+        Some(s)
+      }
+    }
+  }
+
+  /** The file-layout snapshot governing a read: the writer's in-progress
+    * generation while this instance holds the lease, else the published
+    * manifest; None on legacy (listing-based) stores. */
+  private def snapshotNow(): Option[Snapshot] = {
+    val p = pending
+    if (p != null) Some(p) else publishedSnapshot()
+  }
+
+  // ---- model mutators (writer-side, under the lease) -------------------
+
+  private def modelAddFiles(rels: Seq[String]): Unit = if (rels.nonEmpty) {
+    val byTable = rels.groupBy(tableOf)
+    val live = byTable.foldLeft(pending.live) { case (acc, (t, fs)) =>
+      acc.updated(t, acc.getOrElse(t, Vector.empty) ++ fs)
+    }
+    pending = pending.copy(live = live)
+    pendingRev += 1; pendingDirty = true
+  }
+
+  /** Retire every live file under one partition directory (store-relative,
+    * e.g. "reduce_tree/level=1/part=3"). The files stay on disk for
+    * retained snapshots; GC removes them at publish time once both
+    * retention conditions pass. */
+  private def modelRetireDir(dirRel: String): Unit = {
+    val table = tableOf(dirRel)
+    val prefix = dirRel + "/"
+    val (dead, keep) =
+      pending.live.getOrElse(table, Vector.empty).partition(_.startsWith(prefix))
+    retirePaths(dead, keepLive = pending.live.updated(table, keep))
+  }
+
+  private def modelRetireTable(table: String): Unit =
+    retirePaths(pending.live.getOrElse(table, Vector.empty),
+      keepLive = pending.live - table)
+
+  private def retirePaths(dead: Seq[String],
+      keepLive: Map[String, Vector[String]]): Unit = {
+    pendingDirty = true
+    if (dead.isEmpty) { pending = pending.copy(live = keepLive); return }
+    val now = System.currentTimeMillis()
+    pending = pending.copy(
+      live = keepLive,
+      retired = pending.retired ++
+        dead.map(Retired(_, pending.version + 1, now)))
+    pendingRev += 1
+  }
+
+  private def modelSetTombLocal(ref: Option[String]): Unit = {
+    val old = pending.tombLocal
+    pending = pending.copy(tombLocal = ref)
+    pendingRev += 1; pendingDirty = true
+    old.filter(o => !ref.contains(o)).foreach(o =>
+      retirePaths(Seq(o), keepLive = pending.live))
+  }
+
+  /** Land the pending generation: GC retired files old enough that no
+    * retained snapshot can reference them, write `m<version+1>`, flip
+    * `_current`. No-op when nothing changed since the last publish. */
+  private def publishPending(): Unit = {
+    if (pending == null || !pendingDirty) return
+    val v = pending.version + 1
+    val now = System.currentTimeMillis()
+    val (drop, keep) = pending.retired.partition(r =>
+      v - r.version >= config.manifestRetention &&
+        now - r.millis >= config.manifestGraceMs)
+    drop.foreach { r =>
+      try fs.delete(new Path(s"$storePath/${r.path}"), false)
+      catch { case _: java.io.IOException => () }
+    }
+    val next = pending.copy(version = v, retired = keep)
+    writeManifest(next)
+    writeLocalAtomic(currentPath)(_.writeLong(v))
+    // Old manifest files: unreferenced once no retained snapshot can
+    // resolve them; same double condition as data files.
+    if (exists(manifestsPath)) fs.listStatus(new Path(manifestsPath)).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("m") && !name.contains(".")) {
+        val mv = try name.drop(1).toLong catch { case _: NumberFormatException => v }
+        if (v - mv >= math.max(config.manifestRetention.toLong, 4L) &&
+            now - st.getModificationTime >= config.manifestGraceMs)
+          fs.delete(st.getPath, false)
+      }
+    }
+    pending = next
+    pendingRev += 1
+    pendingDirty = false
+    manifestCache.put(v, next)
+  }
+
+  /** Rename every data file under `<destPath>.staging` into the
+    * destination (additive — existing files untouched), delete the
+    * staging dir, and return the new files' store-relative paths. */
+  private def mergeStagedDir(destPath: String): Vector[String] = {
+    val staging = new Path(s"$destPath.staging")
+    val table = new Path(destPath).getName
+    def walk(p: Path, rel: String): Vector[String] =
+      fs.listStatus(p).toVector.flatMap { st =>
+        val childRel =
+          if (rel.isEmpty) st.getPath.getName else s"$rel/${st.getPath.getName}"
+        if (st.isDirectory) walk(st.getPath, childRel)
+        else if (st.getPath.getName.endsWith(".parquet")) Vector(childRel)
+        else Vector.empty
+      }
+    val rels = if (fs.exists(staging)) walk(staging, "") else Vector.empty
+    rels.foreach { r =>
+      val dest = new Path(s"$destPath/$r")
+      fs.mkdirs(dest.getParent)
+      fs.rename(new Path(s"$destPath.staging/$r"), dest)
+    }
+    fs.delete(staging, true)
+    rels.map(r => s"$table/$r")
+  }
+
+  /** Stage-write `df` and merge its data files into `destPath`; returns
+    * the new store-relative paths (NOT yet added to the model — callers
+    * retire replaced dirs first, then add). */
+  private def stagedWriteIn(df: DataFrame, destPath: String,
+      partitionCols: Seq[String], clustered: Boolean): Vector[String] = {
+    val staging = s"$destPath.staging"
+    val pcols = partitionCols.map(col)
+    val arranged =
+      if (partitionCols.isEmpty) df
+      else if (clustered) df.sortWithinPartitions(pcols :+ $"reduce_key": _*)
+      else df.repartition(pcols: _*)
+        .sortWithinPartitions(pcols :+ $"reduce_key": _*)
+    val w = arranged.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staging)
+    mergeStagedDir(destPath)
   }
 
   /** Run tiny maintenance queries with 1-partition, non-adaptive
@@ -276,6 +560,23 @@ class Executer[D, R <: Product: TypeTag](
   private def fs: FileSystem =
     FileSystem.get(URI.create(storePath), spark.sparkContext.hadoopConfiguration)
 
+  /** Checksum-free filesystem for the tiny driver-local STATE files
+    * (`_epoch`, `_mod`, `_seq`, `_current`, manifests, tombstone sets,
+    * the local dirty WAL). Hadoop's local ChecksumFileSystem renames a
+    * file and its `.crc` sidecar as two separate metadata ops, so a
+    * reader could open a just-renamed state file against the stale
+    * sidecar and die with ChecksumException — a spurious retriable error
+    * under churn (and the one error class manifest reads would otherwise
+    * still have). State files are single-block and atomically renamed;
+    * checksums buy nothing there. Data files (parquet) keep checksums. */
+  private lazy val stateFs: FileSystem = {
+    val f = FileSystem.newInstance(
+      URI.create(storePath), spark.sparkContext.hadoopConfiguration)
+    f.setVerifyChecksum(false)
+    f.setWriteChecksum(false)
+    f
+  }
+
   private def exists(path: String): Boolean = fs.exists(new Path(path))
 
   /** Write a small driver-local state file atomically: write a sibling
@@ -291,11 +592,24 @@ class Executer[D, R <: Product: TypeTag](
       write: java.io.DataOutputStream => Unit): Unit = {
     val tmp = fs.makeQualified(new Path(path + ".tmp"))
     val dest = fs.makeQualified(new Path(path))
-    val out = new java.io.DataOutputStream(fs.create(tmp, true))
+    val out = new java.io.DataOutputStream(stateFs.create(tmp, true))
     try write(out) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val scheme = dest.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      // FileContext.rename(OVERWRITE) on the local FS is delete-then-
+      // rename — a concurrent reader could observe the destination
+      // MISSING between the two. POSIX rename(2) replaces atomically.
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dest.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      // HDFS (and HDFS-like) implement overwrite renames atomically
+      // server-side.
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** Document ids are case-insensitive (`Executer.cs:246-247,302`):
@@ -382,7 +696,11 @@ class Executer[D, R <: Product: TypeTag](
         .map(d => t.documentId(d)).toDF("doc_id")
         .select(upper($"doc_id") as "doc_id").distinct()
 
-      if (!exists(mapResultsPath)) {
+      val firstBuild =
+        if (pending != null)
+          pending.live.getOrElse("map_results", Vector.empty).isEmpty
+        else !exists(mapResultsPath)
+      if (firstBuild) {
         // Initial build fast path: everything is dirty, so skip the dirty
         // set entirely — no WAL round-trip, no semi-join pruning, no
         // staging renames (the partials/finals tables don't exist yet).
@@ -523,16 +841,26 @@ class Executer[D, R <: Product: TypeTag](
             // state, re-submitting the batch completes it).
             def startAppend(): () => Unit = {
               val session = spark
+              val manifest = pending != null
               val fut = java.util.concurrent.CompletableFuture.runAsync { () =>
                 // SQLConf.get in the job thread resolves via the active-
                 // session thread-local; a fresh pool thread has none.
                 org.apache.spark.sql.SparkSession.setActiveSession(session)
-                mappedP.repartition($"parent")
+                val w = mappedP.repartition($"parent")
                   .sortWithinPartitions($"parent", $"reduce_key")
-                  .write.partitionBy("parent").mode("append")
-                  .parquet(mapResultsPath)
+                  .write.partitionBy("parent")
+                // Manifest stores append via staging too: the merge's
+                // file renames (on the driver, at join) are what tells
+                // the model EXACTLY which files this batch added — no
+                // listing diff that could adopt a crashed batch's
+                // orphans.
+                if (manifest) w.mode("overwrite").parquet(s"$mapResultsPath.staging")
+                else w.mode("append").parquet(mapResultsPath)
               }
-              () => fut.join()
+              () => {
+                fut.join()
+                if (manifest) modelAddFiles(mergeStagedDir(mapResultsPath))
+              }
             }
             var appendJoin: () => Unit = () => ()
             var level0Source: DataFrame = null
@@ -559,9 +887,14 @@ class Executer[D, R <: Product: TypeTag](
                 // Incoming ids exceed the driver limit even though the
                 // dirty pair set collapsed (many docs, few keys): write
                 // the tombstones distributed instead — still O(batch).
-                incomingIds.withColumn("tomb_seq", lit(batchSeq))
-                  .write.mode("append").parquet(tombDistPath); jobs += 1
-                bumpStoreVersion()
+                val tdf = incomingIds.withColumn("tomb_seq", lit(batchSeq))
+                if (pending != null)
+                  modelAddFiles(stagedWriteIn(tdf, tombDistPath, Nil, clustered = false))
+                else {
+                  tdf.write.mode("append").parquet(tombDistPath)
+                  bumpStoreVersion()
+                }
+                jobs += 1
               }
               appendJoin = startAppend(); jobs += 1
               // The appended files are invisible to `existing` (its file
@@ -597,14 +930,21 @@ class Executer[D, R <: Product: TypeTag](
             // Merge-on-read invalidation, distributed spelling: tombstone
             // the incoming ids as a parquet append (O(batch)), append the
             // new map output, and let rereduce read the post-update view
-            // through readMapResults (new files + new tombstones).
-            incomingIds.withColumn("tomb_seq", lit(batchSeq))
-              .write.mode("append").parquet(tombDistPath); jobs += 1
-            mappedP.repartition($"parent")
+            // through readMapResults (new files + new tombstones — on a
+            // manifest store, via the pending generation).
+            val tdf = incomingIds.withColumn("tomb_seq", lit(batchSeq))
+            val mapAppend = mappedP.repartition($"parent")
               .sortWithinPartitions($"parent", $"reduce_key")
-              .write.partitionBy("parent").mode("append")
-              .parquet(mapResultsPath); jobs += 1
-            bumpStoreVersion()
+              .write.partitionBy("parent")
+            if (pending != null) {
+              modelAddFiles(stagedWriteIn(tdf, tombDistPath, Nil, clustered = false)); jobs += 1
+              mapAppend.mode("overwrite").parquet(s"$mapResultsPath.staging"); jobs += 1
+              modelAddFiles(mergeStagedDir(mapResultsPath))
+            } else {
+              tdf.write.mode("append").parquet(tombDistPath); jobs += 1
+              mapAppend.mode("append").parquet(mapResultsPath); jobs += 1
+              bumpStoreVersion()
+            }
             val dirtyParents = dirty.select("parent").distinct()
               .as[Int].collect().sorted; jobs += 1 // ≤ fanIn values
             rereduce(dirty); jobs += 2
@@ -1091,7 +1431,7 @@ class Executer[D, R <: Product: TypeTag](
   private def storeVersion(): Long =
     if (!exists(modPath)) 0L
     else {
-      val in = new java.io.DataInputStream(fs.open(new Path(modPath)))
+      val in = new java.io.DataInputStream(stateFs.open(new Path(modPath)))
       try in.readLong() finally in.close()
     }
 
@@ -1111,11 +1451,51 @@ class Executer[D, R <: Product: TypeTag](
     }
   }
 
-  private def readMapResults(): DataFrame =
-    applyTombstones(cachedRel(mapResultsPath, mapReadSchema))
-      .select("parent", "bucket", "reduce_key", "doc_id", "seq", "payload")
+  /** Plans keyed by (table path, snapshot identity) — a published
+    * manifest's file list is immutable, so its plan never goes stale;
+    * pending-generation plans are keyed by the model revision instead. */
+  private val manifestRelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def readTree(): DataFrame = cachedRel(treePath, treeReadSchema)
+  private def snapKey(s: Snapshot): String =
+    if (pending eq s) s"p$pendingRev" else s"v${s.version}"
+
+  /** The table relation under a resolved snapshot (manifest stores), or
+    * the listing-based cached relation (legacy stores). Explicit file
+    * list + basePath keeps partition-column derivation — and with it
+    * partition pruning — identical to a directory read. */
+  private def relFor(path: String, schema: StructType,
+      snap: Option[Snapshot]): DataFrame = snap match {
+    case Some(s) =>
+      val table = new Path(path).getName
+      val files = s.live.getOrElse(table, Vector.empty)
+      val key = s"$path#${snapKey(s)}"
+      val hit = manifestRelCache.get(key)
+      if (hit != null) hit
+      else {
+        val df =
+          if (files.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+          else spark.read.schema(schema).option("basePath", path)
+            .parquet(files.map(f => s"$storePath/$f"): _*)
+        if (manifestRelCache.size > 64) manifestRelCache.clear()
+        manifestRelCache.put(key, df)
+        df
+      }
+    case None => cachedRel(path, schema)
+  }
+
+  private def readMapResults(): DataFrame = {
+    // One snapshot resolution for BOTH the data files and the tombstone
+    // overlay: resolving them separately could mix generations (old map
+    // files + newer tombstones ⇒ docs transiently vanish).
+    val snap = snapshotNow()
+    applyTombstones(relFor(mapResultsPath, mapReadSchema, snap), snap)
+      .select("parent", "bucket", "reduce_key", "doc_id", "seq", "payload")
+  }
+
+  private def readTree(): DataFrame =
+    relFor(treePath, treeReadSchema, snapshotNow())
 
   private def readPartials(): DataFrame =
     readTree().where($"level" === 1)
@@ -1153,6 +1533,17 @@ class Executer[D, R <: Product: TypeTag](
     * on reduce_key let key-filtered scans skip row groups. */
   private def writePartitioned(
       df: DataFrame, destPath: String, partitionCols: Seq[String]): Unit = {
+    if (pending != null) {
+      // Whole-table replacement, manifest spelling: stage + merge in, then
+      // retire every previously-live file of the table (they stay on disk
+      // for retained snapshots — a full rebuild over an existing store
+      // must not physically overwrite what a reader may be scanning).
+      val table = new Path(destPath).getName
+      val newRels = stagedWriteIn(df, destPath, partitionCols, clustered = false)
+      modelRetireTable(table)
+      modelAddFiles(newRels)
+      return
+    }
     val pcols = partitionCols.map(col)
     df.repartition(pcols: _*)
       .sortWithinPartitions(pcols :+ $"reduce_key": _*)
@@ -1183,6 +1574,17 @@ class Executer[D, R <: Product: TypeTag](
   private def stageAndOverwriteDirs(
       df: DataFrame, destPath: String, partitionCols: Seq[String],
       dirs: Seq[String], clustered: Boolean): Unit = {
+    if (pending != null) {
+      // Manifest spelling of the partition swap: stage, merge the new
+      // files in ADDITIVELY, retire (not move) the replaced directories'
+      // previously-live files. No trash, no rename-aside window — a
+      // reader's snapshot keeps resolving the retired files until GC.
+      val table = new Path(destPath).getName
+      val newRels = stagedWriteIn(df, destPath, partitionCols, clustered)
+      dirs.foreach(d => modelRetireDir(s"$table/$d"))
+      modelAddFiles(newRels)
+      return
+    }
     val staging = s"$destPath.staging"
     val pcols = partitionCols.map(col)
     val arranged =
@@ -1291,7 +1693,7 @@ class Executer[D, R <: Product: TypeTag](
   private def currentSeq: Int =
     if (!exists(seqPath)) -1
     else {
-      val in = new java.io.DataInputStream(fs.open(new Path(seqPath)))
+      val in = new java.io.DataInputStream(stateFs.open(new Path(seqPath)))
       try in.readInt() finally in.close()
     }
 
@@ -1304,37 +1706,64 @@ class Executer[D, R <: Product: TypeTag](
     n
   }
 
-  private def readTombLocal(): Seq[(String, Int)] = {
-    val in = new java.io.DataInputStream(fs.open(new Path(tombLocalPath)))
+  private def readTombFile(path: String): Seq[(String, Int)] = {
+    val in = new java.io.DataInputStream(stateFs.open(new Path(path)))
     try {
       val n = in.readInt()
       (0 until n).map(_ => (in.readUTF(), in.readInt()))
     } finally in.close()
   }
 
-  /** Merge new tombstones into the local file (newer seq wins — and the
-    * incoming seq is always the largest yet). Rewriting the whole file is
-    * O(entries); the auto-fold bound keeps that a few MB at most. */
+  private def readTombLocal(): Seq[(String, Int)] = readTombFile(tombLocalPath)
+
+  /** The local tombstone entries of a snapshot (manifest: the immutable
+    * versioned file the manifest references; legacy: tombstones.bin). */
+  private def tombLocalEntries(snap: Option[Snapshot]): Seq[(String, Int)] =
+    snap match {
+      case Some(s) =>
+        s.tombLocal.map(rel => readTombFile(s"$storePath/$rel")).getOrElse(Nil)
+      case None => if (exists(tombLocalPath)) readTombLocal() else Nil
+    }
+
+  private def tombDistNonEmpty(snap: Option[Snapshot]): Boolean = snap match {
+    case Some(s) => s.live.getOrElse("tombstones", Vector.empty).nonEmpty
+    case None => exists(tombDistPath)
+  }
+
+  /** Merge new tombstones into the local state (newer seq wins — and the
+    * incoming seq is always the largest yet). Rewriting the whole set is
+    * O(entries); the auto-fold bound keeps that a few MB at most.
+    * Manifest stores write a NEW immutable `_tomb/t<seq>.bin` and re-point
+    * the pending generation at it (snapshot stability: a reader's resolved
+    * manifest keeps referencing the previous file); legacy stores rewrite
+    * `tombstones.bin` atomically in place. */
   private def addTombstonesLocal(ids: Seq[String], seq: Int): Unit = {
-    val merged =
-      (if (exists(tombLocalPath)) readTombLocal().toMap else Map.empty[String, Int]) ++
-        ids.map(_ -> seq)
-    writeLocalAtomic(tombLocalPath) { out =>
+    val prev =
+      if (pending != null) tombLocalEntries(Some(pending))
+      else if (exists(tombLocalPath)) readTombLocal()
+      else Nil
+    val merged = prev.toMap ++ ids.map(_ -> seq)
+    def writeTo(path: String): Unit = writeLocalAtomic(path) { out =>
       out.writeInt(merged.size)
       merged.foreach { case (k, s) => out.writeUTF(k); out.writeInt(s) }
     }
+    if (pending != null) {
+      val rel = s"_tomb/t$seq.bin"
+      writeTo(s"$storePath/$rel")
+      modelSetTombLocal(Some(rel))
+    } else writeTo(tombLocalPath)
   }
 
   /** The live tombstone set as (doc_id, tomb_seq), max-merged per doc;
     * None when empty (the common steady state after a fold). */
-  private def tombstoneDF(): Option[DataFrame] = {
-    val local = if (exists(tombLocalPath)) readTombLocal() else Nil
-    val hasDist = exists(tombDistPath)
+  private def tombstoneDF(snap: Option[Snapshot]): Option[DataFrame] = {
+    val local = tombLocalEntries(snap)
+    val hasDist = tombDistNonEmpty(snap)
     (local.nonEmpty, hasDist) match {
       case (false, false) => None
       case (true, false) => Some(local.toDF("doc_id", "tomb_seq"))
       case _ =>
-        val dist = cachedRel(tombDistPath, tombSchema)
+        val dist = relFor(tombDistPath, tombSchema, snap)
         val all =
           if (local.isEmpty) dist
           else local.toDF("doc_id", "tomb_seq").unionByName(dist)
@@ -1359,20 +1788,21 @@ class Executer[D, R <: Product: TypeTag](
     *     (auto-fold), so the big map-side scan is never shuffled. */
   private val TombPredicateLimit = 512
 
-  private def applyTombstones(df: DataFrame): DataFrame = {
-    val local = if (exists(tombLocalPath)) readTombLocal() else Nil
-    if (!exists(tombDistPath) && local.isEmpty) return df
+  private def applyTombstones(df: DataFrame, snap: Option[Snapshot]): DataFrame = {
+    val local = tombLocalEntries(snap)
+    val hasDist = tombDistNonEmpty(snap)
+    if (!hasDist && local.isEmpty) return df
     // One OR clause per distinct seq: cap the clause count too — a deep
     // Or-tree neither pushes down nor survives the analyzer's recursion
     // (same failure shape as the dirty-pair Or-tree, rereducePruned).
-    if (!exists(tombDistPath) && local.size <= TombPredicateLimit &&
+    if (!hasDist && local.size <= TombPredicateLimit &&
         local.iterator.map(_._2).toSet.size <= 16) {
       val dead = local.groupBy(_._2).toSeq.map { case (s, entries) =>
         $"doc_id".isin(entries.map(_._1): _*) && $"seq" < lit(s)
       }.reduce(_ || _)
       return df.where(!dead)
     }
-    tombstoneDF() match {
+    tombstoneDF(snap) match {
       case None => df
       case Some(t) =>
         df.join(broadcast(t), Seq("doc_id"), "left")
@@ -1391,21 +1821,31 @@ class Executer[D, R <: Product: TypeTag](
     * re-tombstoned across batches count once per batch, which only
     * triggers the fold earlier — conservative in the right direction. */
   private def tombstoneEstimate(): Long = {
+    val snap = snapshotNow()
     var n = 0L
-    if (exists(tombLocalPath)) {
-      val in = new java.io.DataInputStream(fs.open(new Path(tombLocalPath)))
+    val localFile: Option[String] = snap match {
+      case Some(s) => s.tombLocal.map(rel => s"$storePath/$rel")
+      case None => Some(tombLocalPath).filter(exists)
+    }
+    localFile.foreach { p =>
+      val in = new java.io.DataInputStream(stateFs.open(new Path(p)))
       try n += in.readInt() finally in.close()
     }
-    if (exists(tombDistPath))
-      n += fs.listStatus(new Path(tombDistPath))
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map { f =>
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
-              f, spark.sparkContext.hadoopConfiguration))
-          try r.getRecordCount finally r.close()
-        }.sum
-    n
+    val distFiles: Seq[Path] = snap match {
+      case Some(s) => s.live.getOrElse("tombstones", Vector.empty)
+        .map(rel => new Path(s"$storePath/$rel"))
+      case None =>
+        if (!exists(tombDistPath)) Nil
+        else fs.listStatus(new Path(tombDistPath))
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath).toSeq
+    }
+    n + distFiles.map { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          p, spark.sparkContext.hadoopConfiguration))
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   /** Fold tombstones into the data files: rewrite exactly the parent
@@ -1418,34 +1858,46 @@ class Executer[D, R <: Product: TypeTag](
     * filtered by the not-yet-cleared tombstones). Caller must hold the
     * lease. */
   private def foldTombstonesLocked(): Unit = {
-    val hasLocal = exists(tombLocalPath)
-    val hasDist = exists(tombDistPath)
+    val snap = if (pending != null) Some(pending) else None
+    val local = tombLocalEntries(snap)
+    val hasLocal =
+      if (pending != null) pending.tombLocal.isDefined else exists(tombLocalPath)
+    val hasDist = tombDistNonEmpty(snap)
     if (!hasLocal && !hasDist) return
-    val localParents =
-      if (hasLocal)
-        readTombLocal().map(t =>
-          StableBucketHash.hash(t._1, config.buckets) / config.fanIn)
-      else Nil
+    val localParents = local.map(t =>
+      StableBucketHash.hash(t._1, config.buckets) / config.fanIn)
     val distParents =
       if (hasDist)
-        cachedRel(tombDistPath, tombSchema)
+        relFor(tombDistPath, tombSchema, snap)
           .select((StableBucketHash.stableBucket($"doc_id", config.buckets)
             / lit(config.fanIn)).cast("int") as "parent")
           .distinct().as[Int].collect().toSeq
       else Nil
     // A tombstone for a doc that never produced map rows has no partition
-    // directory to rewrite.
-    val parents = (localParents ++ distParents).distinct.sorted
-      .filter(p => exists(s"$mapResultsPath/parent=$p"))
+    // content to rewrite.
+    val parents = (localParents ++ distParents).distinct.sorted.filter { p =>
+      if (pending != null)
+        pending.live.getOrElse("map_results", Vector.empty)
+          .exists(_.startsWith(s"map_results/parent=$p/"))
+      else exists(s"$mapResultsPath/parent=$p")
+    }
     if (parents.nonEmpty) {
       val rows = readMapResults()
         .where($"parent".isin(parents.map(Integer.valueOf): _*))
       stageAndOverwrite(rows, mapResultsPath, "parent", parents)
       log.info(s"foldTombstones: rewrote ${parents.size} map partitions")
     }
-    if (hasLocal) fs.delete(new Path(tombLocalPath), false)
-    if (hasDist) fs.delete(new Path(tombDistPath), true)
-    bumpStoreVersion()
+    if (pending != null) {
+      // Retire the tombstone state instead of deleting it: readers holding
+      // a pre-fold snapshot still resolve the old tombstone files against
+      // the old (dead-row-bearing) data files until GC.
+      modelRetireTable("tombstones")
+      modelSetTombLocal(None)
+    } else {
+      if (hasLocal) fs.delete(new Path(tombLocalPath), false)
+      if (hasDist) fs.delete(new Path(tombDistPath), true)
+      bumpStoreVersion()
+    }
   }
 
   /** WAL for the dirty set — replaces the reference's `Schedules tree`
@@ -1468,7 +1920,7 @@ class Executer[D, R <: Product: TypeTag](
     }
 
   private def readDirtyLogLocal(): Seq[(String, Int)] = {
-    val in = new java.io.DataInputStream(fs.open(new Path(dirtyLocalPath)))
+    val in = new java.io.DataInputStream(stateFs.open(new Path(dirtyLocalPath)))
     try {
       val n = in.readInt()
       (0 until n).map(_ => (in.readUTF(), in.readInt()))
@@ -1478,6 +1930,11 @@ class Executer[D, R <: Product: TypeTag](
   private def readDirtyLog(): DataFrame = spark.read.parquet(dirtyPath)
 
   private def clearDirtyLog(): Unit = {
+    // Publish BEFORE clearing the WAL (manifest stores): a crash between
+    // the two replays an idempotent re-reduce of the just-published
+    // state; clearing first would make a crash lose the batch's dirty
+    // set while its data was already visible.
+    publishPending()
     if (exists(dirtyPath)) fs.delete(new Path(dirtyPath), true)
     if (exists(dirtyLocalPath)) fs.delete(new Path(dirtyLocalPath), false)
   }
@@ -1558,27 +2015,47 @@ class Executer[D, R <: Product: TypeTag](
     // Fold tombstones first: dead rows are dropped from their partitions
     // and the merge-on-read join disappears from every subsequent read.
     foldTombstonesLocked()
-    if (exists(mapResultsPath)) {
-      val fragmented = fs.listStatus(new Path(mapResultsPath))
+    // Fragmentation is judged on LIVE files (manifest stores — retired
+    // generations awaiting GC are not the read path's cost) or on the
+    // directory listing (legacy stores).
+    def liveDirCounts(table: String): Map[String, Int] =
+      pending.live.getOrElse(table, Vector.empty)
+        .groupBy(r => r.substring(0, r.lastIndexOf('/')))
+        .map { case (d, files) => d.stripPrefix(s"$table/") -> files.size }
+    val fragmentedMap: Seq[Int] =
+      if (pending != null)
+        liveDirCounts("map_results").collect {
+          case (d, n) if d.startsWith("parent=") && n > maxFilesPerPartition =>
+            d.stripPrefix("parent=").toInt
+        }.toSeq.sorted
+      else if (!exists(mapResultsPath)) Nil
+      else fs.listStatus(new Path(mapResultsPath))
         .filter(d => d.isDirectory && d.getPath.getName.startsWith("parent="))
         .filter(d => fs.listStatus(d.getPath)
           .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >
           maxFilesPerPartition)
         .map(_.getPath.getName.stripPrefix("parent=").toInt).sorted.toSeq
-      if (fragmented.nonEmpty) {
-        val rows = readMapResults()
-          .where($"parent".isin(fragmented.map(Integer.valueOf): _*))
-        // repartition(col): one shuffle partition per parent value → one
-        // consolidated file per directory.
-        stageAndOverwrite(rows, mapResultsPath, "parent", fragmented)
-        log.info(s"compact: rewrote ${fragmented.size} map partitions")
-      }
+    if (fragmentedMap.nonEmpty) {
+      val rows = readMapResults()
+        .where($"parent".isin(fragmentedMap.map(Integer.valueOf): _*))
+      // repartition(col): one shuffle partition per parent value → one
+      // consolidated file per directory.
+      stageAndOverwrite(rows, mapResultsPath, "parent", fragmentedMap)
+      log.info(s"compact: rewrote ${fragmentedMap.size} map partitions")
     }
     // The reduce tree: incremental writes swap whole (level, part)
     // directories, so fragmentation only appears if a wide write left
     // several task files in one directory; consolidate those too.
-    if (exists(treePath)) {
-      val fragDirs = (1 to 2).flatMap { lvl =>
+    val fragDirs: Seq[(Int, Int)] =
+      if (pending != null)
+        liveDirCounts("reduce_tree").collect {
+          case (d, n) if n > maxFilesPerPartition &&
+              d.matches("level=\\d+/part=-?\\d+") =>
+            val Array(l, p) = d.split('/')
+            (l.stripPrefix("level=").toInt, p.stripPrefix("part=").toInt)
+        }.toSeq.sorted
+      else if (!exists(treePath)) Nil
+      else (1 to 2).flatMap { lvl =>
         val lvlPath = new Path(s"$treePath/level=$lvl")
         if (!fs.exists(lvlPath)) Nil
         else fs.listStatus(lvlPath)
@@ -1588,16 +2065,75 @@ class Executer[D, R <: Product: TypeTag](
             maxFilesPerPartition)
           .map(d => (lvl, d.getPath.getName.stripPrefix("part=").toInt)).toSeq
       }
-      if (fragDirs.nonEmpty) {
-        val cond = fragDirs.map { case (l, p) => $"level" === l && $"part" === p }
-          .reduce(_ || _)
-        stageAndOverwriteTree(
-          readTree().where(cond),
-          fragDirs.map { case (l, p) => s"level=$l/part=$p" },
-          clustered = false)
-        log.info(s"compact: rewrote ${fragDirs.size} tree partitions")
-      }
+    if (fragDirs.nonEmpty) {
+      val cond = fragDirs.map { case (l, p) => $"level" === l && $"part" === p }
+        .reduce(_ || _)
+      stageAndOverwriteTree(
+        readTree().where(cond),
+        fragDirs.map { case (l, p) => s"level=$l/part=$p" },
+        clustered = false)
+      log.info(s"compact: rewrote ${fragDirs.size} tree partitions")
     }
+    // compact() is the explicit space-reclamation hammer (SURVEY §14.4):
+    // reclaim every retired generation NOW (ignoring retention/grace) and
+    // sweep orphans a crashed batch may have merged in unpublished. A
+    // reader still holding a pre-compact snapshot gets a retriable error,
+    // the documented trade of running the hammer.
+    if (pending != null) {
+      publishPending() // land the fold/consolidation generation first
+      if (pending.retired.nonEmpty) {
+        pending.retired.foreach { r =>
+          try fs.delete(new Path(s"$storePath/${r.path}"), false)
+          catch { case _: java.io.IOException => () }
+        }
+        pending = pending.copy(retired = Vector.empty)
+        pendingRev += 1; pendingDirty = true
+        publishPending()
+      }
+      sweepOrphansLocked()
+    }
+  }
+
+  /** Delete every on-disk data file the current manifest does not
+    * reference (crashed-batch leftovers), stray staging dirs, old
+    * manifest files, and the distributed-tombstone/_tomb dirs when empty.
+    * Caller holds the lease and has just published a retired-free
+    * generation, so live files are exactly the published set. */
+  private def sweepOrphansLocked(): Unit = {
+    val liveSet = pending.live.valuesIterator.flatten.toSet ++ pending.tombLocal
+    def sweep(dirPath: String, table: String, ext: String): Unit = {
+      val root = new Path(dirPath)
+      if (!fs.exists(root)) return
+      def walk(p: Path, rel: String): Unit = fs.listStatus(p).foreach { st =>
+        val childRel =
+          if (rel.isEmpty) st.getPath.getName else s"$rel/${st.getPath.getName}"
+        if (st.isDirectory) walk(st.getPath, childRel)
+        else if (st.getPath.getName.endsWith(ext) &&
+            !liveSet.contains(s"$table/$childRel"))
+          fs.delete(st.getPath, false)
+      }
+      walk(root, "")
+    }
+    sweep(mapResultsPath, "map_results", ".parquet")
+    sweep(treePath, "reduce_tree", ".parquet")
+    sweep(tombDistPath, "tombstones", ".parquet")
+    sweep(tombDirPath, "_tomb", ".bin")
+    Seq(s"$mapResultsPath.staging", s"$treePath.staging",
+      s"$tombDistPath.staging").foreach { p =>
+      if (exists(p)) fs.delete(new Path(p), true)
+    }
+    // Empty side dirs: delete so "is there tombstone state" stays
+    // answerable by existence checks.
+    Seq(tombDistPath, tombDirPath).foreach { p =>
+      if (exists(p) && fs.listStatus(new Path(p)).isEmpty)
+        fs.delete(new Path(p), true)
+    }
+    // Manifest files other than the current generation.
+    if (exists(manifestsPath))
+      fs.listStatus(new Path(manifestsPath)).foreach { st =>
+        if (st.getPath.getName != s"m${pending.version}")
+          fs.delete(st.getPath, false)
+      }
   }
 
   /** Store-level operational stats — what an operator of a 100 TB
@@ -1606,22 +2142,33 @@ class Executer[D, R <: Product: TypeTag](
     * (merge-on-read read overhead), and pending recovery state. Driver
     * lists at most fanIn + 2·finalParts + 2 directories; no Spark job. */
   def storeStats(): Map[String, Long] = {
-    def dirStats(path: String): (Long, Long) = {
-      if (!exists(path)) return (0L, 0L)
-      def walk(p: Path): (Long, Long) =
-        fs.listStatus(p).foldLeft((0L, 0L)) { case ((n, b), st) =>
-          if (st.isDirectory) { val (cn, cb) = walk(st.getPath); (n + cn, b + cb) }
-          else if (st.getPath.getName.endsWith(".parquet")) (n + 1, b + st.getLen)
-          else (n, b)
-        }
-      walk(new Path(path))
+    val snap = snapshotNow()
+    def dirStats(path: String, table: String): (Long, Long) = snap match {
+      case Some(s) =>
+        // Live files only — the read path's actual cost. Retired
+        // generations awaiting GC are reported separately.
+        val files = s.live.getOrElse(table, Vector.empty)
+        (files.size.toLong, files.map { rel =>
+          try fs.getFileStatus(new Path(s"$storePath/$rel")).getLen
+          catch { case _: java.io.IOException => 0L }
+        }.sum)
+      case None =>
+        if (!exists(path)) return (0L, 0L)
+        def walk(p: Path): (Long, Long) =
+          fs.listStatus(p).foldLeft((0L, 0L)) { case ((n, b), st) =>
+            if (st.isDirectory) { val (cn, cb) = walk(st.getPath); (n + cn, b + cb) }
+            else if (st.getPath.getName.endsWith(".parquet")) (n + 1, b + st.getLen)
+            else (n, b)
+          }
+        walk(new Path(path))
     }
-    val (mapFiles, mapBytes) = dirStats(mapResultsPath)
-    val (treeFiles, treeBytes) = dirStats(treePath)
+    val (mapFiles, mapBytes) = dirStats(mapResultsPath, "map_results")
+    val (treeFiles, treeBytes) = dirStats(treePath, "reduce_tree")
     Map(
       "map_files" -> mapFiles, "map_bytes" -> mapBytes,
       "tree_files" -> treeFiles, "tree_bytes" -> treeBytes,
       "tombstones" -> tombstoneEstimate(),
+      "retired_files" -> snap.map(_.retired.size.toLong).getOrElse(0L),
       "pending_dirty_pairs" -> pendingDirtyPairs())
   }
 
@@ -1646,12 +2193,17 @@ class Executer[D, R <: Product: TypeTag](
   }
 
   private def recoverLocked(): Unit = {
-    // First: put back any partition directory a crashed swap left in a
-    // `.trash` sibling (see restoreFromTrash) — folds have no WAL, so
-    // this is their entire recovery story, and the WAL replay below must
-    // read a complete map_results table.
-    restoreFromTrash(mapResultsPath)
-    restoreFromTrash(treePath)
+    // First (LEGACY stores only): put back any partition directory a
+    // crashed swap left in a `.trash` sibling (see restoreFromTrash) —
+    // folds have no WAL, so this is their entire recovery story, and the
+    // WAL replay below must read a complete map_results table. Manifest
+    // stores never rename live data aside: a crashed batch leaves only
+    // orphan files the published manifest doesn't reference (compact()
+    // sweeps them), so there is nothing to restore.
+    if (pending == null) {
+      restoreFromTrash(mapResultsPath)
+      restoreFromTrash(treePath)
+    }
     if (exists(dirtyLocalPath)) {
       // Small-update WAL: the exact dirty pairs, replayed through the
       // pruned path against whatever map_results state the crash left

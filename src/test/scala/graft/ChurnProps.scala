@@ -59,9 +59,14 @@ object ChurnProps extends Properties("Churn") {
   // later schedules run against whatever state earlier ones built up.
   implicit private lazy val spark: org.apache.spark.sql.SparkSession =
     TestSpark.spark
+  // LEGACY (listing+seqlock+trash) layout throughout: the CrashRecover op
+  // below simulates the legacy swap's stranded-.trash window, which a
+  // manifest store cannot produce (its swaps never move live files).
+  // ManifestChurnProps runs the same adversarial schedule against the
+  // manifest layout with its own crash shape.
   private var store = TestTmp.dir("graft-churn")
   private lazy val ex0 = new Executer(PeopleCountByState, store,
-    ExecuterConfig(fanIn = 4, finalParts = 2))
+    ExecuterConfig(fanIn = 4, finalParts = 2, manifests = false))
   private var exOpt: Option[Executer[Person, StatePop]] = None
   private def ex: Executer[Person, StatePop] = exOpt.getOrElse { exOpt = Some(ex0); ex0 }
   // Reshape alternates between two layouts, so later schedules churn a
@@ -101,8 +106,9 @@ object ChurnProps extends Properties("Churn") {
         if (new java.io.File(s"$store/map_results").isDirectory) {
           reshapes += 1
           val cfg =
-            if (reshapes % 2 == 1) ExecuterConfig(fanIn = 8, finalParts = 4)
-            else ExecuterConfig(fanIn = 4, finalParts = 2)
+            if (reshapes % 2 == 1)
+              ExecuterConfig(fanIn = 8, finalParts = 4, manifests = false)
+            else ExecuterConfig(fanIn = 4, finalParts = 2, manifests = false)
           val dst = TestTmp.dir("graft-churn-rs") + "/s"
           exOpt = Some(ex.reshapeTo(dst, cfg))
           store = dst

@@ -30,11 +30,11 @@ class ReaderSwapSpec extends AnyFunSuite {
   implicit lazy val spark: SparkSession = TestSpark.spark
   import spark.implicits._
 
-  test("continuous reader never sees a torn table during update churn") {
-    val store = TestTmp.dir("graft-readerswap")
+  /** Runs the churn scenario; returns (goodReads, retriableErrors). Any
+    * torn read fails the calling test immediately. */
+  private def churn(store: String, cfg: ExecuterConfig): (Int, Int) = {
     val N = 240
-    val ex = new Executer(PeopleCountByState, store,
-      ExecuterConfig(fanIn = 4, finalParts = 2))
+    val ex = new Executer(PeopleCountByState, store, cfg)
     def person(i: Int, flip: Boolean): Person = {
       val st = if ((i % 2 == 0) ^ flip) "CA" else "TX"
       Person(s"p-$i", st)
@@ -42,12 +42,13 @@ class ReaderSwapSpec extends AnyFunSuite {
     ex.execute(spark.createDataset((1 to N).map(person(_, flip = false))))
 
     val readerSpark = spark.newSession()
-    val readerEx = new Executer(PeopleCountByState, store,
-      ExecuterConfig(fanIn = 4, finalParts = 2))(implicitly, readerSpark)
+    val readerEx =
+      new Executer(PeopleCountByState, store, cfg)(implicitly, readerSpark)
     val stop = new AtomicBoolean(false)
     val goodReads = new AtomicInteger(0)
     val retriable = new AtomicInteger(0)
     @volatile var torn: Option[String] = None
+    @volatile var firstError: Option[String] = None
     val reader = new Thread(() => {
       while (!stop.get() && torn.isEmpty) {
         try {
@@ -61,7 +62,10 @@ class ReaderSwapSpec extends AnyFunSuite {
         } catch {
           // A swap after this read's listing renamed its files away:
           // retriable by contract, never silent.
-          case _: Throwable => retriable.incrementAndGet()
+          case e: Throwable =>
+            retriable.incrementAndGet()
+            if (firstError.isEmpty)
+              firstError = Some(s"${e.getClass.getName}: ${e.getMessage}")
         }
       }
     }, "swap-spec-reader")
@@ -93,5 +97,26 @@ class ReaderSwapSpec extends AnyFunSuite {
     val last = ex.queryAll().select("reduce_key", "count").collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(last.values.sum === N)
+    firstError.foreach(e => info(s"first reader error: $e"))
+    (goodReads.get(), retriable.get())
+  }
+
+  test("manifest store: reader sees ZERO retriable errors during churn") {
+    // SURVEY §14: snapshot reads resolve the published manifest's
+    // immutable file list — a swap landing mid-read cannot rename the
+    // reader's files away (they are retired, not moved), so the residual
+    // retriable-error class of the seqlock protocol disappears entirely.
+    val (_, retriable) = churn(TestTmp.dir("graft-readerswap"),
+      ExecuterConfig(fanIn = 4, finalParts = 2))
+    assert(retriable == 0,
+      s"manifest reads must never need a retry, got $retriable")
+  }
+
+  test("legacy store: seqlock fallback still guarantees no silent loss") {
+    // Pre-manifest stores keep the optimistic-seqlock contract: every
+    // SUCCESSFUL read is consistent; a swap after the read's listing may
+    // surface as a retriable error (counted, tolerated).
+    churn(TestTmp.dir("graft-readerswap-legacy"),
+      ExecuterConfig(fanIn = 4, finalParts = 2, manifests = false))
   }
 }

@@ -46,13 +46,20 @@ class RecoverySpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$store/dirty")))
   }
 
+  // The four tests below pin LEGACY-layout crash windows (in-place
+  // tombstones.bin, stranded .trash directories): a manifest store cannot
+  // produce them — its tombstone files are immutable+versioned and its
+  // swaps never move live files. ManifestSpec pins the manifest layout's
+  // own (stronger) crash contract: batch invisible until publish.
+  private val legacyCfg = graft.core.ExecuterConfig(manifests = false)
+
   test("recover() after a crash between tombstone write and append") {
     // The documented crash window of the merge-on-read update path:
     // dirty WAL written, tombstones written, new rows NOT yet appended.
     // recover() must land on the consistent "docs deleted" state (the
     // interrupted batch is the caller's to re-submit), never duplicates.
     val store = TestTmp.dir("graft-rec4")
-    val ex = new Executer(PeopleCountByState, store)
+    val ex = new Executer(PeopleCountByState, store, legacyCfg)
     ex.execute(spark.createDataset(Seq(
       Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
 
@@ -96,7 +103,7 @@ class RecoverySpec extends AnyFunSuite {
     // the tree rewrite never ran — the WAL must let recover() finish
     // the job, or the key would stay queryable forever.
     val store = TestTmp.dir("graft-rec5")
-    val ex = new Executer(PeopleCountByState, store)
+    val ex = new Executer(PeopleCountByState, store, legacyCfg)
     ex.execute(spark.createDataset(Seq(
       Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
 
@@ -132,7 +139,7 @@ class RecoverySpec extends AnyFunSuite {
     // reconstructible from the WAL (ADVICE r3). recover() must rename
     // the stranded directory back before anything else runs.
     val store = TestTmp.dir("graft-rec6")
-    val ex = new Executer(PeopleCountByState, store)
+    val ex = new Executer(PeopleCountByState, store, legacyCfg)
     ex.execute(spark.createDataset(Seq(
       Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
     val before = ex.queryAll().collect().toSet
@@ -162,7 +169,7 @@ class RecoverySpec extends AnyFunSuite {
     // completed directory — that would duplicate every live row, and
     // fold/compact swaps have no WAL that would ever repair it.
     val store = TestTmp.dir("graft-rec7")
-    val ex = new Executer(PeopleCountByState, store)
+    val ex = new Executer(PeopleCountByState, store, legacyCfg)
     ex.execute(spark.createDataset(Seq(
       Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
     val before = ex.queryAll().collect().toSet

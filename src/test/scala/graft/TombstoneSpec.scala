@@ -54,17 +54,22 @@ class TombstoneSpec extends AnyFunSuite {
     assert(before.subsetOf(after),
       s"pre-update files were rewritten: ${(before -- after).take(3)}")
     assert((after -- before).nonEmpty, "expected appended batch files")
-    assert(new java.io.File(s"$store/tombstones.bin").exists())
+    // Merge-on-read state exists (manifest layout: an immutable versioned
+    // file under _tomb/, referenced by the current manifest).
+    assert(ex.storeStats()("tombstones") == 10L)
 
     // Results reflect the update through the merge-on-read view.
     val want = people.map(p => upd.find(_.id == p.id).getOrElse(p))
       .groupBy(_.state).map { case (s, xs) => (s, xs.size.toLong) }
     assert(counts(ex) == want)
 
-    // Folding drops the tombstone state without changing any result.
+    // Folding drops the tombstone state without changing any result —
+    // and compact's orphan sweep leaves no tombstone files on disk.
     ex.compact()
+    assert(ex.storeStats()("tombstones") == 0L)
     assert(!new java.io.File(s"$store/tombstones.bin").exists())
     assert(!new java.io.File(s"$store/tombstones").exists())
+    assert(!new java.io.File(s"$store/_tomb").exists())
     assert(counts(ex) == want)
 
     // And maintenance keeps working on the folded store.
@@ -156,8 +161,8 @@ class TombstoneSpec extends AnyFunSuite {
       (1 to 50).map(i => Person(s"p-$i", "CA"))))
     ex.execute(spark.createDataset(
       Seq(Person("p-1", "TX"), Person("p-2", "TX"))))
-    assert(!new java.io.File(s"$store/tombstones.bin").exists())
-    assert(!new java.io.File(s"$store/tombstones").exists())
+    assert(ex.storeStats()("tombstones") == 0L,
+      "auto-fold did not clear the live tombstone set")
     assert(counts(ex) == Map("CA" -> 48L, "TX" -> 2L))
   }
 }
