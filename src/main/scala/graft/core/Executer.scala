@@ -375,19 +375,20 @@ class Executer[D, R <: Product: TypeTag](
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Snapshot]()
 
+  private def manifestAt(v: Long): Snapshot = {
+    val hit = manifestCache.get(v)
+    if (hit != null) hit
+    else {
+      val s = readManifest(v)
+      if (manifestCache.size > 16) manifestCache.clear()
+      manifestCache.put(v, s)
+      s
+    }
+  }
+
   private def publishedSnapshot(): Option[Snapshot] = {
     val v = readCurrentVersion()
-    if (v < 0) None
-    else {
-      val hit = manifestCache.get(v)
-      if (hit != null) Some(hit)
-      else {
-        val s = readManifest(v)
-        if (manifestCache.size > 16) manifestCache.clear()
-        manifestCache.put(v, s)
-        Some(s)
-      }
-    }
+    if (v < 0) None else Some(manifestAt(v))
   }
 
   /** The file-layout snapshot governing a read: the writer's in-progress
@@ -1183,6 +1184,30 @@ class Executer[D, R <: Product: TypeTag](
           $"reduce_key".isin(keys: _*))
         .select(outCols: _*)
     }
+  }
+
+  /** The currently-published snapshot generation of a manifest store, or
+    * −1 on legacy stores. Pair with [[queryAllAt]] for stable time-travel
+    * reads: capture the version before a mutation, read that exact
+    * generation after it. */
+  def snapshotVersion(): Long = readCurrentVersion()
+
+  /** [[queryAll]] as of an earlier published generation — the manifest
+    * layer's time-travel read (SURVEY §14): a generation's file list is
+    * immutable, and its replaced files survive on disk for
+    * `manifestRetention` generations AND `manifestGraceMs` after
+    * retirement (longer if no further mutations land; `compact()`
+    * reclaims immediately). Reading a generation whose manifest or data
+    * files have been GC'd fails with a file-not-found error — never a
+    * silently wrong answer. Legacy stores have no generations. */
+  def queryAllAt(version: Long): DataFrame = {
+    configChecked
+    require(version >= 0, s"snapshot generations are >= 0, got $version")
+    val snap = Some(manifestAt(version))
+    relFor(treePath, treeReadSchema, snap)
+      .where($"level" === 2)
+      .select($"reduce_key" +: encR.schema.fieldNames.toSeq
+        .map(f => col(s"payload.$f")): _*)
   }
 
   /** The whole index as a DataFrame — strictly more capable than the

@@ -113,19 +113,21 @@ object IndexQueries {
     // (update = delete + insert, `Executer.cs:240-261`); result must
     // equal a fresh aggregation over the post-update document state.
     "q41_mr_index_update" -> { (s, dir) =>
-      implicit val spark: SparkSession = s
       import s.implicits._
-      val store = TempStores.scratch("graft-q41")
-      val orders = t(s, dir, "orders")
-        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").as[OrderDoc]
-      val ex = new Executer(OrdersByPriority, store, ExecuterConfig(fanIn = 64, finalParts = 16))
-      ex.execute(orders)
-      // The update: every order with orderkey % 97 == 0 doubles its price
-      // and moves to priority '1-URGENT'.
-      val updates = orders.filter(_.o_orderkey % 97 == 0)
-        .map(o => OrderDoc(o.o_orderkey, "1-URGENT", o.o_totalprice * 2))
-      ex.execute(updates)
-      ex.queryAll()
+      ordersByPriorityUpdated(s, dir)._1.queryAll()
+        .select($"reduce_key", $"cnt", toDouble($"total") as "total")
+    },
+
+    // Time travel (SURVEY §14): read the PRE-update generation back from
+    // the store q41's mutation already churned — the manifest layer's
+    // retained files make the old answer exactly reproducible (oracle:
+    // plain aggregation over the UNMODIFIED documents, while the store's
+    // current state is the updated one). Named q41b so the sweep runs it
+    // warm, right after the sibling whose store it shares.
+    "q41b_mr_time_travel" -> { (s, dir) =>
+      import s.implicits._
+      val (ex, v) = ordersByPriorityUpdated(s, dir)
+      ex.queryAllAt(v)
         .select($"reduce_key", $"cnt", toDouble($"total") as "total")
     },
 
@@ -140,6 +142,31 @@ object IndexQueries {
       s.sql("""SELECT reduce_key, cnt, CAST(acctbal AS DOUBLE) AS acctbal
               |FROM graft_cust_by_nation""".stripMargin)
     })
+
+  /** One OrdersByPriority store per (process, source dir), built then
+    * mutated by the q41 update batch, shared by q41 (current state) and
+    * q41b (the retained pre-update generation): both only READ once
+    * built, so oracle isolation holds, and the sweep pays the build
+    * exactly once. Returns (executer, pre-update snapshot version). */
+  private def ordersByPriorityUpdated(
+      s: SparkSession, dir: String): (Executer[OrderDoc, PriorityAgg], Long) =
+    cachedIndex("OrdersByPriorityUpdated", dir) {
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val store = TempStores.scratch("graft-q41")
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").as[OrderDoc]
+      val ex = new Executer(OrdersByPriority, store,
+        ExecuterConfig(fanIn = 64, finalParts = 16))
+      ex.execute(orders)
+      val v = ex.snapshotVersion()
+      // The update: every order with orderkey % 97 == 0 doubles its price
+      // and moves to priority '1-URGENT'.
+      val updates = orders.filter(_.o_orderkey % 97 == 0)
+        .map(o => OrderDoc(o.o_orderkey, "1-URGENT", o.o_totalprice * 2))
+      ex.execute(updates)
+      (ex, v)
+    }
 
   case class LineitemDoc(l_orderkey: Long, l_linenumber: Int,
       l_returnflag: String, l_linestatus: String, l_quantity: Double)
@@ -308,6 +335,13 @@ object IndexQueries {
     "q99_sql_view_read" ->
       s"""SELECT CAST(c_nationkey AS VARCHAR) AS reduce_key, count(*) AS cnt,
          |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal
-         |FROM customer GROUP BY 1""".stripMargin
+         |FROM customer GROUP BY 1""".stripMargin,
+    // The PRE-update aggregation: the store has already applied q41's
+    // mutation when q41b reads generation v — time travel must
+    // reproduce the original documents' answer exactly.
+    "q41b_mr_time_travel" ->
+      s"""SELECT o_orderpriority AS reduce_key, count(*) AS cnt,
+         |CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS total
+         |FROM orders GROUP BY 1""".stripMargin
   )
 }

@@ -146,6 +146,39 @@ class ManifestSpec extends AnyFunSuite {
     assert(counts(fresh) == Map("CA" -> 2L, "TX" -> 2L))
   }
 
+  test("queryAllAt reads an exact earlier generation; GC'd generations fail loudly") {
+    val store = TestTmp.dir("graft-mani5")
+    val ex = new Executer(PeopleCountByState, store, cfg)
+    ex.execute(spark.createDataset(Seq(
+      Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
+    val v1 = ex.snapshotVersion()
+    assert(v1 >= 0)
+
+    ex.execute(spark.createDataset(Seq(Person("a", "TX")))) // CA 2→1, TX 1→2
+    val v2 = ex.snapshotVersion()
+    assert(v2 > v1, "mutation did not advance the generation")
+
+    def at(v: Long): Map[String, Long] =
+      ex.queryAllAt(v).collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(at(v1) == Map("CA" -> 2L, "TX" -> 1L), "old generation wrong")
+    assert(at(v2) == Map("CA" -> 1L, "TX" -> 2L), "current generation wrong")
+    assert(counts(ex) == at(v2))
+
+    // compact() reclaims retired generations NOW; the old read must then
+    // fail loudly (file-not-found at manifest resolution or scan), never
+    // return a silently wrong answer.
+    ex.compact()
+    val stale = intercept[Exception](ex.queryAllAt(v1).collect())
+    assert(stale.toString.toLowerCase.contains("file"),
+      s"expected a file-level failure for a GC'd generation, got $stale")
+
+    // A legacy store has no generations.
+    val legacy = new Executer(PeopleCountByState, TestTmp.dir("graft-mani5l"),
+      cfg.copy(manifests = false))
+    legacy.execute(spark.createDataset(Seq(Person("x", "CA"))))
+    assert(legacy.snapshotVersion() == -1L)
+  }
+
   test("legacy stores get no manifest; manifests=false is honored on fresh stores") {
     val store = TestTmp.dir("graft-mani4")
     val ex = new Executer(PeopleCountByState, store,

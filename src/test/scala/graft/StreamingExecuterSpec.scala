@@ -55,6 +55,67 @@ class StreamingExecuterSpec extends AnyFunSuite {
     assert(sx.query("TX").collect().toSeq == Seq(StatePop("TX", 2L)))
   }
 
+  test("always-on streamed ingest never disturbs a concurrent reader (manifest store)") {
+    // The 100 TB ingestion topology end-to-end: a stream delivers
+    // update micro-batches (foreachBatch → execute) into a MANIFEST
+    // store while a separate-session reader loops over the index. The
+    // churn batches only MOVE documents between states, so the total is
+    // conserved and any torn read is detectable; the manifest layer must
+    // keep every read both consistent AND retry-free (SURVEY §14).
+    val in = TestTmp.dir("graft-stream-live-in")
+    val store = TestTmp.dir("graft-stream-live-store")
+    val ckpt = TestTmp.dir("graft-stream-live-ckpt")
+    val N = 120
+    def person(i: Int, flip: Boolean): Person =
+      Person(s"p-$i", if ((i % 2 == 0) ^ flip) "CA" else "TX")
+    spark.createDataset((1 to N).map(person(_, flip = false)))
+      .write.mode("append").parquet(in)
+
+    val sx = new StreamingExecuter(PeopleCountByState, store)
+    def drain(): Unit = {
+      val docs = spark.readStream
+        .schema("id STRING, state STRING")
+        .parquet(in).as[Person]
+      sx.attach(docs, ckpt).awaitTermination()
+    }
+    drain() // initial build
+
+    val readerEx = new graft.core.Executer(PeopleCountByState, store)(
+      implicitly, spark.newSession())
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val good = new java.util.concurrent.atomic.AtomicInteger(0)
+    val retriable = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var torn: Option[String] = None
+    val reader = new Thread(() => {
+      while (!stop.get() && torn.isEmpty) {
+        try {
+          val total = readerEx.queryAll().collect().map(_.getLong(2)).sum
+          if (total != N) torn = Some(s"total $total != $N")
+          else good.incrementAndGet()
+        } catch { case _: Throwable => retriable.incrementAndGet() }
+      }
+    }, "stream-live-reader")
+    reader.start()
+    try {
+      for (round <- 1 to 6) {
+        spark.createDataset(
+          (1 to 30).map(i => person(i * 4 % N + 1, round % 2 == 1))
+            .distinctBy(_.id))
+          .write.mode("append").parquet(in)
+        drain()
+        Thread.sleep(100)
+      }
+    } finally {
+      stop.set(true)
+      reader.join(30000)
+    }
+    assert(torn.isEmpty, s"torn read during streamed ingest: $torn")
+    assert(good.get() > 0, "reader never completed a read")
+    assert(retriable.get() == 0,
+      s"manifest reads must be retry-free under streamed ingest, got ${retriable.get()}")
+    assert(sx.queryAll().collect().map(_.getLong(2)).sum == N)
+  }
+
   test("native update-mode aggregation equals the Executer on append-only input") {
     // SURVEY §7.2.6's promised state-store path: for singleOutput tasks
     // the stream aggregates per reduce key through ReduceAggregator in
