@@ -51,6 +51,24 @@ private[core] final case class Snapshot(
     tombLocal: Option[String],         // "_tomb/t<seq>.bin"
     retired: Vector[Retired])
 
+object Executer {
+  // One checksum-free state-file FileSystem per (scheme, authority),
+  // shared by every Executer instance in the process (see `stateFs`).
+  private val stateFsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
+
+  private[core] def stateFsFor(
+      uri: URI, conf: org.apache.hadoop.conf.Configuration): FileSystem = {
+    val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}"
+    stateFsCache.computeIfAbsent(key, _ => {
+      val f = FileSystem.newInstance(uri, conf)
+      f.setVerifyChecksum(false)
+      f.setWriteChecksum(false)
+      f
+    })
+  }
+}
+
 /** Per-batch maintenance observability — the reference's NLog step trace
   * (`MapReduce/Executer.cs:65-78,98-104`) re-expressed as metrics: which
   * maintenance mode ran, how many Spark actions it issued, and how much
@@ -569,14 +587,13 @@ class Executer[D, R <: Product: TypeTag](
     * sidecar and die with ChecksumException — a spurious retriable error
     * under churn (and the one error class manifest reads would otherwise
     * still have). State files are single-block and atomically renamed;
-    * checksums buy nothing there. Data files (parquet) keep checksums. */
-  private lazy val stateFs: FileSystem = {
-    val f = FileSystem.newInstance(
-      URI.create(storePath), spark.sparkContext.hadoopConfiguration)
-    f.setVerifyChecksum(false)
-    f.setWriteChecksum(false)
-    f
-  }
+    * checksums buy nothing there. Data files (parquet) keep checksums.
+    * Shared per (scheme, authority) across Executer instances — the ops
+    * layer creates many short-lived instances per process, and a
+    * per-instance `FileSystem.newInstance` would leak a client (DFS
+    * socket caches etc.) for each. */
+  private lazy val stateFs: FileSystem = Executer.stateFsFor(
+    URI.create(storePath), spark.sparkContext.hadoopConfiguration)
 
   private def exists(path: String): Boolean = fs.exists(new Path(path))
 

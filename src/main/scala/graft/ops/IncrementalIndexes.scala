@@ -327,6 +327,37 @@ object IncrementalIndexes {
     * (submit the new eval docs), not a recompute of the whole list. */
   object EvalShingleIndex extends KgramFreqIndex(4)
 
+  private val updatedStores =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Any]
+
+  /** One LengthHistIndex store per (process, source dir), built from a
+    * pristine clone then mutated by q89's update batch, shared by q89
+    * (current state) and q89b (pre-update generation via time travel):
+    * both only READ once built, so oracle isolation holds and the sweep
+    * pays the build+update once. Returns (executer, pre-update
+    * snapshot version). */
+  private def lengthHistUpdated(
+      s: SparkSession, dir: String): (Executer[DocLen, HistRow], Long) =
+    Memo.memo(updatedStores, ("q89", dir)) {
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id".cast("long") as "doc_id", $"source", $"text")
+        .repartition(cpuWidth(s)).as[DocLen]
+      val store = clonedBaseStore("q89", dir) { p =>
+        new Executer(LengthHistIndex, p,
+          ExecuterConfig(fanIn = 16, finalParts = 8)).execute(docs)
+      }
+      val ex = new Executer(LengthHistIndex, store,
+        ExecuterConfig(fanIn = 16, finalParts = 8))
+      val v = ex.snapshotVersion()
+      val updates = docs.filter(_.doc_id % 7 == 0)
+        .map(d => d.copy(text = d.text +
+          " twenty more revision tokens appended to move this doc up bins"))
+      ex.execute(updates)
+      (ex, v): Any
+    }.asInstanceOf[(Executer[DocLen, HistRow], Long)]
+
   /** Built-base-store cache + clone (VERDICT r5 #4): every index-update
     * query needs a freshly-built base store to run its mutation cycle
     * against. The base build is pure in (query, source dir), so it is
@@ -509,23 +540,32 @@ object IncrementalIndexes {
     // sibling re-reduce), return the maintained state; the oracle
     // recomputes the histogram from scratch over the post-update corpus.
     "q89_length_hist_index_update" -> { (s, dir) =>
-      implicit val spark: SparkSession = s
       import s.implicits._
-      val docs = t(s, dir, "documents")
-        .select($"doc_id".cast("long") as "doc_id", $"source", $"text")
-        .repartition(cpuWidth(s)).as[DocLen]
-      val store = clonedBaseStore("q89", dir) { p =>
-        new Executer(LengthHistIndex, p,
-          ExecuterConfig(fanIn = 16, finalParts = 8)).execute(docs)
-      }
-      val ex = new Executer(LengthHistIndex, store,
-        ExecuterConfig(fanIn = 16, finalParts = 8))
-      val updates = docs.filter(_.doc_id % 7 == 0)
-        .map(d => d.copy(text = d.text +
-          " twenty more revision tokens appended to move this doc up bins"))
-      ex.execute(updates)
-      ex.queryAll().select($"source", $"len_bin", $"docs", $"tokens",
-        $"min_toks", $"max_toks")
+      lengthHistUpdated(s, dir)._1.queryAll()
+        .select($"source", $"len_bin", $"docs", $"tokens",
+          $"min_toks", $"max_toks")
+    },
+
+    // Corpus drift report — maintained state + time travel, no corpus
+    // rescans: the per-(source, bin) delta between the histogram's
+    // PRE-update generation (queryAllAt) and its current state answers
+    // "what changed in the length distribution since the last batch?"
+    // from two index reads. The oracle recomputes both histograms from
+    // the raw documents and diffs them. Named q89b: shares q89's
+    // built+updated store and runs warm right after it.
+    "q89b_hist_drift" -> { (s, dir) =>
+      import s.implicits._
+      val (ex, v) = lengthHistUpdated(s, dir)
+      val now = ex.queryAll().select($"source", $"len_bin",
+        $"docs" as "docs_now", $"tokens" as "tokens_now")
+      val before = ex.queryAllAt(v).select($"source", $"len_bin",
+        $"docs" as "docs_before", $"tokens" as "tokens_before")
+      now.join(before, Seq("source", "len_bin"), "full_outer")
+        .na.fill(0L, Seq("docs_now", "tokens_now", "docs_before", "tokens_before"))
+        .select($"source", $"len_bin",
+          ($"docs_now" - $"docs_before") as "docs_delta",
+          ($"tokens_now" - $"tokens_before") as "tokens_delta")
+        .where($"docs_delta" =!= 0 || $"tokens_delta" =!= 0)
     },
 
     // Incremental decontamination: the eval-shingle probe list lives in
@@ -685,6 +725,34 @@ object IncrementalIndexes {
         |  CAST(min(toks) AS INT) AS min_toks,
         |  CAST(max(toks) AS INT) AS max_toks
         |FROM d GROUP BY source, toks // 16""".stripMargin,
+    // Both generations recomputed from the raw documents, then diffed —
+    // must equal the engine's two-index-read drift report.
+    "q89b_hist_drift" ->
+      """WITH oldd AS (
+        |  SELECT source, len(string_split_regex(text, '\s+')) AS toks
+        |  FROM documents),
+        |oldh AS (
+        |  SELECT source, toks // 16 AS len_bin, count(*) AS docs,
+        |    sum(toks) AS tokens
+        |  FROM oldd GROUP BY 1, 2),
+        |newd AS (
+        |  SELECT source, len(string_split_regex(
+        |    CASE WHEN doc_id % 7 = 0 THEN text ||
+        |      ' twenty more revision tokens appended to move this doc up bins'
+        |      ELSE text END, '\s+')) AS toks
+        |  FROM documents),
+        |newh AS (
+        |  SELECT source, toks // 16 AS len_bin, count(*) AS docs,
+        |    sum(toks) AS tokens
+        |  FROM newd GROUP BY 1, 2)
+        |SELECT COALESCE(n.source, o.source) AS source,
+        |  CAST(COALESCE(n.len_bin, o.len_bin) AS BIGINT) AS len_bin,
+        |  CAST(COALESCE(n.docs, 0) - COALESCE(o.docs, 0) AS BIGINT) AS docs_delta,
+        |  CAST(COALESCE(n.tokens, 0) - COALESCE(o.tokens, 0) AS BIGINT) AS tokens_delta
+        |FROM newh n FULL OUTER JOIN oldh o
+        |  ON n.source = o.source AND n.len_bin = o.len_bin
+        |WHERE COALESCE(n.docs, 0) <> COALESCE(o.docs, 0)
+        |   OR COALESCE(n.tokens, 0) <> COALESCE(o.tokens, 0)""".stripMargin,
     "q78_decontaminate_index_update" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
