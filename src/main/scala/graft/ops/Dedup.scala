@@ -286,7 +286,60 @@ object Dedup {
         .select($"id_a", $"id_b",
           bit_count($"sa".bitwiseXOR($"sb")).cast("int") as "hamming")
         .where($"hamming" <= 2)
+    },
+
+    // Exact duplicated-SPAN removal — the substring-level complement to
+    // doc-level dedup (the "dedup repeated spans, keep the doc" pass a
+    // training pipeline runs before doc-level MinHash; Lee et al. 2022
+    // run it with a suffix array, which doesn't distribute — the
+    // shingle-frequency spelling below is the standard scale-out
+    // equivalent at window granularity). Every 8-token window whose md5
+    // occurs MORE than once corpus-wide (another doc OR a repeat within
+    // the same doc) marks its token range; per doc, overlapping or
+    // adjacent marked ranges merge into maximal removal spans via one
+    // gaps-and-islands window pass. Scale shape: one shuffle on the
+    // window hash for the frequency table (partial-agg'd, dup windows
+    // only survive the HAVING), one equi-join back on the same key —
+    // both sides arrive hash-partitioned by `gh` — then one window
+    // partitioned by doc_id. No self-join, nothing quadratic; output
+    // is bounded by total marked windows, not corpus².
+    "q100_dup_span_removal" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val K = DupSpanK
+      val words = split($"text", "\\s+")
+      val n = size(words)
+      val grams = t(s, dir, "documents")
+        .where(n >= K)
+        .select($"doc_id", posexplode(transform(
+          sequence(lit(0), n - lit(K)),
+          i => md5(concat_ws(" ",
+            (0 until K).map(j => element_at(words, i + lit(j + 1))): _*)))))
+        .toDF("doc_id", "pos", "gh")
+      val dup = grams.groupBy($"gh")
+        .agg(count(lit(1)) as "occ").where($"occ" >= 2)
+      val marked = grams.join(dup, "gh").select($"doc_id", $"pos")
+      val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+      val spans = marked
+        .withColumn("prev_end", max($"pos" + lit(K - 1))
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("cut",
+          when($"prev_end".isNull || $"pos" > $"prev_end" + 1, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum($"cut").over(byDoc))
+      spans.groupBy($"doc_id", $"island")
+        .agg(min($"pos") as "s", max($"pos") as "e")
+        .select($"doc_id",
+          $"s".cast("long") as "span_start",
+          ($"e" + lit(K - 1)).cast("long") as "span_end",
+          ($"e" - $"s" + lit(K)).cast("long") as "span_tokens")
     })
+
+  /** Window width (tokens) for [[queries q100_dup_span_removal]]. Lee
+    * et al. use 50 BPE tokens against web crawl; 8 words fits the
+    * synthetic corpus' doc lengths while keeping the pipeline shape
+    * identical — production tunes one constant. */
+  private val DupSpanK = 8
 
   /** q28's signature computation, shared with q95. */
   private def simhashTable(
@@ -894,6 +947,37 @@ object Dedup {
          |     FROM (SELECT unnest(list_distinct(string_split_regex(text, '\\s+'))) AS w) w) >= 0
          |  THEN power(2, b.bit) ELSE 0 END)
          |  FROM (SELECT unnest(generate_series(0, 15)) AS bit) b) AS INT) AS simhash
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+    "q100_dup_span_removal" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+         |  WHERE len(string_split_regex(text, '\\s+')) >= $DupSpanK),
+         |g AS (
+         |  SELECT doc_id, w,
+         |    unnest(generate_series(0, len(w) - $DupSpanK)) AS pos
+         |  FROM ws),
+         |gh AS (
+         |  SELECT doc_id, pos,
+         |    md5(${(1 to DupSpanK).map(j => s"w[pos + $j]")
+               .mkString(" || ' ' || ")}) AS gh
+         |  FROM g),
+         |dup AS (SELECT gh FROM gh GROUP BY gh HAVING count(*) >= 2),
+         |marked AS (SELECT gh.doc_id, gh.pos FROM gh JOIN dup USING (gh)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    max(pos + ${DupSpanK - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM marked),
+         |isl2 AS (
+         |  SELECT doc_id, pos,
+         |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+         |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM isl)
+         |SELECT doc_id,
+         |  CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + ${DupSpanK - 1} AS BIGINT) AS span_end,
+         |  CAST(max(pos) - min(pos) + $DupSpanK AS BIGINT) AS span_tokens
+         |FROM isl2 GROUP BY doc_id, island""".stripMargin
   )
 }

@@ -25,6 +25,13 @@ object EmbeddingOps {
     * mechanism as [[Dedup.MaxBucket]]/[[Dedup.capHotBuckets]]. */
   private val MaxBucketVecs = 256
 
+  /** Cosine threshold for [[queries q101_semantic_dedup]]. SemDeDup
+    * runs web corpora at ~0.95; the synthetic embeddings are near-
+    * uniform on the sphere (max in-cell cosine ≈ 0.48 at every SF), so
+    * the threshold is scaled down to where the keep/drop policy
+    * actually fires — production tunes one constant. */
+  private val SemDedupTau = 0.35
+
   /** Σ aᵢ·bᵢ with double accumulation in array order — codegen'd
     * expression, bit-compatible with the HOF formulation and the oracle
     * (see [[graft.functions.DotProduct]]). */
@@ -238,6 +245,61 @@ object EmbeddingOps {
           as "max_err")
     },
 
+    // Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): cluster
+    // the embedding space coarsely, then WITHIN each cluster drop the
+    // member of every high-cosine pair that sits CLOSER to the cluster
+    // centroid — keeping the lower-centroid-similarity exemplar
+    // preserves diversity, which is the method's whole point (vs q31,
+    // which only FINDS near-dups, and q80's keep-min-id policy). Scale
+    // shape: cells from the codegen'd hyperplane signature (k-means
+    // stand-in; production swaps the quantizer constant), hot cells
+    // capped, the pair scan quadratic only within a ≤cap cell. The
+    // centroid is the engine-wide re-reducible mean: element-wise
+    // FIXED-POINT sums (floor(x·1000+0.5) as long — q91's exact form)
+    // so the mean is independent of Spark's aggregation order, then one
+    // deterministic array-order dot per (vector, centroid) — every
+    // double on both sides of the oracle is bit-identical.
+    "q101_semantic_dedup" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.HyperplaneBuckets.hyperplaneBuckets
+      val base = t(s, dir, "embeddings")
+        .repartition(cpuWidth(s))
+        .select($"vec_id",
+          transform($"embedding", v => v.cast("double")) as "e",
+          element_at(hyperplaneBuckets($"embedding", 1, 8, 64), 1) as "cell")
+      val capped = Dedup.barrier(
+        Dedup.capHotBuckets(base, Seq($"cell"), MaxBucketVecs))
+      // Deterministic centroid: exact long sums per (cell, dim), then
+      // one division — reassembled in dim order so the dot below folds
+      // in array order.
+      val cent = capped.select($"cell", posexplode($"e"))
+        .select($"cell", $"pos" as "d",
+          floor($"col" * 1000.0 + lit(0.5)).cast("long") as "qv")
+        .groupBy($"cell", $"d")
+        .agg(sum($"qv") as "qs", count(lit(1)) as "n")
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"d", $"qs", $"n"))),
+          x => x("qs").cast("double") / (lit(1000.0) * x("n"))) as "centroid")
+      val withCc = Dedup.barrier(capped.join(cent, "cell")
+        .select($"vec_id", $"cell", $"e", norm($"e") as "nrm",
+          (dot($"e", $"centroid") / (norm($"e") * norm($"centroid"))) as "cc"))
+      val pairs = withCc.as("x").join(withCc.as("y"),
+          col("x.cell") === col("y.cell") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .where(dot(col("x.e"), col("y.e")) /
+          (col("x.nrm") * col("y.nrm")) > SemDedupTau)
+        .select(col("x.vec_id") as "id_a", col("y.vec_id") as "id_b",
+          col("x.cc") as "cc_a", col("y.cc") as "cc_b")
+      val dropped = pairs.select(
+          when($"cc_a" > $"cc_b" ||
+            ($"cc_a" === $"cc_b" && $"id_a" > $"id_b"), $"id_a")
+            .otherwise($"id_b") as "vec_id")
+        .distinct().withColumn("dropme", lit(1))
+      withCc.join(dropped, Seq("vec_id"), "left")
+        .select($"vec_id", $"cell", $"cc" as "centroid_cos",
+          $"dropme".isNull as "kept")
+    },
+
     // SimHash / random-hyperplane signature: the LSH bucketing that turns
     // near-dup search into an equi-join at scale.
     "q32_ann_lsh_signature" -> { (s, dir) =>
@@ -411,6 +473,52 @@ object EmbeddingOps {
         |      abs(v - (vmin + floor((v - vmin) / scale + 0.5) * scale))))
         |  END AS max_err
         |FROM s""".stripMargin,
+    // Cell spelling shared with q36's oracle; centroid from exact
+    // fixed-point sums; parallel unnests zip (DuckDB semantics), so
+    // (dim, value) pairs stay aligned.
+    "q101_semantic_dedup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |n0 AS (
+        |  SELECT vec_id, e,
+        |    (SELECT CAST(sum(CASE WHEN
+        |        (SELECT sum(ei.emb * sin((ei.i - 1 + b.bit * 64) * 9973.0))
+        |         FROM (SELECT unnest(e) AS emb,
+        |                      generate_subscripts(e, 1) AS i) ei) >= 0
+        |        THEN power(2, b.bit) ELSE 0 END) AS INT)
+        |     FROM (SELECT unnest(generate_series(0, 7)) AS bit) b) AS cell
+        |  FROM v),
+        |capped AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY cell) AS bn FROM n0) t
+        |  WHERE bn <= 256),
+        |dims AS (
+        |  SELECT cell, generate_subscripts(e, 1) AS i, unnest(e) AS emb
+        |  FROM capped),
+        |cq AS (
+        |  SELECT cell, i,
+        |    sum(CAST(floor(emb * 1000.0 + 0.5) AS BIGINT)) AS qs,
+        |    count(*) AS n
+        |  FROM dims GROUP BY cell, i),
+        |cent AS (
+        |  SELECT cell, list(qs::DOUBLE / (1000.0 * n) ORDER BY i) AS centroid
+        |  FROM cq GROUP BY cell),
+        |cc AS (
+        |  SELECT c.vec_id, c.cell, c.e,
+        |    sqrt(list_dot_product(c.e, c.e)) AS nrm,
+        |    list_dot_product(c.e, ct.centroid) /
+        |      (sqrt(list_dot_product(c.e, c.e)) *
+        |       sqrt(list_dot_product(ct.centroid, ct.centroid))) AS cc
+        |  FROM capped c JOIN cent ct USING (cell)),
+        |p AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cc AS cc_a, y.cc AS cc_b
+        |  FROM cc x JOIN cc y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  WHERE list_dot_product(x.e, y.e) / (x.nrm * y.nrm) > 0.35),
+        |dr AS (
+        |  SELECT DISTINCT CASE WHEN cc_a > cc_b OR (cc_a = cc_b AND id_a > id_b)
+        |    THEN id_a ELSE id_b END AS vec_id FROM p)
+        |SELECT cc.vec_id, cc.cell, cc.cc AS centroid_cos,
+        |  dr.vec_id IS NULL AS kept
+        |FROM cc LEFT JOIN dr ON cc.vec_id = dr.vec_id""".stripMargin,
     "q32_ann_lsh_signature" ->
       """WITH sig AS (
         |  SELECT vec_id, label,

@@ -9,12 +9,17 @@ import Tables._
   * as opaque `binary` columns with typed metadata, processed
   * batch-at-a-time per partition (north-star extension).
   *
-  * The actual codecs (JPEG decode, resampling, frame extraction) are NOT
-  * in this container, so the decode kernel is a clearly-marked
-  * deterministic STUB — but everything Spark-side is real and tested:
-  * the schema contract, the binary column handling, partition-sized
-  * batching via `mapPartitions` (the Scala analogue of `mapInPandas`
-  * batch shape), and the downstream feature aggregation.
+  * External media libraries are NOT in this container, so the DEFAULT
+  * decode kernel is a clearly-marked deterministic STUB — but the
+  * [[MediaCodec]] seam now carries one real codec per modality built
+  * on what the JDK itself ships: [[ImageIoCodec]] (PNG/BMP/GIF pixels
+  * via `javax.imageio`), [[WavCodec]] (WAV PCM samples via
+  * `javax.sound.sampled`), and [[Y4mCodec]] (YUV4MPEG2 video frames —
+  * a raw-planes container needing no codec library at all). Everything
+  * Spark-side is real and tested either way: the schema contract, the
+  * binary column handling, partition-sized batching via
+  * `mapPartitions` (the Scala analogue of `mapInPandas` batch shape),
+  * and the downstream feature aggregation.
   */
 object Multimodal {
 
@@ -227,6 +232,115 @@ object Multimodal {
       samples(fmt, data).foreach { s =>
         if (i % factor == 0) { sum += math.abs(s.toLong); n += 1 }
         i += 1
+      }
+      (n, sum)
+    }
+  }
+
+  /** REAL video codec over the YUV4MPEG2 (".y4m") container — a pure
+    * header-plus-raw-planes format (the interchange format of mjpegtools
+    * / ffmpeg's rawvideo path), so a correct parser needs no codec
+    * library at all: `YUV4MPEG2 W<w> H<h> F<n>:<d> … [C<space>]\n`
+    * followed by `FRAME…\n` + one uncompressed planar YUV picture per
+    * frame. This gives [[MediaCodec]] its third real modality — and the
+    * one the trait's `frameOffsets` contract actually exists for: the
+    * stub slices at a caller-supplied size, while this returns the
+    * TRUE frame boundaries the container declares. Features derive from
+    * decoded LUMA SAMPLES (the Y plane), not container bytes — the same
+    * container-vs-content distinction the image/audio codecs prove.
+    * Field mapping onto [[MediaFeatures]]: `mean_byte` = mean luma over
+    * all frames; `frames_sampled` = container frame count;
+    * `checksum` = rolling hash over luma samples in frame order. */
+  object Y4mCodec extends MediaCodec {
+
+    private case class Clip(
+        w: Int, h: Int, frameBytes: Int,
+        offsets: Array[Int], data: Array[Byte])
+
+    private def fail(r: MediaRow, msg: String): Nothing =
+      throw new IllegalArgumentException(s"media_id=${r.media_id}: $msg")
+
+    private def parse(r: MediaRow): Clip = {
+      val d = r.bytes
+      val eol = d.indexOf('\n'.toByte)
+      val magic = "YUV4MPEG2"
+      if (eol < 0 || eol < magic.length ||
+          new String(d, 0, magic.length, "US-ASCII") != magic)
+        fail(r, "payload is not a YUV4MPEG2 stream (bad magic)")
+      val header = new String(d, 0, eol, "US-ASCII")
+      var w = -1; var h = -1; var cs = "420"
+      header.split(' ').drop(1).foreach { p =>
+        if (p.nonEmpty) p.charAt(0) match {
+          case 'W' => w = p.tail.toInt
+          case 'H' => h = p.tail.toInt
+          case 'C' => cs = p.tail
+          case _ => () // F/I/A/X params don't affect the sample layout
+        }
+      }
+      if (w <= 0 || h <= 0) fail(r, s"missing/invalid W/H in '$header'")
+      val luma = w * h
+      val frameBytes =
+        if (cs.startsWith("420")) luma + 2 * ((w / 2) * (h / 2))
+        else if (cs.startsWith("422")) luma + 2 * ((w / 2) * h)
+        else if (cs.startsWith("444")) 3 * luma
+        else if (cs.startsWith("mono")) luma
+        else fail(r, s"unsupported colorspace C$cs")
+      val offsets = Array.newBuilder[Int]
+      var pos = eol + 1
+      while (pos < d.length) {
+        // Each picture: "FRAME"[ params]\n + frameBytes of planar YUV.
+        if (pos + 5 > d.length ||
+            new String(d, pos, 5, "US-ASCII") != "FRAME")
+          fail(r, s"expected FRAME marker at byte $pos")
+        val fe = d.indexOf('\n'.toByte, pos)
+        if (fe < 0 || fe + 1 + frameBytes > d.length)
+          fail(r, s"truncated frame at byte $pos")
+        offsets += fe + 1
+        pos = fe + 1 + frameBytes
+      }
+      Clip(w, h, frameBytes, offsets.result(), d)
+    }
+
+    def featurize(r: MediaRow): MediaFeatures = {
+      val c = parse(r)
+      val luma = c.w * c.h
+      var sum = 0L; var crc = 17L; var n = 0L
+      c.offsets.foreach { off =>
+        var i = 0
+        while (i < luma) {
+          val y = c.data(off + i) & 0xff
+          sum += y; crc = crc * 31 + y; n += 1
+          i += 1
+        }
+      }
+      MediaFeatures(r.media_id, r.modality, r.bytes.length.toLong, crc,
+        if (n == 0) 0.0 else sum.toDouble / n, c.offsets.length)
+    }
+
+    /** TRUE container frame boundaries: (payload offset, picture size)
+      * per frame, in stream order — `frameSize` is ignored, the
+      * container declares its own geometry. */
+    def frameOffsets(r: MediaRow, frameSize: Int): Iterator[(Int, Int)] = {
+      val c = parse(r)
+      c.offsets.iterator.map(off => (off, c.frameBytes))
+    }
+
+    /** Spatial nearest-neighbor downsample of every frame's luma plane:
+      * keep every `factor`-th sample on both axes; returns
+      * (samples kept across all frames, luma sum of kept samples). */
+    def resize(r: MediaRow, factor: Int): (Long, Long) = {
+      val c = parse(r)
+      var sum = 0L; var n = 0L
+      c.offsets.foreach { off =>
+        var y = 0
+        while (y < c.h) {
+          var x = 0
+          while (x < c.w) {
+            sum += c.data(off + y * c.w + x) & 0xff; n += 1
+            x += factor
+          }
+          y += factor
+        }
       }
       (n, sum)
     }

@@ -167,6 +167,68 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(sum === (0 + 2 + 4 + 6 + 8).toLong)
   }
 
+  /** Deterministic in-memory YUV4MPEG2 clip: constant-luma frames with
+    * distinct chroma filler. Real container bytes — Y4mCodec must
+    * genuinely parse the stream header and per-frame markers. */
+  private def y4mBytes(w: Int, h: Int, frameLumas: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+    val chroma = 2 * ((w / 2) * (h / 2))
+    frameLumas.foreach { v =>
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      bos.write(Array.fill[Byte](w * h)(v.toByte))
+      bos.write(Array.fill[Byte](chroma)(99.toByte)) // chroma ≠ luma values
+    }
+    bos.toByteArray
+  }
+
+  test("Y4mCodec decodes real Y4M clips through the distributed batch path") {
+    // The third real modality behind the seam. Features must derive
+    // from decoded LUMA SAMPLES, not container bytes: two frames of
+    // uniform luma 10 and 30 have mean luma exactly 20 even though the
+    // payload also carries chroma-99 planes and FRAME markers.
+    val clip = y4mBytes(4, 2, Seq(10, 30))
+    val out = Multimodal.featurize(spark.createDataset(Seq(
+        MediaRow(1L, "video", clip, 4, 2))), Y4mCodec)
+      .collect()
+    assert(out.head.mean_byte === 20.0)
+    assert(out.head.frames_sampled === 2) // container frame count
+    assert(out.head.n_bytes === clip.length.toLong)
+  }
+
+  test("Y4mCodec frame boundaries come from the container, not the caller") {
+    val clip = y4mBytes(4, 2, Seq(10, 30, 50))
+    val header = "YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n".length
+    val frameBytes = 4 * 2 + 2 * (2 * 1) // C420: luma + 2 quarter planes
+    val offs = Y4mCodec.frameOffsets(
+      MediaRow(2L, "video", clip, 4, 2), frameSize = 9999).toSeq
+    assert(offs.length === 3)
+    assert(offs.forall(_._2 == frameBytes)) // true picture size, not 9999
+    assert(offs.head._1 === header + 6) // first payload after "FRAME\n"
+    // Each offset lands exactly on its frame's luma plane.
+    assert(offs.map { case (off, _) => clip(off).toInt } === Seq(10, 30, 50))
+  }
+
+  test("Y4mCodec resize decimates every frame's luma plane") {
+    // 4×2 frames, factor 2 keeps even-coordinate pixels: (0,0) (2,0)
+    // per frame → 2 kept per frame across 2 frames.
+    val clip = y4mBytes(4, 2, Seq(10, 30))
+    val (n, sum) = Y4mCodec.resize(MediaRow(3L, "video", clip, 4, 2), 2)
+    assert(n === 4L)
+    assert(sum === (2 * 10 + 2 * 30).toLong)
+  }
+
+  test("Y4mCodec rejects malformed streams loudly") {
+    intercept[IllegalArgumentException] {
+      Y4mCodec.featurize(MediaRow(9L, "video", Array[Byte](1, 2, 3), 4, 4))
+    }
+    // Truncated frame payload: header promises 12 bytes per picture.
+    val truncated = y4mBytes(4, 2, Seq(10)).dropRight(3)
+    intercept[IllegalArgumentException] {
+      Y4mCodec.featurize(MediaRow(10L, "video", truncated, 4, 2))
+    }
+  }
+
   test("default codec is the stub: behavior pinned") {
     val f = decodeAndFeaturize(rows.iterator).toSeq.sortBy(_.media_id)
     assert(f.head.n_bytes === 5L)
