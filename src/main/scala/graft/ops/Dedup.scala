@@ -307,15 +307,19 @@ object Dedup {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val K = DupSpanK
-      val words = split($"text", "\\s+")
-      val n = size(words)
-      val grams = t(s, dir, "documents")
-        .where(n >= K)
+      // Tokenize ONCE into a materialized column — inlining the split
+      // into the window lambda would re-run the regex per element_at
+      // (8 splits per window); the barrier also stops the join below
+      // from recomputing the md5 stage for each side.
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", split($"text", "\\s+") as "w")
+        .where(size($"w") >= K)
+      val grams = barrier(docs
         .select($"doc_id", posexplode(transform(
-          sequence(lit(0), n - lit(K)),
+          sequence(lit(0), size($"w") - lit(K)),
           i => md5(concat_ws(" ",
-            (0 until K).map(j => element_at(words, i + lit(j + 1))): _*)))))
-        .toDF("doc_id", "pos", "gh")
+            (0 until K).map(j => element_at($"w", i + lit(j + 1))): _*)))))
+        .toDF("doc_id", "pos", "gh"))
       val dup = grams.groupBy($"gh")
         .agg(count(lit(1)) as "occ").where($"occ" >= 2)
       val marked = grams.join(dup, "gh").select($"doc_id", $"pos")
