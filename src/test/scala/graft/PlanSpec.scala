@@ -233,4 +233,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"), s"expected a full-outer join:\n${p.take(1200)}")
     assert(p.contains("partial_count"), "aggregates should combine map-side")
   }
+
+  test("span removal and semantic dedup never degenerate past their equi-joins") {
+    // q100: the only joins are the gram-hash frequency join and the
+    // island grouping — a nested-loop or cartesian anywhere means the
+    // span merge regressed to a pair scan.
+    val p100 = plan("q100_dup_span_removal")
+    assert(!p100.contains("CartesianProduct") &&
+      !p100.contains("BroadcastNestedLoop"),
+      s"q100 degenerated:\n${p100.take(1200)}")
+    // q101: candidates come from the in-cell self-join (equi on cell);
+    // the frequency-bounded centroid table joins by cell too. The pair
+    // predicate (cos > τ) must NOT turn either join into a nested-loop.
+    val p101 = plan("q101_semantic_dedup")
+    assert(!p101.contains("CartesianProduct") &&
+      !p101.contains("BroadcastNestedLoop"),
+      s"q101 degenerated:\n${p101.take(1200)}")
+  }
 }
