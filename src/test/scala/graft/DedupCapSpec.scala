@@ -36,6 +36,38 @@ class DedupCapSpec extends AnyFunSpec {
       "pairs from the 100-member degenerate bucket must be capped away")
   }
 
+  it("span removal merges adjacent duplicated windows and splits on gaps") {
+    // The sf corpora duplicate whole templates, so q100's oracle rows
+    // there are mostly doc-wide spans — they can't distinguish "merged
+    // the overlapping windows" from "marked everything". Pin the island
+    // arithmetic on crafted cases: a shared 8-token run yields exactly
+    // its own span at each site; a shared 10-token run's three
+    // overlapping windows merge to ONE 10-token span; an INTRA-doc
+    // repeat marks both occurrences as separate spans (gap > 1).
+    val dir = TestTmp.dir("graft-spanspec")
+    val s8 = (1 to 8).map(i => s"s$i").mkString(" ")
+    val t10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val r8 = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      ("A", s"a1 a2 a3 a4 $s8 a5 a6 a7 a8"),
+      ("B", s"b1 b2 $s8 b3 b4 b5 b6 b7 b8"),
+      ("C", s"c1 $t10 c2 c3 c4 c5 c6"),
+      ("D", s"$t10 d1 d2 d3 d4 d5 d6"),
+      ("E", s"e1 e2 $r8 e3 e4 e5 $r8 e6"),
+      ("F", "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10"))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = graft.ops.Dedup.queries("q100_dup_span_removal")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(spans == Set(
+      ("A", 4L, 11L, 8L),
+      ("B", 2L, 9L, 8L),
+      ("C", 1L, 10L, 10L), // 3 overlapping windows → one merged span
+      ("D", 0L, 9L, 10L),
+      ("E", 2L, 9L, 8L), ("E", 13L, 20L, 8L)), // intra-doc repeat splits
+      s"unexpected spans: $spans")
+  }
+
   it("dedup manifest applies the exact rule before the near rule") {
     // The sf corpora contain no byte-identical documents, so the
     // manifest's EXACT branch never fires in the oracle comparison —
