@@ -1227,6 +1227,30 @@ class Executer[D, R <: Product: TypeTag](
         .map(f => col(s"payload.$f")): _*)
   }
 
+  /** [[query]] as of an earlier published generation — the point-read
+    * sibling of [[queryAllAt]]: the same immutable-snapshot semantics,
+    * pruned to the key's single final partition exactly like a live
+    * point read (the snapshot's file list still carries partition
+    * paths, so the `part` filter prunes before any IO). */
+  def queryAt(key: String, version: Long): Dataset[R] = {
+    configChecked
+    require(version >= 0, s"snapshot generations are >= 0, got $version")
+    val snap = Some(manifestAt(version))
+    relFor(treePath, treeReadSchema, snap)
+      .where($"level" === 2 && $"part" === fpartOf(key) &&
+        $"reduce_key" === key)
+      .select("payload.*").as[R]
+  }
+
+  /** Register generation `version` of this store as temp view `name` —
+    * the SQL spelling of [[queryAllAt]]. Unlike [[registerStore]]'s
+    * views this one is deliberately NOT refreshed after mutations: a
+    * published generation is immutable, so the pinned plan IS the
+    * correct semantics for as long as the generation stays within the
+    * GC retention window. */
+  def registerStoreAt(name: String, version: Long): Unit =
+    queryAllAt(version).createOrReplaceTempView(name)
+
   /** The whole index as a DataFrame — strictly more capable than the
     * reference's point read: range scans, joins, further aggregation. */
   def queryAll(): DataFrame = consistentRead {

@@ -164,6 +164,19 @@ class ManifestSpec extends AnyFunSuite {
     assert(at(v2) == Map("CA" -> 1L, "TX" -> 2L), "current generation wrong")
     assert(counts(ex) == at(v2))
 
+    // Point-read sibling: same snapshot, pruned to the key's partition.
+    assert(ex.queryAt("CA", v1).collect().map(_.count).toSeq == Seq(2L))
+    assert(ex.queryAt("CA", v2).collect().map(_.count).toSeq == Seq(1L))
+    assert(ex.queryAt("nope", v1).collect().isEmpty)
+
+    // SQL spelling of a generation: deliberately NOT refreshed on
+    // mutation — the view of v1 keeps answering v1 after the v2 write.
+    ex.registerStoreAt("people_v1", v1)
+    val viaSql = spark.sql(
+      "SELECT reduce_key, count FROM people_v1 ORDER BY reduce_key")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(viaSql == Map("CA" -> 2L, "TX" -> 1L), s"snapshot view wrong: $viaSql")
+
     // compact() reclaims retired generations NOW; the old read must then
     // fail loudly (file-not-found at manifest resolution or scan), never
     // return a silently wrong answer.
