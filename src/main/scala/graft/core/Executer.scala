@@ -116,7 +116,7 @@ final case class MaintenanceStats(
   */
 class Executer[D, R <: Product: TypeTag](
     task: MapReduceTask[D, R],
-    storePath: String,
+    val storePath: String,
     config: ExecuterConfig = ExecuterConfig(),
     lease: Option[LeaseProvider] = None)(implicit spark: SparkSession) {
 

@@ -198,6 +198,42 @@ object Dedup {
       ex.queryAll().select($"doc_id", $"cluster")
     },
 
+    // The PERIODIC FULL RECLUSTER applied as an engine update — the
+    // lifecycle step q92's doc defers to ("new-to-new links and
+    // old-cluster merges defer to the periodic full recluster"). The
+    // truth table is the full-corpus connected components (memoized
+    // with q59); the refresh DIFFS it against the maintained store's
+    // current rows and EXECUTEs only the drifted documents — a store
+    // write of O(drift), never a rebuild: an unchanged doc's partition
+    // is untouched on disk, a drifted doc replaces its own row through
+    // delete-and-invalidate. Runs on a private CLONE of the shared
+    // store so q59b/q92's old-corpus semantics stay order-independent
+    // (production would refresh in place — the clone is oracle
+    // isolation, not a design requirement). Output = the refreshed
+    // maintained table; the oracle recomputes full-corpus clusters
+    // from scratch over ALL docs (singletons included), so equality
+    // proves refresh-by-diff ≡ recompute regardless of how much the
+    // probe-based assignments had drifted.
+    "q59c_recluster_refresh" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val target = t(s, dir, "documents")
+        .select($"doc_id".cast("long") as "doc_id")
+        .join(neardupClusters(s, dir), Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"cluster", $"doc_id").cast("long") as "cluster")
+      val ex = new graft.core.Executer(NearDupClusterIndex,
+        TempStores.cloneOf(clusterIndex(s, dir).storePath, "graft-reclu"),
+        graft.core.ExecuterConfig(fanIn = 16, finalParts = 8))
+      val drift = target
+        .join(ex.queryAll().select($"doc_id", $"cluster" as "stored"),
+          Seq("doc_id"), "left")
+        .where($"stored".isNull || $"stored" =!= $"cluster")
+        .select($"doc_id", $"cluster").as[ClusterRow]
+      ex.execute(drift)
+      ex.queryAll().select($"doc_id", $"cluster")
+    },
+
     // Cross-source duplication matrix: near-dup pair counts rolled up
     // to (source, source) — the "which ingest feeds copy from each
     // other" measurement that decides whether a source is redundant
@@ -801,6 +837,13 @@ object Dedup {
     "q59_neardup_clusters" ->
       s"""$clusterCteSql
          |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+    // Full-corpus truth over ALL documents (singletons included): what
+    // the maintained store must equal after the refresh-by-diff.
+    "q59c_recluster_refresh" ->
+      s"""$clusterCteSql,
+         |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         |SELECT d0.doc_id, coalesce(cl.cluster, d0.doc_id) AS cluster
+         |FROM documents d0 LEFT JOIN cl ON cl.id = d0.doc_id""".stripMargin,
     "q80_dedup_manifest" ->
       s"""$clusterCteSql,
          |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),

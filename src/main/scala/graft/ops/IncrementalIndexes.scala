@@ -378,18 +378,7 @@ object IncrementalIndexes {
     val base = Memo.memo(baseStores, (key, dir)) {
       val p = TempStores.scratch(s"graft-base-$key"); build(p); p
     }
-    val dst = TempStores.scratch(s"graft-run-$key")
-    val src = java.nio.file.Paths.get(base)
-    val out = java.nio.file.Paths.get(dst)
-    val walk = java.nio.file.Files.walk(src)
-    try walk.forEach { p =>
-      val target = out.resolve(src.relativize(p).toString)
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.createDirectories(target)
-      else java.nio.file.Files.copy(p, target,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally walk.close()
-    dst
+    TempStores.cloneOf(base, s"graft-run-$key")
   }
 
   val queries: Map[String, Q] = Map(

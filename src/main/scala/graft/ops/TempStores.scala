@@ -25,6 +25,24 @@ private[graft] object TempStores {
     dir
   }
 
+  /** Recursively copy an existing store into a fresh scratch directory
+    * (registered for exit cleanup like every scratch) — the cheap way
+    * for a query to mutate a PRIVATE copy of a shared store without
+    * perturbing the shared one's semantics. */
+  def cloneOf(src: String, prefix: String): String = {
+    val dst = scratch(prefix)
+    val from = Paths.get(src)
+    val to = Paths.get(dst)
+    val walk = Files.walk(from)
+    try walk.forEach { p =>
+      val target = to.resolve(from.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else Files.copy(p, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+    dst
+  }
+
   private def deleteRec(dir: String): Unit = {
     val root = Paths.get(dir)
     if (Files.exists(root)) {
