@@ -51,6 +51,14 @@ object Curation {
     .empty[(org.apache.spark.sql.SparkSession, String),
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
 
+  /** Drop this session's memoized tables and unpersist their cached
+    * blocks (see [[SessionCaches.evict]]). */
+  private[ops] def evictSession(
+      s: org.apache.spark.sql.SparkSession): Unit =
+    Memo.evictOwner(freq3Cache, s) { case (a, b) =>
+      a.unpersist(); b.unpersist()
+    }
+
   private[ops] def shingleFreq3(s: org.apache.spark.sql.SparkSession,
       dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =

@@ -444,6 +444,19 @@ object Dedup {
         .where($"jaccard" >= 0.5).select($"id_a", $"id_b"))
     }
 
+  /** Drop this session's memoized artifacts and unpersist their cached
+    * blocks (see [[SessionCaches.evict]]). Cluster stores' directories
+    * are TempStores-managed, so removing the handle suffices. */
+  private[ops] def evictSession(s: SparkSession): Unit = {
+    Memo.evictOwner(sigCache, s) { case (a, b, c) =>
+      a.unpersist(); b.unpersist(); c.unpersist()
+    }
+    Memo.evictOwner(lshCache, s)(_.unpersist())
+    Memo.evictOwner(strongCache, s)(_.unpersist())
+    Memo.evictOwner(ccCache, s)(_.unpersist())
+    Memo.evictOwner(clusterStoreCache, s)(_ => ())
+  }
+
   private def neardupClusters(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     Memo.memo(ccCache, (s, dir)) {

@@ -16,4 +16,28 @@ private[ops] object Memo {
       case Some(v) => v
       case None => cache.synchronized { cache.getOrElseUpdate(key, build) }
     }
+
+  /** Remove every entry of a session-keyed cache belonging to `owner`,
+    * running `clean` (unpersist, close, …) on each removed value —
+    * the per-cache primitive behind [[SessionCaches.evict]]. */
+  def evictOwner[O <: AnyRef, K, V](
+      cache: TrieMap[(O, K), V], owner: O)(clean: V => Unit): Unit =
+    cache.keys.toSeq.filter(_._1 eq owner).foreach { k =>
+      cache.remove(k).foreach(clean)
+    }
+}
+
+/** Eviction for long-lived sessions (the soft half of ADVICE r5 #3):
+  * the ops-level memo caches deliberately hold their (session, dir)
+  * artifacts — persisted signature/frequency tables, built index
+  * stores — for the life of the process, which is right for a sweep
+  * but accumulates persisted blocks in a service that touches many
+  * source dirs. `evict(spark)` drops every memoized artifact owned by
+  * that session and unpersists its cached blocks; the next query
+  * simply rebuilds. */
+object SessionCaches {
+  def evict(s: org.apache.spark.sql.SparkSession): Unit = {
+    Dedup.evictSession(s)
+    Curation.evictSession(s)
+  }
 }

@@ -46,4 +46,28 @@ class MemoSpec extends AnyFunSuite {
     assert(Memo.memo(cache, 2)(20) === 20)
     assert(Memo.memo(cache, 1)(99) === 10) // cached, builder not re-run
   }
+
+  test("evictOwner removes only the owner's entries and cleans them") {
+    val a = new Object; val b = new Object
+    val cache = scala.collection.concurrent.TrieMap.empty[(Object, String), String]
+    cache.put((a, "x"), "ax"); cache.put((a, "y"), "ay"); cache.put((b, "x"), "bx")
+    val cleaned = scala.collection.mutable.Set.empty[String]
+    Memo.evictOwner(cache, a)(cleaned += _)
+    assert(cleaned === Set("ax", "ay"))
+    assert(cache.keySet === Set((b, "x")))
+  }
+
+  test("SessionCaches.evict unpersists and forces a rebuild") {
+    val spark = graft.TestSpark.spark
+    val (sh1, _) = Curation.shingleFreq3(spark, "/root/testdata/sf0.001")
+    assert(Curation.shingleFreq3(spark, "/root/testdata/sf0.001")._1 eq sh1,
+      "second call must hit the memo")
+    assert(sh1.storageLevel.useMemory, "memoized table should be persisted")
+    SessionCaches.evict(spark)
+    assert(sh1.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "evict must unpersist the cached blocks")
+    val (sh2, _) = Curation.shingleFreq3(spark, "/root/testdata/sf0.001")
+    assert(!(sh2 eq sh1), "evicted entry must rebuild")
+  }
 }
