@@ -2235,6 +2235,7 @@ class Executer[D, R <: Product: TypeTag](
       "tree_files" -> treeFiles, "tree_bytes" -> treeBytes,
       "tombstones" -> tombstoneEstimate(),
       "retired_files" -> snap.map(_.retired.size.toLong).getOrElse(0L),
+      "generation" -> readCurrentVersion(), // −1 on legacy stores
       "pending_dirty_pairs" -> pendingDirtyPairs())
   }
 

@@ -51,13 +51,12 @@ object Curation {
     .empty[(org.apache.spark.sql.SparkSession, String),
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
 
-  /** Drop this session's memoized tables and unpersist their cached
-    * blocks (see [[SessionCaches.evict]]). */
+  /** Drop this session's memoized tables (see [[SessionCaches.evict]]).
+    * Their persisted blocks are released by Dedup's barrier registry —
+    * every persist in this module goes through `Dedup.barrier`. */
   private[ops] def evictSession(
       s: org.apache.spark.sql.SparkSession): Unit =
-    Memo.evictOwner(freq3Cache, s) { case (a, b) =>
-      a.unpersist(); b.unpersist()
-    }
+    Memo.evictOwner(freq3Cache, s)(_ => ())
 
   private[ops] def shingleFreq3(s: org.apache.spark.sql.SparkSession,
       dir: String)

@@ -66,9 +66,22 @@ object Dedup {
     * collapse from inlining the expensive signature expression into
     * every downstream reference. The eager count materializes once up
     * front so a self-join's two scans never race to populate the cache. */
+  /** Every barrier-persisted DataFrame keyed by owning session, so
+    * [[SessionCaches.evict]] can release INTERIOR persists too (the
+    * capped bucket table, connected-components' symmetric edges, the
+    * per-invocation q100/q101 barriers) — `Dataset.unpersist` is
+    * non-cascading, so unpersisting only the memoized top-level tables
+    * would leave these pinned in the CacheManager forever. */
+  private val barrierRegistry = scala.collection.concurrent.TrieMap
+    .empty[SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame]]
+
   private[ops] def barrier(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Memo.memo(barrierRegistry, p.sparkSession)(
+      new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame])
+      .add(p)
     p.count()
     p
   }
@@ -445,15 +458,20 @@ object Dedup {
     }
 
   /** Drop this session's memoized artifacts and unpersist their cached
-    * blocks (see [[SessionCaches.evict]]). Cluster stores' directories
-    * are TempStores-managed, so removing the handle suffices. */
+    * blocks (see [[SessionCaches.evict]]). The barrier registry is the
+    * authoritative unpersist list — it holds EVERY persist this module
+    * ever issued for the session, including interior tables no memo
+    * cache references; dropping the memo entries then just releases
+    * the handles. Cluster stores' directories are TempStores-managed,
+    * so removing the handle suffices. */
   private[ops] def evictSession(s: SparkSession): Unit = {
-    Memo.evictOwner(sigCache, s) { case (a, b, c) =>
-      a.unpersist(); b.unpersist(); c.unpersist()
+    barrierRegistry.remove(s).foreach { q =>
+      q.forEach(_.unpersist())
     }
-    Memo.evictOwner(lshCache, s)(_.unpersist())
-    Memo.evictOwner(strongCache, s)(_.unpersist())
-    Memo.evictOwner(ccCache, s)(_.unpersist())
+    Memo.evictOwner(sigCache, s)(_ => ())
+    Memo.evictOwner(lshCache, s)(_ => ())
+    Memo.evictOwner(strongCache, s)(_ => ())
+    Memo.evictOwner(ccCache, s)(_ => ())
     Memo.evictOwner(clusterStoreCache, s)(_ => ())
   }
 

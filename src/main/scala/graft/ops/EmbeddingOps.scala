@@ -290,10 +290,10 @@ object EmbeddingOps {
           (col("x.nrm") * col("y.nrm")) > SemDedupTau)
         .select(col("x.vec_id") as "id_a", col("y.vec_id") as "id_b",
           col("x.cc") as "cc_a", col("y.cc") as "cc_b")
+      // Pairs are built with id_a < id_b, so a cc tie deterministically
+      // drops id_b (the higher id) via the otherwise-branch.
       val dropped = pairs.select(
-          when($"cc_a" > $"cc_b" ||
-            ($"cc_a" === $"cc_b" && $"id_a" > $"id_b"), $"id_a")
-            .otherwise($"id_b") as "vec_id")
+          when($"cc_a" > $"cc_b", $"id_a").otherwise($"id_b") as "vec_id")
         .distinct().withColumn("dropme", lit(1))
       withCc.join(dropped, Seq("vec_id"), "left")
         .select($"vec_id", $"cell", $"cc" as "centroid_cos",
@@ -477,7 +477,7 @@ object EmbeddingOps {
     // fixed-point sums; parallel unnests zip (DuckDB semantics), so
     // (dim, value) pairs stay aligned.
     "q101_semantic_dedup" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |n0 AS (
         |  SELECT vec_id, e,
         |    (SELECT CAST(sum(CASE WHEN
@@ -490,7 +490,7 @@ object EmbeddingOps {
         |capped AS (
         |  SELECT * FROM (
         |    SELECT *, count(*) OVER (PARTITION BY cell) AS bn FROM n0) t
-        |  WHERE bn <= 256),
+        |  WHERE bn <= $MaxBucketVecs),
         |dims AS (
         |  SELECT cell, generate_subscripts(e, 1) AS i, unnest(e) AS emb
         |  FROM capped),
@@ -512,9 +512,9 @@ object EmbeddingOps {
         |p AS (
         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cc AS cc_a, y.cc AS cc_b
         |  FROM cc x JOIN cc y ON x.cell = y.cell AND x.vec_id < y.vec_id
-        |  WHERE list_dot_product(x.e, y.e) / (x.nrm * y.nrm) > 0.35),
+        |  WHERE list_dot_product(x.e, y.e) / (x.nrm * y.nrm) > $SemDedupTau),
         |dr AS (
-        |  SELECT DISTINCT CASE WHEN cc_a > cc_b OR (cc_a = cc_b AND id_a > id_b)
+        |  SELECT DISTINCT CASE WHEN cc_a > cc_b
         |    THEN id_a ELSE id_b END AS vec_id FROM p)
         |SELECT cc.vec_id, cc.cell, cc.cc AS centroid_cos,
         |  dr.vec_id IS NULL AS kept

@@ -278,13 +278,22 @@ object Multimodal {
         }
       }
       if (w <= 0 || h <= 0) fail(r, s"missing/invalid W/H in '$header'")
-      val luma = w * h
-      val frameBytes =
-        if (cs.startsWith("420")) luma + 2 * ((w / 2) * (h / 2))
-        else if (cs.startsWith("422")) luma + 2 * ((w / 2) * h)
-        else if (cs.startsWith("444")) 3 * luma
-        else if (cs.startsWith("mono")) luma
+      // Geometry arithmetic in Long: a hostile/corrupt header like
+      // W65536 H65536 wraps Int multiplication to 0 or negative, which
+      // would defeat the truncation guard below and turn the documented
+      // loud rejection into an out-of-bounds crash. Any single frame
+      // larger than the payload itself is rejected the same way.
+      val lumaL = w.toLong * h
+      val frameL: Long =
+        if (cs.startsWith("420")) lumaL + 2L * ((w / 2).toLong * (h / 2))
+        else if (cs.startsWith("422")) lumaL + 2L * ((w / 2).toLong * h)
+        else if (cs.startsWith("444")) 3L * lumaL
+        else if (cs.startsWith("mono")) lumaL
         else fail(r, s"unsupported colorspace C$cs")
+      if (frameL <= 0 || frameL > d.length)
+        fail(r, s"implausible geometry: frame of $frameL bytes " +
+          s"in a ${d.length}-byte payload")
+      val frameBytes = frameL.toInt
       val offsets = Array.newBuilder[Int]
       var pos = eol + 1
       while (pos < d.length) {
@@ -293,7 +302,7 @@ object Multimodal {
             new String(d, pos, 5, "US-ASCII") != "FRAME")
           fail(r, s"expected FRAME marker at byte $pos")
         val fe = d.indexOf('\n'.toByte, pos)
-        if (fe < 0 || fe + 1 + frameBytes > d.length)
+        if (fe < 0 || fe.toLong + 1 + frameBytes > d.length)
           fail(r, s"truncated frame at byte $pos")
         offsets += fe + 1
         pos = fe + 1 + frameBytes

@@ -227,6 +227,14 @@ class MultimodalCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Y4mCodec.featurize(MediaRow(10L, "video", truncated, 4, 2))
     }
+    // Hostile geometry: W65536*H65536 wraps 32-bit multiplication —
+    // the Long-side guard must still reject loudly, not crash on a
+    // wrapped negative frame size.
+    val evil = "YUV4MPEG2 W65536 H65536 C420\nFRAME\n".getBytes("US-ASCII")
+    val e = intercept[IllegalArgumentException] {
+      Y4mCodec.featurize(MediaRow(11L, "video", evil, 0, 0))
+    }
+    assert(e.getMessage.contains("implausible geometry"))
   }
 
   test("default codec is the stub: behavior pinned") {
