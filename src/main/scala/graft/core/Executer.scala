@@ -161,10 +161,14 @@ class Executer[D, R <: Product: TypeTag](
       } finally in.close()
     } else if (!exists(mapResultsPath)) {
       // Fresh store: this instance's layout becomes the store's layout.
+      // Atomic write-temp + rename — configChecked also runs on
+      // lock-free READ paths, so a crash mid-write must never strand a
+      // partial _config (every later open would die in readInt), and a
+      // concurrent reader must never open a half-written file.
       fs.mkdirs(new Path(storePath))
-      val out = stateFs.create(p, true)
-      try { out.writeInt(config.fanIn); out.writeInt(config.finalParts) }
-      finally out.close()
+      writeLocalAtomic(configPath) { out =>
+        out.writeInt(config.fanIn); out.writeInt(config.finalParts)
+      }
     } // else: pre-_config store — accept as-is.
   }
   // Merge-on-read invalidation state (see the tombstone section below).
@@ -212,18 +216,25 @@ class Executer[D, R <: Product: TypeTag](
 
   private def withLease[A](f: => A): A = {
     acquireLease()
-    beginMutation()
-    // Manifest stores load the writer-side pending generation here: the
-    // published snapshot (or an empty one on a fresh store) that every
-    // write step below mutates in memory and publishPending() lands.
-    // Inside any locked context, `pending != null` ⇔ manifest store.
-    if (exists(currentPath) || (config.manifests && !exists(mapResultsPath))) {
-      pending = publishedSnapshot().getOrElse(
-        Snapshot(-1L, Map.empty, None, Vector.empty))
-      pendingRev += 1
-      pendingDirty = false
-    }
+    // EVERYTHING after a successful acquire runs inside the try: a
+    // transient failure in beginMutation (an _epoch IO hiccup) or in
+    // the pending-snapshot load (a corrupt manifest) must still release
+    // the lease in the finally, or the store is wedged behind a lease
+    // file no live writer holds until an operator breaks it manually.
     try {
+      beginMutation()
+      // Manifest stores load the writer-side pending generation here:
+      // the published snapshot (or an empty one on a fresh store) that
+      // every write step below mutates in memory and publishPending()
+      // lands. Inside any locked context, `pending != null` ⇔ manifest
+      // store.
+      if (exists(currentPath) || (config.manifests && !exists(mapResultsPath))) {
+        pending = publishedSnapshot().getOrElse(
+          Snapshot(-1L, Map.empty, None, Vector.empty))
+        pendingRev += 1
+        pendingDirty = false
+      }
+      writerThread = Thread.currentThread().getId
       val r = f
       // Operations that mutate outside the WAL-cleared batch shape (the
       // auto-fold, compact's consolidation) land their generation here.
@@ -232,6 +243,7 @@ class Executer[D, R <: Product: TypeTag](
       publishPending()
       r
     } finally {
+      writerThread = -1L
       pending = null
       try {
         endMutation()
@@ -347,6 +359,13 @@ class Executer[D, R <: Product: TypeTag](
   @volatile private var pending: Snapshot = _
   private var pendingRev: Long = 0L // bumps per model mutation → plan-cache key
   private var pendingDirty = false
+  // The thread currently mutating under the lease: only ITS reads may
+  // resolve the half-applied `pending` generation (the writer must see
+  // its own uncommitted merges); every other thread's read on this
+  // instance resolves the last PUBLISHED snapshot, preserving the
+  // "half-applied batch is invisible" contract for same-instance
+  // concurrent readers too (not just separate reader processes).
+  @volatile private var writerThread: Long = -1L
 
   private def readCurrentVersion(): Long =
     if (!exists(currentPath)) -1L
@@ -414,7 +433,17 @@ class Executer[D, R <: Product: TypeTag](
     * manifest; None on legacy (listing-based) stores. */
   private def snapshotNow(): Option[Snapshot] = {
     val p = pending
-    if (p != null) Some(p) else publishedSnapshot()
+    if (p != null && Thread.currentThread().getId == writerThread) Some(p)
+    else publishedSnapshot().orElse {
+      // A manifest store mid-FIRST-build has files on disk but nothing
+      // published yet: a concurrent reader must see the empty store
+      // (atomic batches), never a listing of half-merged files. A
+      // LEGACY store (map_results but no manifest pointer) keeps its
+      // listing-read + seqlock path via None.
+      if (p != null || (config.manifests && !exists(mapResultsPath)))
+        Some(Snapshot(-1L, Map.empty, None, Vector.empty))
+      else None
+    }
   }
 
   // ---- model mutators (writer-side, under the lease) -------------------
@@ -501,6 +530,16 @@ class Executer[D, R <: Product: TypeTag](
   /** Rename every data file under `<destPath>.staging` into the
     * destination (additive — existing files untouched), delete the
     * staging dir, and return the new files' store-relative paths. */
+  /** Hadoop `FileSystem.rename` reports many failures (destination
+    * exists, source vanished, some HDFS permission/quota cases) by
+    * returning FALSE rather than throwing. Every rename in a mutation
+    * path must abort on false: proceeding would delete the staging dir
+    * (silently destroying the un-renamed file) or publish a manifest
+    * naming a file that never landed. */
+  private def renameOrFail(src: Path, dest: Path): Unit =
+    if (!fs.rename(src, dest))
+      throw new java.io.IOException(s"rename failed: $src -> $dest")
+
   private def mergeStagedDir(destPath: String): Vector[String] = {
     val staging = new Path(s"$destPath.staging")
     val table = new Path(destPath).getName
@@ -516,7 +555,10 @@ class Executer[D, R <: Product: TypeTag](
     rels.foreach { r =>
       val dest = new Path(s"$destPath/$r")
       fs.mkdirs(dest.getParent)
-      fs.rename(new Path(s"$destPath.staging/$r"), dest)
+      // Abort BEFORE the staging delete below on any failed rename —
+      // the file would otherwise be destroyed with the staging dir
+      // while the pending generation already names its destination.
+      renameOrFail(new Path(s"$destPath.staging/$r"), dest)
     }
     fs.delete(staging, true)
     rels.map(r => s"$table/$r")
@@ -631,8 +673,15 @@ class Executer[D, R <: Product: TypeTag](
   }
 
   /** Document ids are case-insensitive (`Executer.cs:246-247,302`):
-    * normalize once at the boundary. */
-  private def normId(id: String): String = id.toUpperCase(java.util.Locale.ROOT)
+    * normalize once at the boundary — with `UTF8String.toUpperCase`,
+    * the SAME uppercase the write path stores (SQL `upper()` and the
+    * driver-local map both use it). JDK `String.toUpperCase` diverges
+    * from it on non-ASCII under some default locales (tr-TR dotted i),
+    * which would make [[deleteDocuments]]/[[contributionsOf]] silently
+    * miss stored ids. */
+  private def normId(id: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(id)
+      .toUpperCase.toString
 
   // ---------------------------------------------------------------------
   // Ingest / update — mirrors `Executer.Execute` (`Executer.cs:31-45`)
@@ -685,6 +734,25 @@ class Executer[D, R <: Product: TypeTag](
       // (JDK-locale upper would diverge on e.g. dotted-I).
       val localDocRows: Option[Seq[D]] =
         if (localSmall) Some(docs.collect().toSeq) else None
+      // One version per document per batch — REJECTED LOUDLY otherwise.
+      // Tombstones only invalidate seq < batchSeq, so two versions of a
+      // doc in one batch would BOTH survive and silently double-count
+      // its contributions forever (the reference's per-doc Execute
+      // can't express this state; a batch is our extension, and its
+      // contract is delete-and-invalidate per id). Callers coalescing
+      // micro-batches dedupe last-wins first (as ChurnProps does).
+      // Local batches check free on the driver; distributed update
+      // batches detect in the existing ids-probe job below.
+      def dupIdError(id: String): Nothing =
+        throw new IllegalArgumentException(
+          s"batch contains multiple documents with id '$id': submit one " +
+            "version per document per batch (dedupe last-wins upstream)")
+      localDocRows.foreach { ds =>
+        val ids = ds.map(d => org.apache.spark.unsafe.types.UTF8String
+          .fromString(t.documentId(d)).toUpperCase.toString)
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        ids.foreach(id => if (!seen.add(id)) dupIdError(id))
+      }
       val localMapped: Option[Seq[(String, String, R)]] = localDocRows.map { ds =>
         t.map(ds.iterator).map { case (id, r) =>
           (org.apache.spark.unsafe.types.UTF8String.fromString(id)
@@ -747,7 +815,19 @@ class Executer[D, R <: Product: TypeTag](
               .toArray.distinct
           else {
             jobs += 1
-            incomingIds.limit(DriverDirtyLimit + 1).as[String].collect()
+            // Same single job as the old distinct-collect, but grouped
+            // WITH counts so intra-batch duplicate ids are detected for
+            // free (see dupIdError above; past the driver limit the
+            // check covers only the collected prefix — documented
+            // best-effort on huge batches).
+            val counts = docsP
+              .map(d => t.documentId(d)).toDF("doc_id")
+              .select(upper($"doc_id") as "doc_id")
+              .groupBy($"doc_id").agg(count(lit(1)) as "n")
+              .limit(DriverDirtyLimit + 1).collect()
+            counts.find(_.getLong(1) > 1L)
+              .foreach(r => dupIdError(r.getString(0)))
+            counts.map(_.getString(0))
           }
         val idsSmall = idsProbe.length <= DriverDirtyLimit
 
@@ -963,9 +1043,11 @@ class Executer[D, R <: Product: TypeTag](
               mapAppend.mode("append").parquet(mapResultsPath); jobs += 1
               bumpStoreVersion()
             }
+            // One collect (≤ fanIn values) shared with rereduce — the
+            // stats figure must not pay a second identical Spark job.
             val dirtyParents = dirty.select("parent").distinct()
-              .as[Int].collect().sorted; jobs += 1 // ≤ fanIn values
-            rereduce(dirty); jobs += 2
+              .as[Int].collect().sorted; jobs += 1
+            rereduce(dirty, Some(dirtyParents)); jobs += 2
             _lastStats = Some(MaintenanceStats("incremental-distributed",
               jobs, -1, -1, dirtyParents.length,
               (System.nanoTime() - t0) / 1000000))
@@ -1067,9 +1149,10 @@ class Executer[D, R <: Product: TypeTag](
     } finally newPartials.unpersist()
   }
 
-  private def rereduce(dirty: DataFrame): Unit = {
-    val dirtyParents = dirty.select("parent").distinct()
-      .as[Int].collect().sorted
+  private def rereduce(dirty: DataFrame,
+      collectedParents: Option[Array[Int]] = None): Unit = {
+    val dirtyParents = collectedParents.getOrElse(
+      dirty.select("parent").distinct().as[Int].collect().sorted)
     if (dirtyParents.isEmpty) return
 
     // ---- level 0 → level 1: rebuild dirty (key, parent) partials -------
@@ -1678,12 +1761,14 @@ class Executer[D, R <: Product: TypeTag](
       if (fs.exists(dest)) {
         val aside = new Path(s"$trash/$d")
         fs.mkdirs(aside.getParent)
-        fs.rename(dest, aside)
+        // A false rename aborts the swap loudly; the trash + WAL make
+        // the partial state recoverable (restoreFromTrash + replay).
+        renameOrFail(dest, aside)
       }
       val staged = new Path(s"$staging/$d")
       if (fs.exists(staged)) {
         fs.mkdirs(dest.getParent)
-        fs.rename(staged, dest)
+        renameOrFail(staged, dest)
       }
     }
     fs.delete(new Path(trash), true)
@@ -1711,7 +1796,9 @@ class Executer[D, R <: Product: TypeTag](
     def restore(src: org.apache.hadoop.fs.FileStatus, dest: Path): Unit = {
       if (!fs.exists(dest)) {
         fs.mkdirs(dest.getParent)
-        fs.rename(src.getPath, dest)
+        // A failed restore rename must be loud — the trash may hold the
+        // only copy of this partition.
+        renameOrFail(src.getPath, dest)
       } else if (src.isDirectory) {
         // The destination exists. Partition-directory renames are atomic
         // and whole-dir, so an existing destination is COMPLETE — either

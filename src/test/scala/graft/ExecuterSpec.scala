@@ -229,4 +229,97 @@ class ExecuterSpec extends AnyFunSuite {
     assert(counts(fast) == counts(slow))
     assert(counts(fast)("NY") > 0)
   }
+
+  test("a batch with two versions of one document is rejected loudly") {
+    // Tombstones only invalidate seq < batchSeq, so intra-batch
+    // duplicates would BOTH survive and silently double-count forever;
+    // the contract is one version per doc per batch (ids are
+    // case-insensitive, so 'x'/'X' collide too).
+    val store = tmp()
+    val ex = new Executer(PeopleCountByState, store)
+    ex.execute(spark.createDataset(Seq(Person("a", "CA"), Person("b", "TX"))))
+    val before = counts(ex)
+    // Local (driver-collected) batch shape.
+    intercept[IllegalArgumentException] {
+      ex.execute(spark.createDataset(Seq(Person("x", "CA"), Person("X", "TX"))))
+    }
+    // Distributed batch shape: detection rides the ids-probe job.
+    intercept[IllegalArgumentException] {
+      ex.execute(spark.createDataset(
+        Seq(Person("y", "CA"), Person("y", "TX"))).repartition(2))
+    }
+    // Rejection happened before any mutation: state unchanged, clean.
+    assert(counts(ex) == before)
+    assert(ex.isClean)
+    ex.execute(spark.createDataset(Seq(Person("x", "CA"))))
+    assert(counts(ex)("CA") == 2L)
+  }
+
+  test("a concurrent same-instance reader never sees the half-applied batch") {
+    // The writer thread's reads resolve the in-progress pending
+    // generation (it must see its own merges); every OTHER thread on
+    // the same instance must keep resolving the last PUBLISHED
+    // generation until the batch lands. The slow task blocks inside
+    // reduce — by then tombstones and the map append are in flight.
+    val store = tmp()
+    val warm = new Executer(SlowReduceTask.Plain, store)
+    warm.execute(spark.createDataset(Seq(Person("a", "CA"), Person("b", "TX"))))
+
+    val ex = new Executer(SlowReduceTask, store)
+    SlowReduceTask.arm()
+    @volatile var failure: Throwable = null
+    val writer = new Thread(() => {
+      try ex.execute(spark.createDataset(Seq(Person("a", "TX"))))
+      catch { case t: Throwable => failure = t }
+    }, "graft-slow-writer")
+    writer.start()
+    assert(SlowReduceTask.entered.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "writer never reached the blocked reduce")
+    // Mid-batch read from this (non-writer) thread: the OLD generation.
+    val mid = ex.queryAll().as[(String, String, Long)].collect()
+      .map { case (_, s, c) => s -> c }.toMap
+    assert(mid == Map("CA" -> 1L, "TX" -> 1L),
+      s"reader observed half-applied state: $mid")
+    SlowReduceTask.release()
+    writer.join(120000)
+    assert(failure == null, s"writer failed: $failure")
+    val after = ex.queryAll().as[(String, String, Long)].collect()
+      .map { case (_, s, c) => s -> c }.toMap
+    assert(after == Map("TX" -> 2L), s"batch did not land: $after")
+  }
+}
+
+/** PeopleCountByState whose reduce blocks on a latch when armed —
+  * static state so the closure works across Spark task threads in
+  * local mode. */
+object SlowReduceTask extends MapReduceTask[Person, StatePop] {
+  @volatile private var armed = false
+  val entered = new java.util.concurrent.CountDownLatch(1)
+  private val gate = new java.util.concurrent.CountDownLatch(1)
+  def arm(): Unit = armed = true
+  def release(): Unit = { armed = false; gate.countDown() }
+
+  /** Same semantics without the latch, for building the base store. */
+  object Plain extends MapReduceTask[Person, StatePop] {
+    def map(docs: Iterator[Person]): Iterator[(String, StatePop)] =
+      SlowReduceTask.this.map(docs)
+    def reduce(entries: Iterator[StatePop]): Iterator[StatePop] =
+      entries.toSeq.groupBy(_.state)
+        .map { case (s, es) => StatePop(s, es.map(_.count).sum) }.iterator
+    def reduceKey(e: StatePop): String = e.state
+    def documentId(p: Person): String = p.id
+  }
+
+  def map(docs: Iterator[Person]): Iterator[(String, StatePop)] =
+    docs.map(p => (p.id, StatePop(p.state, 1L)))
+  def reduce(entries: Iterator[StatePop]): Iterator[StatePop] = {
+    if (armed) {
+      entered.countDown()
+      gate.await(90, java.util.concurrent.TimeUnit.SECONDS)
+    }
+    entries.toSeq.groupBy(_.state)
+      .map { case (s, es) => StatePop(s, es.map(_.count).sum) }.iterator
+  }
+  def reduceKey(e: StatePop): String = e.state
+  def documentId(p: Person): String = p.id
 }
