@@ -20,6 +20,27 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Null on length mismatch too (the zip_with form null-pads the
+    * shorter side, so its fold is NULL) — a malformed embedding must
+    * surface as a visible null, never as a plausible truncated sum. */
+  override def nullable: Boolean = true
+
+  /** Analysis-time type validation — a wrong-typed SQL argument must be
+    * an AnalysisException, not a codegen-time IllegalArgumentException. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "dot_product needs two array<float|double> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
@@ -30,8 +51,9 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData]
     val bb = b.asInstanceOf[ArrayData]
+    if (aa.numElements() != bb.numElements()) return null
     val aF = isFloat(left); val bF = isFloat(right)
-    val n = math.min(aa.numElements(), bb.numElements())
+    val n = aa.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -52,12 +74,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.$aGet($i) * (double) $b.$bGet($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.$aGet($i) * (double) $b.$bGet($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -39,10 +39,8 @@ object GraftFunctions {
     },
     "hyperplane_buckets" -> { args =>
       require(args.size == 4, "hyperplane_buckets(arr, tables, bits, dim)")
-      val (tables, bits, dim) = (intArg(args(1), "tables"),
+      HyperplaneBuckets(args.head, intArg(args(1), "tables"),
         intArg(args(2), "bits"), intArg(args(3), "dim"))
-      HyperplaneBuckets(args.head,
-        HyperplaneBuckets.sinPlanes(tables * bits, dim), tables, bits, dim)
     },
     "minhash_sigs" -> { args =>
       require(args.size == 2, "minhash_sigs(shingles, numHashes)")
@@ -54,9 +52,8 @@ object GraftFunctions {
     },
     "hyperplane_probes" -> { args =>
       require(args.size == 3, "hyperplane_probes(arr, bits, dim)")
-      val (bits, dim) = (intArg(args(1), "bits"), intArg(args(2), "dim"))
       HyperplaneProbes(args.head,
-        HyperplaneBuckets.sinPlanes(bits, dim), bits, dim)
+        intArg(args(1), "bits"), intArg(args(2), "dim"))
     },
     "kgram_md5_set" -> { args =>
       require(args.size == 2, "kgram_md5_set(words, k)")

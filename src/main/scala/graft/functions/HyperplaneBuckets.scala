@@ -24,13 +24,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   */
 case class HyperplaneBuckets(
     child: Expression,
-    planes: Array[Double],
     tables: Int,
     bits: Int,
     dim: Int)
     extends UnaryExpression {
 
+  // Derived, not a constructor field: an Array field would make the
+  // case-class equals/hashCode reference-based, so two identically-
+  // parameterized expressions would never be semantically equal and
+  // Catalyst could not dedup them (CSE/canonicalization). Memoized per
+  // (numPlanes, dim) in the companion; @transient so tasks rebuild the
+  // deterministic table instead of shipping 512 doubles per closure.
+  @transient private lazy val planes: Array[Double] =
+    HyperplaneBuckets.sinPlanes(tables * bits, dim)
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  /** Analysis-time type validation — a wrong-typed SQL argument must be
+    * an AnalysisException, not a codegen-time failure. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_buckets needs an array<float|double> argument, got ${other.catalogString}")
+    }
 
   private def elemIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -110,15 +130,19 @@ case class HyperplaneBuckets(
 }
 
 object HyperplaneBuckets {
+  private val planeCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int), Array[Double]]
+
   /** Plane p component i = sin((i + p·dim)·9973) — `Math.sin`, identical
-    * to Spark's `sin` expression and empirically to DuckDB's. */
+    * to Spark's `sin` expression and empirically to DuckDB's. Memoized:
+    * every expression instance with the same geometry shares one table. */
   def sinPlanes(numPlanes: Int, dim: Int): Array[Double] =
-    Array.tabulate(numPlanes * dim) { k =>
-      val p = k / dim; val i = k % dim
-      math.sin((i + p * dim) * 9973.0)
-    }
+    planeCache.getOrElseUpdate((numPlanes, dim),
+      Array.tabulate(numPlanes * dim) { k =>
+        val p = k / dim; val i = k % dim
+        math.sin((i + p * dim) * 9973.0)
+      })
 
   def hyperplaneBuckets(e: Column, tables: Int, bits: Int, dim: Int): Column =
-    bridge.column(HyperplaneBuckets(
-      bridge.expression(e), sinPlanes(tables * bits, dim), tables, bits, dim))
+    bridge.column(HyperplaneBuckets(bridge.expression(e), tables, bits, dim))
 }

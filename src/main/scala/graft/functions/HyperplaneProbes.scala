@@ -25,12 +25,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   */
 case class HyperplaneProbes(
     child: Expression,
-    planes: Array[Double],
     bits: Int,
     dim: Int)
     extends UnaryExpression {
 
+  // Derived, not a constructor field — see [[HyperplaneBuckets]]: value-
+  // based equality keeps Catalyst CSE working, and the memoized table
+  // is shared across expression instances.
+  @transient private lazy val planes: Array[Double] =
+    HyperplaneBuckets.sinPlanes(bits, dim)
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  /** Analysis-time type validation — a wrong-typed SQL argument must be
+    * an AnalysisException, not a codegen-time failure. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_probes needs an array<float|double> argument, got ${other.catalogString}")
+    }
 
   private def elemIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -110,6 +127,5 @@ object HyperplaneProbes {
   /** Probe-2 cells using the same plane family as
     * [[HyperplaneBuckets.sinPlanes]] with tables = 1. */
   def hyperplaneProbes(e: Column, bits: Int, dim: Int): Column =
-    bridge.column(HyperplaneProbes(
-      bridge.expression(e), HyperplaneBuckets.sinPlanes(bits, dim), bits, dim))
+    bridge.column(HyperplaneProbes(bridge.expression(e), bits, dim))
 }

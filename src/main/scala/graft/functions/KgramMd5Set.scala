@@ -39,6 +39,18 @@ case class KgramMd5Set(child: Expression, k: Int, distinct: Boolean = true)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  /** Analysis-time type validation — a wrong-typed SQL argument must be
+    * an AnalysisException, not a per-row ClassCastException. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kgram_md5_set needs an array<string> argument, got ${other.catalogString}")
+    }
+
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[ArrayData]
     val n = words.numElements()
@@ -57,7 +69,7 @@ case class KgramMd5Set(child: Expression, k: Int, distinct: Boolean = true)
       i += 1
     }
 
-    val md = MessageDigest.getInstance("MD5")
+    val md = MinHashSigs.md5.get(); md.reset()
     val seen = if (distinct) new java.util.HashSet[String]() else null
     val out = new java.util.ArrayList[Any]()
     i = 0

@@ -44,10 +44,22 @@ case class MinHashSigs(child: Expression, numHashes: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
 
+  /** Analysis-time type validation — a wrong-typed SQL argument must be
+    * an AnalysisException, not a per-row ClassCastException. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sigs needs an array<string> argument, got ${other.catalogString}")
+    }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val md = MessageDigest.getInstance("MD5")
+    val md = MinHashSigs.md5.get(); md.reset()
     val mins = new Array[Long](numHashes)
     var any = false
     var i = 0
@@ -94,6 +106,16 @@ case class MinHashSigs(child: Expression, numHashes: Int)
 
 object MinHashSigs {
   private val HexChars = "0123456789abcdef".toCharArray
+
+  /** One MD5 instance per thread, shared by the three digest kernels
+    * (this, [[KgramMd5Set]], [[WinnowFingerprints]]): `getInstance`
+    * does a JCA provider lookup + allocation, a measurable per-ROW tax
+    * on the suite's hottest stages. Callers must `reset()` before
+    * first use (digest() leaves the instance reset, but a prior
+    * caller may have aborted mid-update). */
+  private[functions] val md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0

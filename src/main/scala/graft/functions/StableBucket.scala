@@ -42,7 +42,21 @@ object StableBucketHash {
 case class StableBucket(child: Expression, buckets: Int)
     extends UnaryExpression {
 
+  require(buckets >= 1, s"stable_bucket: numBuckets must be >= 1, got $buckets")
+
   override def dataType: DataType = IntegerType
+
+  /** Analysis-time type validation — a wrong-typed SQL argument must be
+    * an AnalysisException, not a per-row ClassCastException. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"stable_bucket needs a string argument, got ${other.catalogString}")
+    }
 
   override def nullSafeEval(input: Any): Any =
     StableBucketHash.hash(input.asInstanceOf[UTF8String].toString, buckets)

@@ -37,6 +37,18 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  /** Analysis-time type validation — a wrong-typed SQL argument must be
+    * an AnalysisException, not a per-row ClassCastException. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fps needs an array<string> argument, got ${other.catalogString}")
+    }
+
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[ArrayData]
     val n = words.numElements()
@@ -47,21 +59,29 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     var i = 0
     while (i < n) {
       val s = words.getUTF8String(i)
-      wb(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      wb(i) = if (s == null) null else s.getBytes
       i += 1
     }
 
     // One md5 per k-gram, digesting the words and separating spaces
-    // directly (no intermediate k-gram string).
-    val md = MessageDigest.getInstance("MD5")
+    // directly (no intermediate k-gram string). Null words are skipped
+    // WITH their separator — concat_ws semantics, byte-identical to
+    // KgramMd5Set on the same input (split() output is never-null, but
+    // any array<string> must hash the same in both kernels).
+    val md = MinHashSigs.md5.get(); md.reset()
     val digests = new Array[Array[Byte]](m)
     i = 0
     while (i < m) {
       md.reset()
       var j = 0
+      var wrote = false
       while (j < k) {
-        if (j > 0) md.update(' '.toByte)
-        md.update(wb(i + j))
+        val wj = wb(i + j)
+        if (wj != null) {
+          if (wrote) md.update(' '.toByte)
+          md.update(wj)
+          wrote = true
+        }
         j += 1
       }
       digests(i) = md.digest()

@@ -9,18 +9,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * operator family (`flatMapGroupsWithState`) the engine exposes beyond
   * windowed aggregation: per-key mutable state with an event-time
   * timeout, the building block for user-session analytics over the
-  * `events` stream at any scale (state is partitioned by key and bounded
-  * by the number of LIVE sessions, not by history).
+  * `events` stream at any scale.
   *
   * A session is a maximal run of events per user with gaps below
-  * `gapMs`; it is emitted once the watermark passes its close time
-  * (append-mode semantics — late events beyond the watermark are
-  * dropped, exactly like the windowed aggregation path).
+  * `gapMs`. A session is emitted ONLY once the watermark passes its
+  * close time (`end + gapMs`) — never earlier, even when a later event
+  * in the same batch has already opened the next session — so an
+  * on-time out-of-order event can still extend or merge any session
+  * the watermark has not sealed (append-mode semantics; events older
+  * than the watermark are dropped, exactly like the windowed
+  * aggregation path). State per key is the list of UNSEALED sessions —
+  * bounded by the watermark horizon over the gap, not by history.
+  *
+  * Merge rule: an event at `t` joins a session `[start, end]` iff
+  * `start - gapMs <= t <= end + gapMs`, extending BOTH ends (an
+  * out-of-order event can arrive before the stored start); an event
+  * bridging several unsealed sessions merges them all. This is the
+  * same interval semantics as Spark's built-in `session_window`,
+  * re-expressed as explicit state so the operator can carry arbitrary
+  * per-session payload.
   */
 object Sessionize {
 
   case class Ev(user: String, ts: Timestamp)
-  case class SessionState(start: Long, end: Long, n: Int)
+  case class Span(start: Long, end: Long, n: Int)
+  case class SessionState(spans: List[Span])
   case class Session(user: String, start: Timestamp, end: Timestamp, events: Int)
 
   def sessions(
@@ -30,44 +43,43 @@ object Sessionize {
     implicit val encState = Encoders.product[SessionState]
     implicit val encOut = Encoders.product[Session]
     implicit val encStr = Encoders.STRING
-    implicit val encTup = Encoders.tuple(Encoders.STRING, encOut)
+
+    def emit(user: String, s: Span): Session =
+      Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n)
+
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: String, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // Watermark passed (session end + gap): the session is final.
-            val s = state.get
-            state.remove()
-            Iterator.single(
-              Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
-          } else {
-            // Fold the batch's events into the open session. Events are
-            // processed as a set: a batch that spans a gap still forms
-            // one session per contiguous run.
-            val ts = evs.map(_.ts.getTime).toArray.sorted
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
-                case Some(s) =>
-                  closed ::= Session(user, new Timestamp(s.start),
-                    new Timestamp(s.end), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
+          val wm = state.getCurrentWatermarkMs()
+          // Fold this batch's on-time events into the unsealed spans.
+          // Events at or past the watermark may be out of order; events
+          // behind it are late and dropped (documented append contract).
+          var spans = state.getOption.map(_.spans).getOrElse(Nil)
+          if (!state.hasTimedOut) {
+            evs.map(_.ts.getTime).filter(_ >= wm).toArray.sorted.foreach { t =>
+              val (overlap, rest) = spans.partition(s =>
+                t >= s.start - gapMs && t <= s.end + gapMs)
+              val merged = overlap.foldLeft(Span(t, t, 1)) { (m, s) =>
+                Span(math.min(m.start, s.start), math.max(m.end, s.end),
+                  m.n + s.n)
               }
+              spans = merged :: rest
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.reverseIterator
           }
+          // Seal and emit every span the watermark has passed; keep the
+          // rest in state with the earliest close time as the timeout
+          // (always > wm by construction, as EventTimeTimeout requires).
+          val (done, live) = spans.partition(_.end + gapMs <= wm)
+          if (live.nonEmpty) {
+            state.update(SessionState(live))
+            state.setTimeoutTimestamp(live.map(_.end + gapMs).min)
+          } else if (state.exists) {
+            state.remove()
+          }
+          done.sortBy(_.start).iterator.map(emit(user, _))
       }
   }
 }

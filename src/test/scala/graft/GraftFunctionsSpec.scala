@@ -58,4 +58,36 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.toLowerCase.contains("literal"))
   }
+
+  test("wrong-typed SQL arguments fail at analysis time, not per row") {
+    GraftFunctions.register(spark)
+    // Each must raise during analysis (AnalysisException naming the
+    // expected type), never a ClassCastException inside a task.
+    for ((sql, want) <- Seq(
+        ("SELECT stable_bucket(123, 10)", "string"),
+        ("SELECT dot_product(array('a'), array('b'))", "array<float|double>"),
+        ("SELECT hyperplane_buckets(array('a'), 1, 8, 64)", "array<float|double>"),
+        ("SELECT minhash_sigs(array(1, 2), 8)", "array<string>"),
+        ("SELECT winnow_fps(array(1, 2), 2, 2)", "array<string>"),
+        ("SELECT kgram_md5_set(array(1, 2), 2)", "array<string>"))) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getMessage.contains(want), s"$sql: ${e.getMessage.take(200)}")
+    }
+    // A zero bucket count is a constructor-time error, not a per-row
+    // ArithmeticException.
+    intercept[Exception](spark.sql("SELECT stable_bucket('x', 0)").collect())
+  }
+
+  test("dot_product is null on length mismatch, never a truncated sum") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D)) AS d," +
+        " dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS ok")
+      .collect().head
+    assert(r.isNullAt(0), "mismatched lengths must yield NULL")
+    assert(r.getDouble(1) == 11.0)
+  }
 }

@@ -92,6 +92,56 @@ class SessionizeSpec extends AnyFunSpec {
     } finally q.stop()
   }
 
+  it("an on-time out-of-order event extends the right session, never the open one") {
+    // gap 5s, watermark 10s: an event can be on time (>= watermark) yet
+    // older than the newest open session. It must join the session
+    // whose interval it falls in — and a session must never be emitted
+    // before the watermark seals it, or the event would have nowhere
+    // correct to go (the two coupled bugs this pins the fix for).
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = Sessionize.sessions(input.toDS(), gapMs = 5000L, watermark = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").start()
+    try {
+      // Two gap-separated spans; watermark after this batch = 100s.
+      input.addData(Ev("alice", ts(100)), Ev("alice", ts(110)))
+      q.processAllAvailable()
+      // On-time (103 >= 100) but older than the open 110-session: joins
+      // the 100-span (|103-100| <= 5), NOT the 110-span (gap 7 > 5).
+      input.addData(Ev("alice", ts(103)))
+      q.processAllAvailable()
+      input.addData(Ev("zz", ts(1000))); q.processAllAvailable()
+      input.addData(Ev("zz", ts(1001))); q.processAllAvailable()
+      val sessions = spark.table("sessions_ooo").as[Session].collect()
+        .filter(_.user == "alice")
+        .map(s => (s.start.getTime / 1000, s.end.getTime / 1000, s.events)).toSet
+      assert(sessions == Set((100L, 103L, 2), (110L, 110L, 1)),
+        s"out-of-order event misattributed: $sessions")
+    } finally q.stop()
+  }
+
+  it("an out-of-order event bridging two unsealed sessions merges them") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = Sessionize.sessions(input.toDS(), gapMs = 5000L, watermark = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("sessions_bridge")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev("bob", ts(100)), Ev("bob", ts(110)))
+      q.processAllAvailable()
+      // 105 is within gap of BOTH spans: one merged session results.
+      input.addData(Ev("bob", ts(105)))
+      q.processAllAvailable()
+      input.addData(Ev("zz", ts(1000))); q.processAllAvailable()
+      input.addData(Ev("zz", ts(1001))); q.processAllAvailable()
+      val sessions = spark.table("sessions_bridge").as[Session].collect()
+        .filter(_.user == "bob")
+        .map(s => (s.start.getTime / 1000, s.end.getTime / 1000, s.events)).toSet
+      assert(sessions == Set((100L, 110L, 3)), s"bridge merge failed: $sessions")
+    } finally q.stop()
+  }
+
   it("splits a single batch spanning a gap into separate sessions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Ev]
