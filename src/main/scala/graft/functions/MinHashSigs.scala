@@ -113,7 +113,7 @@ object MinHashSigs {
     * on the suite's hottest stages. Callers must `reset()` before
     * first use (digest() leaves the instance reset, but a prior
     * caller may have aborted mid-update). */
-  private[functions] val md5 =
+  private[graft] val md5 =
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 

@@ -16,7 +16,7 @@ import Tables._
   */
 object Curation {
 
-  private def words(c: Column): Column = split(c, "\\s+")
+  private[ops] def words(c: Column): Column = split(c, "\\s+")
 
   /** Distinct md5'd word k-grams of a document — the codegen-era kernel
     * [[graft.functions.KgramMd5Set]], element-wise identical to the

@@ -36,7 +36,9 @@ import Tables._
   */
 object Sketches {
 
-  private def words(c: Column): Column = split(c, "\\s+")
+  // One tokenizer spelling repo-wide (the split-limit semantics are
+  // parity-critical): reuse Curation's.
+  private def words(c: Column): Column = Curation.words(c)
 
   /** Aggregate a LongType column into one Bloom filter with `numBits`
     * bits, returning the serialized filter bytes. One driver-side value
@@ -73,7 +75,11 @@ object Sketches {
       // One shingle definition shared with q66 (Curation.shingleStream):
       // the two queries promise bit-identical results.
       val sh = Curation.shingleStream(s, dir, 4)
-      val eval5 = sh.where($"doc_id" % 97 === 0).select($"sh").distinct()
+      // Barriered: the Bloom aggregation consumes it eagerly and the
+      // exact-verify join consumes it again at materialization — without
+      // the persist the eval scan+explode+distinct runs twice.
+      val eval5 = Dedup.barrier(
+        sh.where($"doc_id" % 97 === 0).select($"sh").distinct())
       // 2^20 bits / ~64k expected shingles ⇒ false-positive rate well
       // under 1%; at a real eval-set scale you'd size numBits to
       // ~10 bits/item and still broadcast only megabytes.

@@ -44,7 +44,11 @@ object Tables {
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // FLOOR division, not `div` (which truncates toward zero):
+        // a pre-epoch nanos value with a sub-µs remainder must round
+        // DOWN to match DuckDB's nanos→micros conversion.
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case _ =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }
