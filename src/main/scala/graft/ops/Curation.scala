@@ -55,13 +55,16 @@ object Curation {
     * Their persisted blocks are released by Dedup's barrier registry —
     * every persist in this module goes through `Dedup.barrier`. */
   private[ops] def evictSession(
-      s: org.apache.spark.sql.SparkSession): Unit =
+      s: org.apache.spark.sql.SparkSession): Unit = {
     Memo.evictOwner(freq3Cache, s)(_ => ())
+    Memo.evictOwner(fluencyCache, s)(_ => ())
+  }
 
   private[ops] def shingleFreq3(s: org.apache.spark.sql.SparkSession,
       dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    Memo.memo(freq3Cache, (s, dir)) {
+    Memo.memoFresh(freq3Cache, (s, dir))(
+        _._1.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       import s.implicits._
       val ws = words($"text")
       val sh = Dedup.barrier(t(s, dir, "documents")
@@ -72,24 +75,34 @@ object Curation {
       (sh, freq)
     }
 
-  /** q83's pipeline body, shared with q96's composite rank. */
+  private val fluencyCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
+  /** q83's pipeline body, shared with q96's composite rank — memoized
+    * and barriered like [[shingleFreq3]]: the gram table feeds both the
+    * frequency aggregation and the join-back (two scans of the 2-gram
+    * md5 explode without the barrier), and q96 reuses the whole result
+    * after q83 computed it. */
   private def bigramFluency(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val ws = words($"text")
-    val grams = t(s, dir, "documents")
-      .where(size(ws) >= 2)
-      .select($"doc_id",
-        explode(graft.functions.KgramMd5Set.kgramMd5List(ws, 2)) as "gram")
-    val freq = grams.groupBy($"gram").agg(count(lit(1)) as "cf")
-    grams.join(freq, "gram")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)) as "n_bigrams",
-        sum($"cf") as "freq_sum",
-        min($"cf") as "rarest")
-      .select($"doc_id", $"n_bigrams", $"freq_sum", $"rarest",
-        ($"freq_sum".cast("double") / $"n_bigrams") as "avg_bigram_freq")
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    Memo.memoFresh(fluencyCache, (s, dir))(
+        _.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      import s.implicits._
+      val ws = words($"text")
+      val grams = Dedup.barrier(t(s, dir, "documents")
+        .where(size(ws) >= 2)
+        .select($"doc_id",
+          explode(graft.functions.KgramMd5Set.kgramMd5List(ws, 2)) as "gram"))
+      val freq = grams.groupBy($"gram").agg(count(lit(1)) as "cf")
+      Dedup.barrier(grams.join(freq, "gram")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)) as "n_bigrams",
+          sum($"cf") as "freq_sum",
+          min($"cf") as "rarest")
+        .select($"doc_id", $"n_bigrams", $"freq_sum", $"rarest",
+          ($"freq_sum".cast("double") / $"n_bigrams") as "avg_bigram_freq"))
+    }
 
   /** The decontamination oracle — shared verbatim by q66 and q70 (the
     * bloom stage only prunes; the exact join decides, so both queries

@@ -451,7 +451,7 @@ object Dedup {
     * barrier each of them re-persisted its own copy of the same rows. */
   private[ops] def strongPairs(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    Memo.memo(strongCache, (s, dir)) {
+    Memo.memoFresh(strongCache, (s, dir))(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       import s.implicits._
       barrier(lshCandidatePairs(s, dir)
         .where($"jaccard" >= 0.5).select($"id_a", $"id_b"))
@@ -691,7 +691,7 @@ object Dedup {
   private[ops] def sigTables(s: SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
           org.apache.spark.sql.DataFrame) =
-    Memo.memo(sigCache, (s, dir)) {
+    Memo.memoFresh(sigCache, (s, dir))(_._1.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       import s.implicits._
       val docs = t(s, dir, "documents")
         .where(size(split($"text", "\\s+")) >= 3)
@@ -719,7 +719,8 @@ object Dedup {
 
   private[ops] def lshCandidatePairs(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    Memo.memo(lshCache, (s, dir))(lshCandidatePairsUncached(s, dir))
+    Memo.memoFresh(lshCache, (s, dir))(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE)(
+      lshCandidatePairsUncached(s, dir))
 
   /** The q27 pipeline: shingle → one-pass MinHash signature → banded
     * equi-join on (band, hash) for candidates → exact Jaccard on the

@@ -17,6 +17,22 @@ private[ops] object Memo {
       case None => cache.synchronized { cache.getOrElseUpdate(key, build) }
     }
 
+  /** [[memo]] with a staleness check: the shipped drivers call
+    * `spark.catalog.clearCache()` between queries, which unpersists a
+    * memoized barriered table while the cache keeps returning the
+    * now-cold handle — every later consumer silently recomputes the
+    * full build per use instead of once. When `stale` reports the
+    * cached value cold, drop it and rebuild (re-persisting). */
+  def memoFresh[K, V](cache: TrieMap[K, V], key: K)(stale: V => Boolean)(
+      build: => V): V = {
+    val v = memo(cache, key)(build)
+    if (!stale(v)) v
+    else cache.synchronized {
+      if (cache.get(key).exists(stale)) cache.remove(key)
+      cache.getOrElseUpdate(key, build)
+    }
+  }
+
   /** Remove every entry of a session-keyed cache belonging to `owner`,
     * running `clean` (unpersist, close, …) on each removed value —
     * the per-cache primitive behind [[SessionCaches.evict]]. */

@@ -133,7 +133,6 @@ object Relational {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     },
 
-    // Set operations: UNION / EXCEPT with SQL (distinct) semantics.
     // Full-outer join (the join matrix's last cell): per-nation counts of
     // HIGH-BALANCE customers vs suppliers — the balance filters make the
     // two key sets asymmetric, so both null sides of the outer join are
@@ -152,6 +151,7 @@ object Relational {
           coalesce($"rich_supp", lit(0L)) as "rich_supp")
     },
 
+    // Set operations: UNION / EXCEPT with SQL (distinct) semantics.
     "q11_setops" -> { (s, dir) =>
       import s.implicits._
       val c = t(s, dir, "customer")
@@ -503,7 +503,8 @@ object Relational {
       s"""SELECT c_mktsegment, count(*) AS cnt,
          |CAST(sum(${D("c_acctbal")}) AS DOUBLE) AS acctbal
          |FROM customer
-         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         |WHERE NOT EXISTS (SELECT 1 FROM orders
+         |  WHERE o_custkey = c_custkey)
          |GROUP BY c_mktsegment""".stripMargin,
     "q08_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (

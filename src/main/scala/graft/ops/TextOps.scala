@@ -90,16 +90,6 @@ object TextOps {
             split($"text", "\\s+"), w => md5(w))) as "minhash1")
     },
 
-    // Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
-    // algorithm): hash every k-gram, slide a w-window over the hash
-    // sequence, keep the minimum per window, emit the distinct minima as
-    // the document's fingerprint set. Near-identical documents share
-    // most fingerprints regardless of alignment. The whole per-doc pass
-    // runs in one O(n) codegen-era kernel ([[graft.functions
-    // .WinnowFingerprints]]: one md5 per k-gram + monotonic-deque sliding
-    // minimum) — a narrow per-row map at any corpus scale. Hashes stay
-    // md5-hex strings (lexicographic minima) so both engines agree
-    // bit-for-bit.
     // Corpus vocabulary by document frequency: the token-level corpus
     // statistic a tokenizer/training run starts from. Per-doc distinct
     // tokens (array_distinct before the explode — a token counts once
@@ -156,8 +146,9 @@ object TextOps {
     },
 
     // TF-IDF-style salient terms: per-doc term frequency against corpus
-    // document frequency, top-3 terms per doc. The df table is the
-    // corpus vocabulary (tiny — broadcast join against the tf rows);
+    // document frequency, top-3 terms per doc. The BOUNDED 50-doc tf
+    // slice broadcasts against the df table (the corpus vocabulary
+    // grows with the corpus and must never be the broadcast side);
     // scoring uses the exact ratio tf/df (one IEEE division of two
     // small integers — bit-identical across engines) rather than a log
     // idf, so the result hash-matches the oracle.
@@ -172,14 +163,28 @@ object TextOps {
         .groupBy($"token").agg(count(lit(1)) as "df")
       val w = Window.partitionBy($"doc_id")
         .orderBy($"score".desc, $"token".asc)
-      tf.where($"doc_id" < 50)
-        .join(broadcast(dfT), "token")
+      // Broadcast the BOUNDED side: the query's tf rows cover 50 docs,
+      // while the corpus document-frequency table grows with the whole
+      // vocabulary (effectively unbounded at scale — typos/noise) and
+      // must never be the broadcast side.
+      broadcast(tf.where($"doc_id" < 50))
+        .join(dfT, "token")
         .withColumn("score", $"tf".cast("double") / $"df")
         .withColumn("rnk", row_number().over(w).cast("int"))
         .where($"rnk" <= 3)
         .select($"doc_id", $"token", $"tf", $"df", $"rnk", $"score")
     },
 
+    // Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    // algorithm): hash every k-gram, slide a w-window over the hash
+    // sequence, keep the minimum per window, emit the distinct minima as
+    // the document's fingerprint set. Near-identical documents share
+    // most fingerprints regardless of alignment. The whole per-doc pass
+    // runs in one O(n) codegen-era kernel ([[graft.functions
+    // .WinnowFingerprints]]: one md5 per k-gram + monotonic-deque sliding
+    // minimum) — a narrow per-row map at any corpus scale. Hashes stay
+    // md5-hex strings (lexicographic minima) so both engines agree
+    // bit-for-bit.
     "q53_winnow_fingerprints" -> { (s, dir) =>
       import s.implicits._
       val k = 4; val w = 5
