@@ -787,6 +787,24 @@ class Executer[D, R <: Product: TypeTag](
           pending.live.getOrElse("map_results", Vector.empty).isEmpty
         else !exists(mapResultsPath)
       if (firstBuild) {
+        // The duplicate-id contract holds on the initial build too
+        // (ADVICE r6): local batches were checked driver-side above, but
+        // a DISTRIBUTED first build used to skip the ids-probe entirely —
+        // two versions of one doc would both land under the same seq and
+        // double-count forever (tombstones only invalidate seq <
+        // batchSeq, so delete-and-invalidate never repairs intra-batch
+        // dups). One narrow aggregation job over the ids is O(data) like
+        // the build itself and catches the state the guard documents as
+        // rejected loudly.
+        if (!localSmall) {
+          jobs += 1
+          val dup = docsP
+            .map(d => t.documentId(d)).toDF("doc_id")
+            .select(upper($"doc_id") as "doc_id")
+            .groupBy($"doc_id").agg(count(lit(1)) as "n")
+            .where($"n" > 1L).limit(1).collect()
+          dup.foreach(r => dupIdError(r.getString(0)))
+        }
         // Initial build fast path: everything is dirty, so skip the dirty
         // set entirely — no WAL round-trip, no semi-join pruning, no
         // staging renames (the partials/finals tables don't exist yet).

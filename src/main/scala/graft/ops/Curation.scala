@@ -63,8 +63,11 @@ object Curation {
   private[ops] def shingleFreq3(s: org.apache.spark.sql.SparkSession,
       dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    Memo.memoFresh(freq3Cache, (s, dir))(
-        _._1.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+    // Staleness checks BOTH members (ADVICE r6): a targeted unpersist
+    // of only the freq table must not keep serving a half-cold pair.
+    Memo.memoFresh(freq3Cache, (s, dir))(v =>
+        v._1.storageLevel == org.apache.spark.storage.StorageLevel.NONE ||
+        v._2.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       import s.implicits._
       val ws = words($"text")
       val sh = Dedup.barrier(t(s, dir, "documents")

@@ -691,7 +691,12 @@ object Dedup {
   private[ops] def sigTables(s: SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
           org.apache.spark.sql.DataFrame) =
-    Memo.memoFresh(sigCache, (s, dir))(_._1.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+    // Staleness checks ALL THREE members (ADVICE r6): a targeted
+    // unpersist of any one table must trigger a full-tuple rebuild.
+    Memo.memoFresh(sigCache, (s, dir))(v =>
+        v._1.storageLevel == org.apache.spark.storage.StorageLevel.NONE ||
+        v._2.storageLevel == org.apache.spark.storage.StorageLevel.NONE ||
+        v._3.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       import s.implicits._
       val docs = t(s, dir, "documents")
         .where(size(split($"text", "\\s+")) >= 3)

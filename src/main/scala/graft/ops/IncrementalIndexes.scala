@@ -36,9 +36,14 @@ object IncrementalIndexes {
   // Digest plumbing shared with the expression kernels
   // (`MinHashSigs.md5` per-thread instance + its hex spelling) — ONE
   // implementation of the lockstep-critical md5/hex formulas repo-wide.
-  private def md5hex(s: String): String =
-    graft.functions.MinHashSigs.toHex(
-      graft.functions.MinHashSigs.md5.get().digest(s.getBytes("UTF-8")))
+  // Both digest call sites reset() first, per the thread-local's
+  // contract: digest() leaves the instance reset, but a prior kernel
+  // aborting between update() and digest() leaves residue that would
+  // silently corrupt every later hash on that thread (ADVICE r6).
+  private def md5hex(s: String): String = {
+    val md = graft.functions.MinHashSigs.md5.get(); md.reset()
+    graft.functions.MinHashSigs.toHex(md.digest(s.getBytes("UTF-8")))
+  }
 
   /** 3-word shingles + MinHash, JVM-side — the same double-hash formula
     * as q26's `MinHashSigs` expression and its DuckDB oracle: one md5
@@ -56,8 +61,10 @@ object IncrementalIndexes {
     val sh = words.sliding(3).map(_.mkString(" ")).toArray.distinct
     val mins = new Array[Long](NumHashes)
     var any = false
+    val md = graft.functions.MinHashSigs.md5.get()
     for (s <- sh) {
-      val d = graft.functions.MinHashSigs.md5.get().digest(s.getBytes("UTF-8"))
+      md.reset()
+      val d = md.digest(s.getBytes("UTF-8"))
       var h1 = 0L; var h2 = 0L
       var j = 0
       while (j < 8) {

@@ -69,13 +69,20 @@ object Sessionize {
               spans = merged :: rest
             }
           }
-          // Seal and emit every span the watermark has passed; keep the
-          // rest in state with the earliest close time as the timeout
-          // (always > wm by construction, as EventTimeTimeout requires).
-          val (done, live) = spans.partition(_.end + gapMs <= wm)
+          // Seal and emit every span the watermark has passed. Sealing
+          // is STRICT (`end + gapMs < wm`) to stay consistent with the
+          // inclusive merge rule above: an on-time event at exactly
+          // `t == end + gapMs == wm` is accepted (t >= wm) and must
+          // still extend its span, so a span seals only once no
+          // on-time event can legally join it (ADVICE r6). The timeout
+          // is clamped to wm + 1: a live span may now close exactly AT
+          // the watermark, and EventTimeTimeout requires a timestamp
+          // strictly beyond it.
+          val (done, live) = spans.partition(_.end + gapMs < wm)
           if (live.nonEmpty) {
             state.update(SessionState(live))
-            state.setTimeoutTimestamp(live.map(_.end + gapMs).min)
+            state.setTimeoutTimestamp(
+              math.max(live.map(_.end + gapMs).min, wm + 1))
           } else if (state.exists) {
             state.remove()
           }

@@ -42,4 +42,26 @@ class DistributedPathSpec extends AnyFunSuite {
     assert(ex.queryAll().collect().toSet == ex2.queryAll().collect().toSet)
     assert(ex.isClean)
   }
+
+  test("distributed FIRST build rejects intra-batch duplicate ids (ADVICE r6)") {
+    // The update path detects dups in its ids-probe, but the initial
+    // build used to skip the probe entirely — two versions of one doc
+    // would both land under the same seq and double-count forever.
+    val store = TestTmp.dir("graft-dist-dup")
+    val cfg = ExecuterConfig(fanIn = 8, finalParts = 4, driverDirtyLimit = 0)
+    val ex = new Executer(PeopleCountByState, store, cfg)
+    val batch = (1 to 50).map(i => Person(s"p-$i", "CA")) :+ Person("p-7", "TX")
+    intercept[IllegalArgumentException] {
+      ex.execute(spark.createDataset(batch).repartition(4))
+    }
+    // Case-insensitive ids collide on the build path too.
+    intercept[IllegalArgumentException] {
+      ex.execute(spark.createDataset(
+        Seq(Person("x", "CA"), Person("X", "TX"))).repartition(2))
+    }
+    // A clean batch then builds normally into the same store.
+    ex.execute(spark.createDataset(
+      (1 to 50).map(i => Person(s"p-$i", "CA"))).repartition(4))
+    assert(ex.queryAll().count() == 1)
+  }
 }
