@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Curation, Dedup, EmbeddingOps, IncrementalIndexes, IndexQueries, Multimodal, Relational, Sketches, TextOps}
+import graft.ops.{Bpe, Curation, Dedup, EmbeddingOps, Html, IncrementalIndexes, IndexQueries, Multimodal, Relational, Sketches, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,11 +24,11 @@ object SparkEntry {
     Relational.queries ++ TextOps.queries ++ Dedup.queries ++
       EmbeddingOps.queries ++ IndexQueries.queries ++
       IncrementalIndexes.queries ++ Multimodal.queries ++ Curation.queries ++
-      Sketches.queries
+      Sketches.queries ++ Bpe.queries ++ Html.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
       EmbeddingOps.oracles ++ IndexQueries.oracles ++
       IncrementalIndexes.oracles ++ Multimodal.oracles ++ Curation.oracles ++
-      Sketches.oracles
+      Sketches.oracles ++ Bpe.oracles ++ Html.oracles
 }

@@ -60,6 +60,14 @@ object Curation {
     Memo.evictOwner(fluencyCache, s)(_ => ())
   }
 
+  /** Memoized cross-query artifacts to keep persisted between queries
+    * (see [[Dedup.pinnedArtifacts]]). */
+  private[ops] def pinnedArtifacts(s: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.DataFrame] =
+    freq3Cache.collect { case ((o, _), v) if o eq s => Seq(v._1, v._2) }
+      .flatten.toSeq ++
+      fluencyCache.collect { case ((o, _), v) if o eq s => v }
+
   private[ops] def shingleFreq3(s: org.apache.spark.sql.SparkSession,
       dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =

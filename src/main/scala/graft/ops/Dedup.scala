@@ -205,9 +205,20 @@ object Dedup {
     "q59b_cluster_index_update" -> { (s, dir) =>
       import s.implicits._
       val ex = clusterIndex(s, dir)
-      val ingest = newBatchAssignments(s, dir)
-        .select($"doc_id", $"cluster").as[ClusterRow]
-      ex.execute(ingest)
+      // The ingest batch is collected to the driver before execute():
+      // it is O(new docs) small by construction (a real ingest loop
+      // feeds driver-collected micro-batches), and a LocalRelation
+      // batch takes the engine's driver-pruned path — the map runs
+      // once on the driver, dirty pairs are computed without probe
+      // jobs, and the whole update is a handful of single-stage jobs
+      // instead of the distributed path's full probe/stage sequence
+      // (VERDICT r6 #2: the distributed spelling amplified 5-7× on the
+      // driver host's slower scheduler/FS).
+      val batch = Phases.timed("q59b", "assign_probe")(
+        newBatchAssignments(s, dir)
+          .select($"doc_id", $"cluster").as[ClusterRow].collect().toSeq)
+      Phases.timed("q59b", "store_update")(
+        ex.execute(s.createDataset(batch)))
       ex.queryAll().select($"doc_id", $"cluster")
     },
 
@@ -235,15 +246,20 @@ object Dedup {
         .join(neardupClusters(s, dir), Seq("doc_id"), "left")
         .select($"doc_id",
           coalesce($"cluster", $"doc_id").cast("long") as "cluster")
-      val ex = new graft.core.Executer(NearDupClusterIndex,
-        TempStores.cloneOf(clusterIndex(s, dir).storePath, "graft-reclu"),
-        graft.core.ExecuterConfig(fanIn = 16, finalParts = 8))
-      val drift = target
+      val ex = Phases.timed("q59c", "store_clone")(
+        new graft.core.Executer(NearDupClusterIndex,
+          TempStores.cloneOf(clusterIndex(s, dir).storePath, "graft-reclu"),
+          graft.core.ExecuterConfig(fanIn = 16, finalParts = 8)))
+      // Drift set collected driver-side: O(drift) small by the same
+      // argument as q59b's ingest batch, and the LocalRelation batch
+      // takes the driver-pruned update path.
+      val drift = Phases.timed("q59c", "drift_diff")(target
         .join(ex.queryAll().select($"doc_id", $"cluster" as "stored"),
           Seq("doc_id"), "left")
         .where($"stored".isNull || $"stored" =!= $"cluster")
-        .select($"doc_id", $"cluster").as[ClusterRow]
-      ex.execute(drift)
+        .select($"doc_id", $"cluster").as[ClusterRow].collect().toSeq)
+      Phases.timed("q59c", "drift_update")(
+        ex.execute(s.createDataset(drift)))
       ex.queryAll().select($"doc_id", $"cluster")
     },
 
@@ -453,8 +469,9 @@ object Dedup {
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     Memo.memoFresh(strongCache, (s, dir))(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       import s.implicits._
-      barrier(lshCandidatePairs(s, dir)
-        .where($"jaccard" >= 0.5).select($"id_a", $"id_b"))
+      Phases.timed("shared", "strong_pairs")(
+        barrier(lshCandidatePairs(s, dir)
+          .where($"jaccard" >= 0.5).select($"id_a", $"id_b")))
     }
 
   /** Drop this session's memoized artifacts and unpersist their cached
@@ -475,12 +492,39 @@ object Dedup {
     Memo.evictOwner(clusterStoreCache, s)(_ => ())
   }
 
+  /** This module's memoized cross-query artifacts for `s` — the tables
+    * [[SessionCaches.clearTransient]] must KEEP persisted between
+    * queries. Identity matters: `barrier` persists and returns the same
+    * Dataset object the memo caches hold, so membership is `eq`-based
+    * in the caller's IdentityHashMap-backed set. */
+  private[ops] def pinnedArtifacts(
+      s: SparkSession): Seq[org.apache.spark.sql.DataFrame] =
+    sigCache.collect { case ((o, _), v) if o eq s => Seq(v._1, v._2, v._3) }
+      .flatten.toSeq ++
+      lshCache.collect { case ((o, _), v) if o eq s => v } ++
+      strongCache.collect { case ((o, _), v) if o eq s => v } ++
+      ccCache.collect { case ((o, _), v) if o eq s => v }
+
+  /** Unpersist and forget every barrier `s` registered that is NOT in
+    * `pinned` — the per-query cleanup primitive behind
+    * [[SessionCaches.clearTransient]]. */
+  private[ops] def clearBarriersExcept(s: SparkSession,
+      pinned: java.util.Set[org.apache.spark.sql.DataFrame]): Unit =
+    barrierRegistry.get(s).foreach { q =>
+      val it = q.iterator()
+      while (it.hasNext) {
+        val df = it.next()
+        if (!pinned.contains(df)) { df.unpersist(); it.remove() }
+      }
+    }
+
   private def neardupClusters(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     Memo.memo(ccCache, (s, dir)) {
       import s.implicits._
-      connectedComponents(s, strongPairs(s, dir))
-        .select($"id" as "doc_id", $"lbl" as "cluster")
+      Phases.timed("shared", "connected_components")(
+        connectedComponents(s, strongPairs(s, dir))
+          .select($"id" as "doc_id", $"lbl" as "cluster"))
     }
 
   case class ClusterRow(doc_id: Long, cluster: Long)
@@ -515,23 +559,25 @@ object Dedup {
   private[ops] def clusterIndex(s: SparkSession, dir: String)
       : graft.core.Executer[ClusterRow, ClusterRow] =
     Memo.memo(clusterStoreCache, (s, dir)) {
-      implicit val spark: SparkSession = s
-      import s.implicits._
-      val oldPairs = strongPairs(s, dir)
-        .where($"id_a" % 13 =!= 0 && $"id_b" % 13 =!= 0)
-      val cl = connectedComponents(s, oldPairs)
-        .select($"id" as "doc_id", $"lbl" as "cluster")
-      val rows = t(s, dir, "documents").where($"doc_id" % 13 =!= 0)
-        .select($"doc_id".cast("long") as "doc_id")
-        .join(cl, Seq("doc_id"), "left")
-        .select($"doc_id",
-          coalesce($"cluster", $"doc_id").cast("long") as "cluster")
-        .as[ClusterRow]
-      val ex = new graft.core.Executer(NearDupClusterIndex,
-        TempStores.scratch("graft-clusteridx"),
-        graft.core.ExecuterConfig(fanIn = 16, finalParts = 8))
-      ex.execute(rows)
-      ex
+      Phases.timed("q59b", "cluster_store_build") {
+        implicit val spark: SparkSession = s
+        import s.implicits._
+        val oldPairs = strongPairs(s, dir)
+          .where($"id_a" % 13 =!= 0 && $"id_b" % 13 =!= 0)
+        val cl = connectedComponents(s, oldPairs)
+          .select($"id" as "doc_id", $"lbl" as "cluster")
+        val rows = t(s, dir, "documents").where($"doc_id" % 13 =!= 0)
+          .select($"doc_id".cast("long") as "doc_id")
+          .join(cl, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"cluster", $"doc_id").cast("long") as "cluster")
+          .as[ClusterRow]
+        val ex = new graft.core.Executer(NearDupClusterIndex,
+          TempStores.scratch("graft-clusteridx"),
+          graft.core.ExecuterConfig(fanIn = 16, finalParts = 8))
+        ex.execute(rows)
+        ex
+      }
     }
 
   /** q92's body: O(batch × bands) assignment of the new ingest batch
@@ -697,6 +743,7 @@ object Dedup {
         v._1.storageLevel == org.apache.spark.storage.StorageLevel.NONE ||
         v._2.storageLevel == org.apache.spark.storage.StorageLevel.NONE ||
         v._3.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      Phases.timed("shared", "sig_tables") {
       import s.implicits._
       val docs = t(s, dir, "documents")
         .where(size(split($"text", "\\s+")) >= 3)
@@ -715,6 +762,7 @@ object Dedup {
         .select($"doc_id", $"e.band", $"e.bh")
         .transform(barrier)
       (docs, sigs, banded)
+      }
     }
 
   /** Memoized q27 pipeline result per (session, dir) — q27, q90, and
@@ -725,7 +773,7 @@ object Dedup {
   private[ops] def lshCandidatePairs(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     Memo.memoFresh(lshCache, (s, dir))(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE)(
-      lshCandidatePairsUncached(s, dir))
+      Phases.timed("shared", "lsh_pairs")(lshCandidatePairsUncached(s, dir)))
 
   /** The q27 pipeline: shingle → one-pass MinHash signature → banded
     * equi-join on (band, hash) for candidates → exact Jaccard on the
@@ -748,12 +796,18 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id") as "id_a", col("y.doc_id") as "id_b")
       .distinct()
-    cand
+    // Barriered: this is the memoized value behind `lshCandidatePairs`,
+    // whose memoFresh staleness check is `storageLevel == NONE` — an
+    // unpersisted value read as permanently stale, so every consumer
+    // silently rebuilt the pair table (and re-persisted a fresh interior
+    // `capped` copy each time). The table is O(candidate pairs) ≪ corpus
+    // by LSH construction, so persisting it is cheap at any scale.
+    barrier(cand
       .join(docs.select($"doc_id" as "id_a", $"sh" as "sh_a"), "id_a")
       .join(docs.select($"doc_id" as "id_b", $"sh" as "sh_b"), "id_b")
       .select($"id_a", $"id_b",
         (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b"))) as "jaccard")
+          size(array_union($"sh_a", $"sh_b"))) as "jaccard"))
   }
 
   private def shinglesSql(tbl: String): String =

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** HTML → text extraction, the ingest step in front of every curation
+  * pipeline (extract → filter → dedup; VERDICT r6 "What's missing
+  * #4"). The corpus is already plain text, so the query SYNTHESIZES
+  * the HTML wrapper deterministically from (doc_id, text) — the same
+  * honest-synthesis pattern as the multimodal payloads and q79's PII
+  * injection — and everything after synthesis is the production path:
+  * a codegen'd scalar regexp chain per row, zero shuffles, zero UDFs,
+  * the shape that streams a 100 TB crawl through the scan stage.
+  *
+  * Synthesis and extraction are both rendered for Spark SQL and
+  * DuckDB from the same generators (the [[Bpe]] lockstep doctrine),
+  * so the oracle replays the identical pipeline. Extraction strips
+  * `script`/`style`/`nav`/`footer` boilerplate blocks, then remaining
+  * tags, then normalizes whitespace. Regex stays in the
+  * RE2-compatible subset (character classes only — no backtracking,
+  * no lookaround, no non-greedy dotall), the dialect-drift lesson
+  * from the PII family: Java regex and DuckDB's RE2 agree on
+  * `[^<]*` but not on lookbehind.
+  *
+  * The per-doc output pins BOTH a round-trip proof (`recovered`: the
+  * extracted text equals the original document exactly — synthesis
+  * put it in one `p` block, so a correct extractor must recover it
+  * bit-for-bit) and the boilerplate ratio a crawl-quality gate keys
+  * on (content chars / html chars).
+  */
+object Html {
+  private type Q = (SparkSession, String) => org.apache.spark.sql.DataFrame
+
+  private def str(e: String, duck: Boolean): String =
+    if (duck) s"CAST($e AS VARCHAR)" else s"CAST($e AS STRING)"
+
+  /** Deterministic HTML wrapper around (doc_id, text): title + an
+    * id-dependent script block + style + nav + the document body +
+    * footer. Every boilerplate element carries id-derived content so
+    * a lazy extractor cannot pass by luck. */
+  def htmlSql(duck: Boolean): String = {
+    val id = str("doc_id", duck)
+    s"'<html><head><title>doc ' || $id || '</title>' || " +
+      s"CASE WHEN doc_id % 3 = 0 THEN '<script>var x = ' || $id || ';</script>' ELSE '' END || " +
+      "'<style>body: margin 0</style></head><body>' || " +
+      s"'<nav>home about contact section' || ${str("doc_id % 5", duck)} || '</nav>' || " +
+      "'<p>' || text || '</p>' || " +
+      s"'<footer>copyright mirror ' || ${str("doc_id % 7", duck)} || '</footer></body></html>'"
+  }
+
+  private def rr(in: String, pat: String, rep: String, duck: Boolean): String =
+    if (duck) s"regexp_replace($in, '$pat', '$rep', 'g')"
+    else s"regexp_replace($in, '$pat', '$rep')"
+
+  /** Boilerplate-block strip + tag strip + whitespace normalize. */
+  def extractSql(in: String, duck: Boolean): String = {
+    val blocks = Seq("title", "script", "style", "nav", "footer")
+      .foldLeft(in)((acc, tag) => rr(acc, s"<$tag>[^<]*</$tag>", " ", duck))
+    val untagged = rr(blocks, "<[^>]*>", " ", duck)
+    s"trim(${rr(untagged, " +", " ", duck)})"
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Per-document extraction record: html size, recovered content
+    // size, the boilerplate ratio a crawl gate thresholds on, the
+    // bit-exact round-trip proof, and the md5 of the extract (a
+    // stripping regression cannot hide behind matching lengths).
+    "q103_html_extract" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", $"text",
+          expr(htmlSql(duck = false)) as "html")
+        .select($"doc_id", $"text", $"html",
+          expr(extractSql("html", duck = false)) as "extracted")
+        .select($"doc_id",
+          length($"html") as "html_chars",
+          length($"extracted") as "content_chars",
+          (length($"extracted").cast("double") / length($"html")) as "content_ratio",
+          ($"extracted" === $"text") as "recovered",
+          md5($"extracted") as "extract_md5")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q103_html_extract" -> {
+      val h = htmlSql(duck = true)
+      val x = extractSql("html", duck = true)
+      s"""WITH h AS (
+         |  SELECT doc_id, text, $h AS html FROM documents),
+         |x AS (
+         |  SELECT doc_id, text, html, $x AS extracted FROM h)
+         |SELECT doc_id,
+         |  CAST(length(html) AS INT) AS html_chars,
+         |  CAST(length(extracted) AS INT) AS content_chars,
+         |  CAST(length(extracted) AS DOUBLE) / length(html) AS content_ratio,
+         |  extracted = text AS recovered,
+         |  md5(extracted) AS extract_md5
+         |FROM x""".stripMargin
+    })
+}

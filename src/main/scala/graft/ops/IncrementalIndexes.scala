@@ -298,10 +298,21 @@ object IncrementalIndexes {
     * could not recover a retracted minimum). The histogram a 100 TB
     * pipeline consults before packing is maintained per batch, never
     * recomputed. */
+  // `\S+` run count — the repo-wide token convention (TextOps.nTokens,
+  // unified in r7 per VERDICT r6 #4; the former split-count agreed on
+  // the corpus but diverged on leading/trailing-whitespace text).
+  private val NonWsRun = java.util.regex.Pattern.compile("\\S+")
+  private def countTokens(text: String): Int = {
+    val m = NonWsRun.matcher(text)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
   object LengthHistIndex extends MapReduceTask[DocLen, HistRow] {
     def map(docs: Iterator[DocLen]): Iterator[(String, HistRow)] =
       docs.map { d =>
-        val toks = d.text.split("\\s+", -1).length
+        val toks = countTokens(d.text)
         (s"doc-${d.doc_id}",
           HistRow(d.source, toks.toLong / 16, 1L, toks.toLong, toks, toks))
       }
@@ -722,7 +733,7 @@ object IncrementalIndexes {
         |      ELSE text END AS text
         |  FROM documents),
         |d AS (
-        |  SELECT source, len(string_split_regex(text, '\s+')) AS toks
+        |  SELECT source, len(regexp_extract_all(text, '\S+')) AS toks
         |  FROM src)
         |SELECT source, toks // 16 AS len_bin,
         |  count(*) AS docs,
@@ -734,17 +745,17 @@ object IncrementalIndexes {
     // must equal the engine's two-index-read drift report.
     "q89b_hist_drift" ->
       """WITH oldd AS (
-        |  SELECT source, len(string_split_regex(text, '\s+')) AS toks
+        |  SELECT source, len(regexp_extract_all(text, '\S+')) AS toks
         |  FROM documents),
         |oldh AS (
         |  SELECT source, toks // 16 AS len_bin, count(*) AS docs,
         |    sum(toks) AS tokens
         |  FROM oldd GROUP BY 1, 2),
         |newd AS (
-        |  SELECT source, len(string_split_regex(
+        |  SELECT source, len(regexp_extract_all(
         |    CASE WHEN doc_id % 7 = 0 THEN text ||
         |      ' twenty more revision tokens appended to move this doc up bins'
-        |      ELSE text END, '\s+')) AS toks
+        |      ELSE text END, '\S+')) AS toks
         |  FROM documents),
         |newh AS (
         |  SELECT source, toks // 16 AS len_bin, count(*) AS docs,

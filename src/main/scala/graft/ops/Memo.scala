@@ -55,5 +55,32 @@ object SessionCaches {
   def evict(s: org.apache.spark.sql.SparkSession): Unit = {
     Dedup.evictSession(s)
     Curation.evictSession(s)
+    TextOps.evictSession(s)
+  }
+
+  /** Per-query cleanup that PRESERVES the memoized shared artifacts.
+    *
+    * Bench used to call `spark.catalog.clearCache()` between sweep
+    * queries, which unpersisted the memoized signature/pair/frequency
+    * tables along with each query's transient barriers — so every later
+    * consumer rebuilt the shared chain from scratch and the cross-query
+    * sharing the memo layer exists for never happened under the bench
+    * driver (VERDICT r6 #2/#3: q59b paid an 86.9s cold rebuild).
+    *
+    * This clears exactly what clearCache was there for — the finished
+    * query's own materialization barriers, so block pressure never
+    * bleeds into the next timing — while the memo-cached tables stay
+    * warm. Every persist the ops modules issue goes through
+    * `Dedup.barrier`, and the engine (`Executer`) unpersists its own
+    * intermediates in `finally` blocks, so the barrier registry minus
+    * the pinned set IS the transient set. */
+  def clearTransient(s: org.apache.spark.sql.SparkSession): Unit = {
+    val pinned = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[org.apache.spark.sql.DataFrame,
+        java.lang.Boolean]())
+    Dedup.pinnedArtifacts(s).foreach(pinned.add)
+    Curation.pinnedArtifacts(s).foreach(pinned.add)
+    TextOps.pinnedArtifacts(s).foreach(pinned.add)
+    Dedup.clearBarriersExcept(s, pinned)
   }
 }

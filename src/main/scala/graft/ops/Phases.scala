@@ -1,0 +1,36 @@
+package graft.ops
+
+/** Per-phase wall-clock instrumentation for the multi-leg maintained-
+  * index pipelines. VERDICT r6 #2: q59b ran 86.9s driver-side vs
+  * 12-16s in local runs, and nothing in the bench artifact said which
+  * leg — the shared signature/pair rebuild, connected components, the
+  * store build, or the ingest update — ate the difference, so the
+  * anomaly was undiagnosable from the artifact alone. Bench installs a
+  * sink that prints one JSON detail line per completed phase
+  * (`{"q":"q59b","phase":"cluster_store_build","sec":…}`); outside
+  * Bench the sink is null and a phase costs one volatile read.
+  *
+  * Phases attributed to `"shared"` are the memoized cross-query
+  * artifacts (signature tables, LSH pairs, shingle frequencies): they
+  * are built once per process by whichever query needs them first, so
+  * their cost lines carry the query-independent attribution the
+  * per-query sweep numbers can't express.
+  */
+object Phases {
+  @volatile private var sink: String => Unit = null
+
+  /** Install a detail-line sink (Bench passes `println`). */
+  def enable(f: String => Unit): Unit = sink = f
+  def disable(): Unit = sink = null
+
+  private[graft] def timed[T](query: String, phase: String)(body: => T): T = {
+    val s = sink
+    if (s == null) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      s(f"""{"q":"$query","phase":"$phase","sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      r
+    }
+  }
+}

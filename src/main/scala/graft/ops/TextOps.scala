@@ -31,6 +31,60 @@ object TextOps {
     * punctuation — an approximation of byte-pair pretokenization. */
   private val BpePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  private val winnowCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
+  /** The winnowing fingerprint table (Schleimer et al. k=4, w=5) —
+    * ONE definition, memoized and barriered per (session, dir): q53
+    * emits it and q94's match join consumes it. q94 used to re-spell
+    * the pipeline inline (VERDICT r6 "What's wrong #3") — the same
+    * same-definition drift risk q66/q70 already eliminated. */
+  private[ops] def winnowFpTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Memo.memoFresh(winnowCache, (s, dir))(
+        _.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      Phases.timed("shared", "winnow_fps") {
+        import s.implicits._
+        val k = 4; val w = 5
+        Dedup.barrier(t(s, dir, "documents")
+          .where(size(split($"text", "\\s+")) >= k + w - 1)
+          .repartition(cpuWidth(s))
+          .select($"doc_id",
+            explode(graft.functions.WinnowFingerprints
+              .winnowFps(split($"text", "\\s+"), k, w)) as "fp"))
+      }
+    }
+
+  private[ops] def evictSession(
+      s: org.apache.spark.sql.SparkSession): Unit =
+    Memo.evictOwner(winnowCache, s)(_ => ())
+
+  /** Memoized cross-query artifacts to keep persisted between queries
+    * (see [[Dedup.pinnedArtifacts]]). */
+  private[ops] def pinnedArtifacts(s: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.DataFrame] =
+    winnowCache.collect { case ((o, _), v) if o eq s => v }.toSeq
+
+  /** The q53 pipeline as a DuckDB CTE chain ending in
+    * `f(doc_id, fp)` — shared by the q53 and q94 oracles so the two
+    * can never drift apart. */
+  private val WinnowFpCte: String =
+    """ws AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_transform(
+      |    generate_series(1, len(w) - 3),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS kg
+      |  FROM ws WHERE len(w) >= 8),
+      |h AS (SELECT doc_id, list_transform(kg, x -> md5(x)) AS hs FROM g),
+      |m AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(hs) - 4),
+      |    i -> list_min(hs[i:i+4]))) AS fps
+      |  FROM h),
+      |f AS (SELECT doc_id, unnest(fps) AS fp FROM m)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace tokens + BPE-ish regex tokens, per lang.
     "q20_token_count" -> { (s, dir) =>
@@ -57,7 +111,10 @@ object TextOps {
     // size. Integer bin arithmetic, no percentile sketches to drift.
     "q88_length_histogram" -> { (s, dir) =>
       import s.implicits._
-      val toks = size(split($"text", "\\s+"))
+      // `\S+` run count, the file's shared token convention ([[nTokens]])
+      // — the former `split('\s+')` spelling agreed on the corpus but
+      // diverged on leading/trailing-whitespace text (VERDICT r6 #4).
+      val toks = nTokens($"text")
       t(s, dir, "documents")
         .select($"source", toks as "toks")
         .groupBy($"source", expr("toks div 16") as "len_bin")
@@ -186,14 +243,7 @@ object TextOps {
     // md5-hex strings (lexicographic minima) so both engines agree
     // bit-for-bit.
     "q53_winnow_fingerprints" -> { (s, dir) =>
-      import s.implicits._
-      val k = 4; val w = 5
-      t(s, dir, "documents")
-        .where(size(split($"text", "\\s+")) >= k + w - 1)
-        .repartition(cpuWidth(s))
-        .select($"doc_id",
-          explode(graft.functions.WinnowFingerprints
-            .winnowFps(split($"text", "\\s+"), k, w)) as "fp")
+      winnowFpTable(s, dir)
     },
 
     // Winnowing MATCHES — the MOSS plagiarism-detection shape on top of
@@ -208,12 +258,7 @@ object TextOps {
     // regions, not just shared vocabulary.
     "q94_winnow_matches" -> { (s, dir) =>
       import s.implicits._
-      val k = 4; val w = 5
-      val fps = Dedup.barrier(t(s, dir, "documents")
-        .where(size(split($"text", "\\s+")) >= k + w - 1)
-        .repartition(cpuWidth(s))
-        .select($"doc_id", explode(graft.functions.WinnowFingerprints
-          .winnowFps(split($"text", "\\s+"), k, w)) as "fp"))
+      val fps = winnowFpTable(s, dir)
       val capped = Dedup.barrier(
         Dedup.capHotBuckets(fps, Seq($"fp"), Dedup.MaxBucket))
       capped.as("x").join(capped.as("y"),
@@ -306,7 +351,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q88_length_histogram" ->
       """WITH d AS (
-        |  SELECT source, len(string_split_regex(text, '\s+')) AS toks
+        |  SELECT source, len(regexp_extract_all(text, '\S+')) AS toks
         |  FROM documents)
         |SELECT source, toks // 16 AS len_bin,
         |  count(*) AS docs,
@@ -368,35 +413,9 @@ object TextOps {
         |FROM kept WHERE toks >= 20 AND stops * 100 >= toks
         |GROUP BY lang""".stripMargin,
     "q53_winnow_fingerprints" ->
-      """WITH ws AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
-        |g AS (
-        |  SELECT doc_id, list_transform(
-        |    generate_series(1, len(w) - 3),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS kg
-        |  FROM ws WHERE len(w) >= 8),
-        |h AS (SELECT doc_id, list_transform(kg, x -> md5(x)) AS hs FROM g),
-        |m AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, len(hs) - 4),
-        |    i -> list_min(hs[i:i+4]))) AS fps
-        |  FROM h)
-        |SELECT doc_id, unnest(fps) AS fp FROM m""".stripMargin,
+      s"WITH $WinnowFpCte\nSELECT doc_id, fp FROM f",
     "q94_winnow_matches" ->
-      s"""WITH ws AS (
-         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
-         |g AS (
-         |  SELECT doc_id, list_transform(
-         |    generate_series(1, len(w) - 3),
-         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS kg
-         |  FROM ws WHERE len(w) >= 8),
-         |h AS (SELECT doc_id, list_transform(kg, x -> md5(x)) AS hs FROM g),
-         |m AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, len(hs) - 4),
-         |    i -> list_min(hs[i:i+4]))) AS fps
-         |  FROM h),
-         |f AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+      s"""WITH $WinnowFpCte,
          |capped AS (
          |  SELECT * FROM (
          |    SELECT *, count(*) OVER (PARTITION BY fp) AS bn FROM f) t

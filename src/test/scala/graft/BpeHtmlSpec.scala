@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Bpe
+
+/** Round-7 operators: BPE token accounting (fixed public merge table,
+  * Sennrich et al. 2016 application order) and HTML boilerplate
+  * extraction. The encode pins assert exact token counts through the
+  * ENGINE's own expression chain (Spark SQL evaluation, not a JVM
+  * reimplementation), so the spec pins precisely what production
+  * evaluates; DuckDB-side agreement is the driver's oracle gate. */
+class BpeHtmlSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def count(word: String): Int = {
+    val safe = word.replace("'", "")
+    spark.sql(s"SELECT ${Bpe.tokenCountSql(s"'$safe'", duck = false)}")
+      .collect()(0).getInt(0)
+  }
+
+  test("BPE encode: merges apply in learned order and compose") {
+    // th+e and th+is build on the (t,h) merge — application order is
+    // the defining BPE property the chain must preserve.
+    assert(count("the") == 1)
+    assert(count("this") == 1)
+    assert(count("and") == 1)
+    assert(count("ing") == 1)
+    // (a,t) fires; (c, at) is not in the table — partial merges stay.
+    assert(count("cat") == 2)
+    // No merge applies at all.
+    assert(count("zq") == 2)
+  }
+
+  test("BPE encode: greedy left-to-right on repeated pairs") {
+    // 'ttt' has no (t,t) merge: stays 3 symbols. 'thth' merges both
+    // (t,h) pairs left-to-right into two 'th' symbols.
+    assert(count("ttt") == 3)
+    assert(count("thth") == 2)
+  }
+
+  test("BPE encode: sentinel characters in input cannot forge boundaries") {
+    // '~' is stripped before spelling, so a hostile word degrades to
+    // its letters instead of corrupting the symbol structure.
+    assert(count("t~h") == count("th"))
+  }
+
+  test("q102 totals match a per-word recount on real data") {
+    import spark.implicits._
+    val total = SparkEntry.queries("q102_bpe_token_count")(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum($"bpe_tokens")).as[Long].head()
+    // Recount doc-by-doc through the q102b per-document scalar.
+    val perDoc = SparkEntry.queries("q102b_bpe_pack")(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum($"bpe_tokens")).as[Long].head()
+    assert(total == perDoc, s"word-exploded total $total != per-doc total $perDoc")
+    assert(total > 0)
+  }
+
+  test("q103 extraction round-trips every document and is shuffle-free") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q103_html_extract")(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("recovered")),
+      "HTML extraction must recover the document text bit-for-bit")
+    assert(rows.forall { r =>
+      val ratio = r.getAs[Double]("content_ratio")
+      ratio > 0.0 && ratio < 1.0
+    })
+    // The extraction is pure per-row scalar work: ZERO exchanges.
+    def collectPlan[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+      p.collect(pf) ++ p.collect { case a: AdaptiveSparkPlanExec => a }
+        .flatMap(a => collectPlan(a.executedPlan)(pf))
+    val plan = df.queryExecution.executedPlan
+    assert(collectPlan(plan) { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"HTML extraction should be shuffle-free:\n${plan.toString.take(1200)}")
+  }
+}
