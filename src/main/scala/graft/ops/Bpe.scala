@@ -95,12 +95,13 @@ object Bpe {
   }
 
   /** Per-document subword total, as a no-shuffle scalar over the word
-    * array (Spark HOF / DuckDB list lambda). */
-  private def docTokensSpark: String =
+    * array (Spark HOF / DuckDB list lambda). Exposed to sibling
+    * modules (q102c joins it onto Dedup's leakage-safe split). */
+  private[ops] def docTokensSpark: String =
     "aggregate(transform(regexp_extract_all(text, '\\\\S+', 0), " +
       s"w -> bigint(${tokenCountSql("w", duck = false)})), " +
       "bigint(0), (acc, x) -> acc + x)"
-  private def docTokensDuck: String =
+  private[ops] def docTokensDuck: String =
     "list_sum(list_transform(regexp_extract_all(text, '\\S+'), " +
       s"w -> ${tokenCountSql("w", duck = true)}))"
 

@@ -169,6 +169,22 @@ object Dedup {
           countDistinct($"cluster") as "clusters")
     },
 
+    // q93 in TOKENIZER units: the same leakage-safe cluster split,
+    // budgeted by BPE subword tokens ([[Bpe]] — the number a training
+    // run actually provisions by; VERDICT r6 missing #3). Same plan
+    // shape: the per-doc token total is a no-shuffle scalar, one join
+    // onto the memoized split, one partial-agg'd rollup to 3 rows.
+    "q102c_bpe_split_budget" -> { (s, dir) =>
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", expr(Bpe.docTokensSpark) as "toks")
+      leakageSafeSplit(s, dir).join(toks, "doc_id")
+        .groupBy($"split")
+        .agg(count(lit(1)) as "docs",
+          sum($"toks") as "bpe_tokens",
+          countDistinct($"cluster") as "clusters")
+    },
+
     // INCREMENTAL cluster assignment — the production answer to "q59
     // is a batch recluster": a new ingest batch (doc_id % 13 here)
     // does not recompute the corpus's clusters; each new doc probes
@@ -828,6 +844,34 @@ object Dedup {
       s"$seed*$h2) % 18446744073709551616::HUGEINT)::UBIGINT),16,'0'))))"
   }
 
+  /** The leakage-safe-split token-budget oracle, parameterized on the
+    * per-doc token expression — ONE definition for q93 (whitespace
+    * tokens) and q102c (BPE subword tokens), per the q66/q70
+    * shared-oracle doctrine. */
+  private def splitBudgetOracleSql(tokExpr: String, tokCol: String): String =
+    s"""$clusterCteSql,
+       |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+       |a AS (
+       |  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+       |  FROM (SELECT doc_id FROM documents) d LEFT JOIN cl USING (doc_id)),
+       |spl AS (
+       |  SELECT doc_id, cluster,
+       |    CASE WHEN ('0x' || substr(md5('split|' || CAST(cluster AS VARCHAR)),
+       |        1, 4))::INT % 100 < 90 THEN 'train'
+       |      WHEN ('0x' || substr(md5('split|' || CAST(cluster AS VARCHAR)),
+       |        1, 4))::INT % 100 < 95 THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM a),
+       |tok AS (
+       |  SELECT doc_id, $tokExpr AS toks
+       |  FROM documents)
+       |SELECT spl.split,
+       |  count(*) AS docs,
+       |  CAST(sum(toks) AS BIGINT) AS $tokCol,
+       |  CAST(count(DISTINCT cluster) AS BIGINT) AS clusters
+       |FROM spl JOIN tok USING (doc_id)
+       |GROUP BY spl.split""".stripMargin
+
   /** The near-dup cluster computation as a recursive CTE prefix (ends at
     * `reach`), shared by the q59 oracle and q81's split on top of it. */
   private lazy val clusterCteSql: String =
@@ -1027,28 +1071,9 @@ object Dedup {
          |    len(list_distinct(sh_t || sh_e)) AS jaccard
          |FROM pairs""".stripMargin,
     "q93_split_token_budget" ->
-      s"""$clusterCteSql,
-         |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
-         |a AS (
-         |  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
-         |  FROM (SELECT doc_id FROM documents) d LEFT JOIN cl USING (doc_id)),
-         |spl AS (
-         |  SELECT doc_id, cluster,
-         |    CASE WHEN ('0x' || substr(md5('split|' || CAST(cluster AS VARCHAR)),
-         |        1, 4))::INT % 100 < 90 THEN 'train'
-         |      WHEN ('0x' || substr(md5('split|' || CAST(cluster AS VARCHAR)),
-         |        1, 4))::INT % 100 < 95 THEN 'val'
-         |      ELSE 'test' END AS split
-         |  FROM a),
-         |tok AS (
-         |  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS toks
-         |  FROM documents)
-         |SELECT spl.split,
-         |  count(*) AS docs,
-         |  CAST(sum(toks) AS BIGINT) AS tokens,
-         |  CAST(count(DISTINCT cluster) AS BIGINT) AS clusters
-         |FROM spl JOIN tok USING (doc_id)
-         |GROUP BY spl.split""".stripMargin,
+      splitBudgetOracleSql("len(string_split_regex(text, '\\s+'))", "tokens"),
+    "q102c_bpe_split_budget" ->
+      splitBudgetOracleSql(Bpe.docTokensDuck, "bpe_tokens"),
     "q95_simhash_pairs" ->
       s"""WITH sim AS (
          |  SELECT doc_id,

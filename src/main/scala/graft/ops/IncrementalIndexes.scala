@@ -396,9 +396,15 @@ object IncrementalIndexes {
   private def clonedBaseStore(key: String, dir: String)(
       build: String => Unit): String = {
     val base = Memo.memo(baseStores, (key, dir)) {
-      val p = TempStores.scratch(s"graft-base-$key"); build(p); p
+      // Phase line per one-time base build: the sweep's tail is these
+      // builds, and a bench anomaly must say WHICH store's build ate
+      // the time (the q59b lesson, VERDICT r6 #2).
+      Phases.timed(key, "base_store_build") {
+        val p = TempStores.scratch(s"graft-base-$key"); build(p); p
+      }
     }
-    TempStores.cloneOf(base, s"graft-run-$key")
+    Phases.timed(key, "store_clone")(
+      TempStores.cloneOf(base, s"graft-run-$key"))
   }
 
   val queries: Map[String, Q] = Map(

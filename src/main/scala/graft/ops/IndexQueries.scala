@@ -81,8 +81,12 @@ object IndexQueries {
   private def cachedIndex[A](key: String, dir: String, s: SparkSession)(
       buildAt: String => Long)(openAt: String => A): (A, Long) = {
     val (path, v) = Memo.memo(storePaths, (key, dir)) {
-      val p = TempStores.scratch(s"graft-${key.toLowerCase}")
-      (p, buildAt(p))
+      // Phase line per one-time build — same diagnosability doctrine
+      // as IncrementalIndexes.clonedBaseStore (VERDICT r6 #2).
+      Phases.timed(key.toLowerCase, "base_store_build") {
+        val p = TempStores.scratch(s"graft-${key.toLowerCase}")
+        (p, buildAt(p))
+      }
     }
     (Memo.memo(handleCache, (s, key, dir))(openAt(path)).asInstanceOf[A], v)
   }

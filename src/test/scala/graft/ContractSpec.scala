@@ -32,7 +32,9 @@ class ContractSpec extends AnyFunSuite {
       "IncrementalIndexes" -> IncrementalIndexes.queries.keySet,
       "Multimodal" -> Multimodal.queries.keySet,
       "Curation" -> Curation.queries.keySet,
-      "Sketches" -> Sketches.queries.keySet)
+      "Sketches" -> Sketches.queries.keySet,
+      "Bpe" -> Bpe.queries.keySet,
+      "Html" -> Html.queries.keySet)
     val dups = modules.combinations(2).flatMap {
       case Seq((a, as), (b, bs)) => (as & bs).map(n => s"$n ($a & $b)")
     }.toSeq
