@@ -138,7 +138,10 @@ object Bench {
         if (inc.isEmpty) ""
         else {
           val upd = inc.map { case (k, s) => f""""inc_update_${k}doc_sec":$s%.3f""" }.mkString(",")
-          f""","inc_full_build_sec":$fullBuild%.3f,$upd,"inc_speedup":${fullBuild / math.max(inc.getOrElse(1, 1e-9), 1e-9)}%.2f"""
+          // inc_rows lives HERE, with the base section that measured it:
+          // when the scaled probe budget-skips, the artifact must still
+          // say what corpus size the headline speedup ran on.
+          f""","inc_full_build_sec":$fullBuild%.3f,$upd,"inc_speedup":${fullBuild / math.max(inc.getOrElse(1, 1e-9), 1e-9)}%.2f,"inc_rows":$rows1x"""
         }
       val inc10xFields =
         if (inc10x.isEmpty) ""
@@ -152,7 +155,7 @@ object Bench {
           val ratios =
             if (inc.isEmpty) ""
             else f""","inc_scaled_build_ratio":${full10x / math.max(fullBuild, 1e-9)}%.2f,"inc_scaled_update1_ratio":${inc10x.getOrElse(1, 0.0) / math.max(inc.getOrElse(1, 1e-9), 1e-9)}%.2f"""
-          f""","inc_scale":$scaleUsed,"inc_scaled_full_build_sec":$full10x%.3f,$upd$scaledSpeedup,"inc_scaled_rows":$rows10x,"inc_rows":$rows1x$ratios"""
+          f""","inc_scale":$scaleUsed,"inc_scaled_full_build_sec":$full10x%.3f,$upd$scaledSpeedup,"inc_scaled_rows":$rows10x$ratios"""
         }
       val skipFields =
         f""","elapsed_sec":$elapsed%.1f,"budget_sec":$budgetSec%.0f,"skipped_queries":${skippedQueries.size},"skipped_sections":${skippedSections.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
@@ -180,6 +183,10 @@ object Bench {
     // start where a real build starts: a parquet table on disk (same
     // doctrine as the scaled probe below).
     val baseDir = Files.createTempDirectory("graft-bench-base").toString
+    // Shutdown hook, not just the end-of-run delete: the ADVICE-r4 rule
+    // (bench temp data must not survive the process) has to hold when a
+    // section throws or the driver's timeout kills the run mid-section.
+    sys.addShutdownHook(deleteRec(baseDir))
     lazy val lineitem = {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy($"l_orderkey", $"l_linenumber")

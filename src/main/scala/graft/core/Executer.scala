@@ -778,9 +778,13 @@ class Executer[D, R <: Product: TypeTag](
       // Incoming ids come from documentId over the *documents*, not from
       // map output: a doc that now maps to zero entries must still
       // invalidate its previous contributions (`Executer.cs:89-91`).
-      val incomingIds = docsP
+      // ONE spelling of the id projection (normalization included) —
+      // the dup probes below derive from it, so the ids the guards
+      // check are by construction the ids the engine stores.
+      val incomingIdsRaw = docsP
         .map(d => t.documentId(d)).toDF("doc_id")
-        .select(upper($"doc_id") as "doc_id").distinct()
+        .select(upper($"doc_id") as "doc_id")
+      val incomingIds = incomingIdsRaw.distinct()
 
       val firstBuild =
         if (pending != null)
@@ -798,9 +802,7 @@ class Executer[D, R <: Product: TypeTag](
         // rejected loudly.
         if (!localSmall) {
           jobs += 1
-          val dup = docsP
-            .map(d => t.documentId(d)).toDF("doc_id")
-            .select(upper($"doc_id") as "doc_id")
+          val dup = incomingIdsRaw
             .groupBy($"doc_id").agg(count(lit(1)) as "n")
             .where($"n" > 1L).limit(1).collect()
           dup.foreach(r => dupIdError(r.getString(0)))
@@ -838,9 +840,7 @@ class Executer[D, R <: Product: TypeTag](
             // free (see dupIdError above; past the driver limit the
             // check covers only the collected prefix — documented
             // best-effort on huge batches).
-            val counts = docsP
-              .map(d => t.documentId(d)).toDF("doc_id")
-              .select(upper($"doc_id") as "doc_id")
+            val counts = incomingIdsRaw
               .groupBy($"doc_id").agg(count(lit(1)) as "n")
               .limit(DriverDirtyLimit + 1).collect()
             counts.find(_.getLong(1) > 1L)

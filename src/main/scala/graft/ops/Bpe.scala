@@ -101,9 +101,13 @@ object Bpe {
     "aggregate(transform(regexp_extract_all(text, '\\\\S+', 0), " +
       s"w -> bigint(${tokenCountSql("w", duck = false)})), " +
       "bigint(0), (acc, x) -> acc + x)"
+  // COALESCE guards the wordless-document edge: DuckDB's list_sum([])
+  // is NULL while Spark's aggregate folds its zero seed — the corpus
+  // has no empty texts today, but the mirror must not diverge when one
+  // appears.
   private[ops] def docTokensDuck: String =
-    "list_sum(list_transform(regexp_extract_all(text, '\\S+'), " +
-      s"w -> ${tokenCountSql("w", duck = true)}))"
+    "COALESCE(list_sum(list_transform(regexp_extract_all(text, '\\S+'), " +
+      s"w -> ${tokenCountSql("w", duck = true)})), 0)"
 
   val queries: Map[String, Q] = Map(
     // Corpus token accounting in TOKENIZER units: per language, word

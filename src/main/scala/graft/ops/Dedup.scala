@@ -221,20 +221,21 @@ object Dedup {
     "q59b_cluster_index_update" -> { (s, dir) =>
       import s.implicits._
       val ex = clusterIndex(s, dir)
-      // The ingest batch is collected to the driver before execute():
-      // it is O(new docs) small by construction (a real ingest loop
-      // feeds driver-collected micro-batches), and a LocalRelation
-      // batch takes the engine's driver-pruned path — the map runs
-      // once on the driver, dirty pairs are computed without probe
-      // jobs, and the whole update is a handful of single-stage jobs
-      // instead of the distributed path's full probe/stage sequence
-      // (VERDICT r6 #2: the distributed spelling amplified 5-7× on the
-      // driver host's slower scheduler/FS).
-      val batch = Phases.timed("q59b", "assign_probe")(
-        newBatchAssignments(s, dir)
-          .select($"doc_id", $"cluster").as[ClusterRow].collect().toSeq)
+      // Small batches are collected to the driver before execute(): a
+      // LocalRelation batch takes the engine's driver-pruned path —
+      // the map runs once on the driver, dirty pairs are computed
+      // without probe jobs, and the whole update is a handful of
+      // single-stage jobs instead of the distributed probe/stage
+      // sequence (VERDICT r6 #2: the distributed spelling amplified
+      // 5-7× on the driver host's slower scheduler/FS). The collect is
+      // BOUNDED: the batch is a corpus fraction (doc_id % 13), so
+      // above the engine's driver limit the distributed path keeps
+      // running on the uncollected Dataset — one limit-probe job
+      // decides, never an unbounded driver materialization.
+      val ingest = newBatchAssignments(s, dir)
+        .select($"doc_id", $"cluster").as[ClusterRow]
       Phases.timed("q59b", "store_update")(
-        ex.execute(s.createDataset(batch)))
+        executeBounded(s, ex, ingest, "q59b", "assign_probe"))
       ex.queryAll().select($"doc_id", $"cluster")
     },
 
@@ -266,16 +267,16 @@ object Dedup {
         new graft.core.Executer(NearDupClusterIndex,
           TempStores.cloneOf(clusterIndex(s, dir).storePath, "graft-reclu"),
           graft.core.ExecuterConfig(fanIn = 16, finalParts = 8)))
-      // Drift set collected driver-side: O(drift) small by the same
-      // argument as q59b's ingest batch, and the LocalRelation batch
-      // takes the driver-pruned update path.
-      val drift = Phases.timed("q59c", "drift_diff")(target
+      // Drift set: small drifts take the driver-pruned LocalRelation
+      // path via the same bounded collect as q59b; a mass-drift
+      // refresh stays distributed.
+      val drift = target
         .join(ex.queryAll().select($"doc_id", $"cluster" as "stored"),
           Seq("doc_id"), "left")
         .where($"stored".isNull || $"stored" =!= $"cluster")
-        .select($"doc_id", $"cluster").as[ClusterRow].collect().toSeq)
+        .select($"doc_id", $"cluster").as[ClusterRow]
       Phases.timed("q59c", "drift_update")(
-        ex.execute(s.createDataset(drift)))
+        executeBounded(s, ex, drift, "q59c", "drift_diff"))
       ex.queryAll().select($"doc_id", $"cluster")
     },
 
@@ -545,6 +546,29 @@ object Dedup {
 
   case class ClusterRow(doc_id: Long, cluster: Long)
 
+  /** Mirrors `ExecuterConfig.driverDirtyLimit`'s default: batches at or
+    * under this row count take the LocalRelation fast path. */
+  private val MaxLocalBatch = 4096
+
+  /** Execute `batch` against `ex`, collecting it to a LocalRelation
+    * when it is small (one limit-probe job decides: `limit(N+1)`
+    * returns the WHOLE batch iff it fits, so the common case pays a
+    * single job and gets the engine's driver-pruned update path) and
+    * falling back to the distributed Dataset above the bound — a
+    * corpus-proportional batch must never materialize unbounded on the
+    * driver (code-review r7). */
+  private def executeBounded(s: SparkSession,
+      ex: graft.core.Executer[ClusterRow, ClusterRow],
+      batch: org.apache.spark.sql.Dataset[ClusterRow],
+      query: String, probePhase: String): Unit = {
+    import s.implicits._
+    val probe = Phases.timed(query, probePhase)(
+      batch.limit(MaxLocalBatch + 1).collect())
+    if (probe.length <= MaxLocalBatch)
+      ex.execute(s.createDataset(probe.toSeq))
+    else ex.execute(batch)
+  }
+
   /** Per-document near-dup cluster assignment as an engine-maintained
     * index row: reduce key = the doc itself, identity reduce — a
     * reassigned document replaces its own row through the engine's
@@ -575,7 +599,11 @@ object Dedup {
   private[ops] def clusterIndex(s: SparkSession, dir: String)
       : graft.core.Executer[ClusterRow, ClusterRow] =
     Memo.memo(clusterStoreCache, (s, dir)) {
-      Phases.timed("q59b", "cluster_store_build") {
+      // Labeled "shared": the memoized store is consumed by q59b, q59c
+      // AND q92 — whichever runs first in a selective sweep pays the
+      // build, so a query-specific label would misattribute it
+      // (code-review r7).
+      Phases.timed("shared", "cluster_store_build") {
         implicit val spark: SparkSession = s
         import s.implicits._
         val oldPairs = strongPairs(s, dir)

@@ -36,17 +36,29 @@ object Html {
   private def str(e: String, duck: Boolean): String =
     if (duck) s"CAST($e AS VARCHAR)" else s"CAST($e AS STRING)"
 
+  /** HTML entity escaping of the text payload at synthesis ('&' first,
+    * then the angle brackets), undone in reverse order at extraction —
+    * what a real page does, and what makes the pipeline safe for text
+    * that CONTAINS markup: an unescaped '<nav>' inside a document
+    * would otherwise collide with the boilerplate strip (code-review
+    * r7). After escaping, the payload holds no '<' or '>' at all, so
+    * the block/tag regexes can never bite into content. */
+  private def esc(e: String): String =
+    s"replace(replace(replace($e, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+  private def unesc(e: String): String =
+    s"replace(replace(replace($e, '&lt;', '<'), '&gt;', '>'), '&amp;', '&')"
+
   /** Deterministic HTML wrapper around (doc_id, text): title + an
-    * id-dependent script block + style + nav + the document body +
-    * footer. Every boilerplate element carries id-derived content so
-    * a lazy extractor cannot pass by luck. */
+    * id-dependent script block + style + nav + the entity-escaped
+    * document body + footer. Every boilerplate element carries
+    * id-derived content so a lazy extractor cannot pass by luck. */
   def htmlSql(duck: Boolean): String = {
     val id = str("doc_id", duck)
     s"'<html><head><title>doc ' || $id || '</title>' || " +
       s"CASE WHEN doc_id % 3 = 0 THEN '<script>var x = ' || $id || ';</script>' ELSE '' END || " +
       "'<style>body: margin 0</style></head><body>' || " +
       s"'<nav>home about contact section' || ${str("doc_id % 5", duck)} || '</nav>' || " +
-      "'<p>' || text || '</p>' || " +
+      s"'<p>' || ${esc("text")} || '</p>' || " +
       s"'<footer>copyright mirror ' || ${str("doc_id % 7", duck)} || '</footer></body></html>'"
   }
 
@@ -54,12 +66,16 @@ object Html {
     if (duck) s"regexp_replace($in, '$pat', '$rep', 'g')"
     else s"regexp_replace($in, '$pat', '$rep')"
 
-  /** Boilerplate-block strip + tag strip + whitespace normalize. */
+  /** Boilerplate-block strip + tag strip + whitespace normalize +
+    * entity unescape. `recovered` is bit-exact for any single-spaced
+    * document (the whitespace normalize is part of extraction, so text
+    * with interior multi-space runs recovers its collapsed form — the
+    * standard extractor contract). */
   def extractSql(in: String, duck: Boolean): String = {
     val blocks = Seq("title", "script", "style", "nav", "footer")
       .foldLeft(in)((acc, tag) => rr(acc, s"<$tag>[^<]*</$tag>", " ", duck))
     val untagged = rr(blocks, "<[^>]*>", " ", duck)
-    s"trim(${rr(untagged, " +", " ", duck)})"
+    unesc(s"trim(${rr(untagged, " +", " ", duck)})")
   }
 
   val queries: Map[String, Q] = Map(

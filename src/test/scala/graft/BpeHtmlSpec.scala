@@ -61,13 +61,44 @@ class BpeHtmlSpec extends AnyFunSuite {
     assert(total > 0)
   }
 
+  test("q103 entity escaping survives markup and ampersands inside document text") {
+    import spark.implicits._
+    val hostile = Seq(
+      (1L, "see <nav>menu</nav> & <script>alert</script> for more"),
+      (2L, "a < b > c && d"),
+      (3L, "plain text"))
+    val out = hostile.toDF("doc_id", "text")
+      .selectExpr("text", s"${graft.ops.Html.htmlSql(duck = false)} AS html")
+      .selectExpr("text",
+        s"${graft.ops.Html.extractSql("html", duck = false)} AS extracted")
+      .as[(String, String)].collect()
+    out.foreach { case (text, extracted) =>
+      assert(extracted == text,
+        s"markup-bearing text must round-trip: '$text' -> '$extracted'")
+    }
+  }
+
   test("q103 extraction round-trips every document and is shuffle-free") {
     import spark.implicits._
     val df = SparkEntry.queries("q103_html_extract")(spark, dir)
     val rows = df.collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getAs[Boolean]("recovered")),
-      "HTML extraction must recover the document text bit-for-bit")
+    // Entity escaping makes the round-trip exact for ANY text content
+    // (markup included); the only lossy step left is extraction's
+    // whitespace normalize, so the per-doc expectation is computed from
+    // the text itself rather than hard-asserted — a regenerated corpus
+    // with multi-space docs must not break the suite (code-review r7).
+    val expected = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .collect().toMap
+      .map { case (id, t) =>
+        id -> (t == t.trim.replaceAll(" +", " ")) }
+    assert(rows.forall { r =>
+      r.getAs[Boolean]("recovered") == expected(r.getAs[Long]("doc_id"))
+    }, "recovered must equal the single-spaced round-trip expectation")
+    assert(rows.count(_.getAs[Boolean]("recovered")) > 0,
+      "at least some documents must round-trip exactly")
     assert(rows.forall { r =>
       val ratio = r.getAs[Double]("content_ratio")
       ratio > 0.0 && ratio < 1.0
