@@ -94,20 +94,31 @@ object Bpe {
     s"(length($e) - length(replace($e, '~', '')) - 1)"
   }
 
-  /** Per-document subword total, as a no-shuffle scalar over the word
-    * array (Spark HOF / DuckDB list lambda). Exposed to sibling
-    * modules (q102c joins it onto Dedup's leakage-safe split). */
-  private[ops] def docTokensSpark: String =
-    "aggregate(transform(regexp_extract_all(text, '\\\\S+', 0), " +
-      s"w -> bigint(${tokenCountSql("w", duck = false)})), " +
-      "bigint(0), (acc, x) -> acc + x)"
-  // COALESCE guards the wordless-document edge: DuckDB's list_sum([])
-  // is NULL while Spark's aggregate folds its zero seed — the corpus
-  // has no empty texts today, but the mirror must not diverge when one
-  // appears.
-  private[ops] def docTokensDuck: String =
-    "COALESCE(list_sum(list_transform(regexp_extract_all(text, '\\S+'), " +
-      s"w -> ${tokenCountSql("w", duck = true)})), 0)"
+  /** Per-document subword total as ONE whole-text encode — no word
+    * explode, no higher-order function (Spark HOFs are
+    * CodegenFallback): the entire text is spelled `~c~c~…~c~` with
+    * whitespace characters becoming ordinary symbols, and since no
+    * merge pair contains whitespace, a merge can never cross a word
+    * boundary — the whole-text encode is provably equivalent to
+    * encoding each word separately (BpeHtmlSpec re-proves the identity
+    * against the word-exploded q102 on real data). Token count =
+    * total symbols − whitespace symbols, where whitespace symbols
+    * survive the merges untouched and equal the original whitespace
+    * char count. Pure codegen'd scalar string functions end to end —
+    * the shape that streams a 100 TB corpus through the scan stage.
+    * Exposed to sibling modules (q102c joins it onto Dedup's
+    * leakage-safe split). */
+  private def docTokens(duck: Boolean): String = {
+    val e = encoded("text", duck)
+    val stripped = "replace(text, '~', '')"
+    val wsStripped =
+      if (duck) s"regexp_replace($stripped, '\\s', '', 'g')"
+      else s"regexp_replace($stripped, '\\\\s', '')"
+    s"(length($e) - length(replace($e, '~', '')) - 1" +
+      s" - (length($stripped) - length($wsStripped)))"
+  }
+  private[ops] def docTokensSpark: String = docTokens(duck = false)
+  private[ops] def docTokensDuck: String = docTokens(duck = true)
 
   val queries: Map[String, Q] = Map(
     // Corpus token accounting in TOKENIZER units: per language, word
