@@ -800,13 +800,27 @@ class Executer[D, R <: Product: TypeTag](
         // dups). One narrow aggregation job over the ids is O(data) like
         // the build itself and catches the state the guard documents as
         // rejected loudly.
-        if (!localSmall) {
-          jobs += 1
-          val dup = incomingIdsRaw
-            .groupBy($"doc_id").agg(count(lit(1)) as "n")
-            .where($"n" > 1L).limit(1).collect()
-          dup.foreach(r => dupIdError(r.getString(0)))
-        }
+        // The probe doubles as a batch-size measurement: the same single
+        // job returns (distinct ids, total docs, max versions per id),
+        // so dup detection AND the small-build decision below cost one
+        // aggregation. The failure path re-queries to NAME the dup id —
+        // an error path may be expensive.
+        val batchDocs: Long =
+          if (localSmall) localDocRows.get.length.toLong
+          else {
+            jobs += 1
+            val r = incomingIdsRaw
+              .groupBy($"doc_id").agg(count(lit(1)) as "n")
+              .agg(count(lit(1)), sum($"n"), max($"n")).collect()(0)
+            // sum/max are NULL over an empty batch (zero groups).
+            if (!r.isNullAt(2) && r.getLong(2) > 1L) {
+              val dup = incomingIdsRaw
+                .groupBy($"doc_id").agg(count(lit(1)) as "n")
+                .where($"n" > 1L).limit(1).collect()
+              dupIdError(dup(0).getString(0))
+            }
+            if (r.isNullAt(1)) 0L else r.getLong(1)
+          }
         // Initial build fast path: everything is dirty, so skip the dirty
         // set entirely — no WAL round-trip, no semi-join pruning, no
         // staging renames (the partials/finals tables don't exist yet).
@@ -815,10 +829,21 @@ class Executer[D, R <: Product: TypeTag](
         // write job), written BEFORE the map write like every other WAL
         // (a crash at any point replays rereduceAll over whatever map
         // state committed — empty or complete, both consistent).
-        writeDirtyLogLocal(Seq(("", FullRebuild)))
-        writePartitioned(mapped, mapResultsPath, Seq("parent")); jobs += 1
-        rereduceAll(); jobs += 1
-        clearDirtyLog()
+        // SMALL builds run their two write jobs at a narrow shuffle
+        // width with AQE off (same rationale as the update path's
+        // withTinyShuffle: at a few thousand docs the session-width
+        // shuffle and AQE re-planning are pure scheduler latency).
+        // 100k docs is far below any width where 8 partitions could
+        // spill; large builds keep the session width untouched.
+        val smallBuild = batchDocs <= 100000
+        def buildWrites(): Unit = {
+          writeDirtyLogLocal(Seq(("", FullRebuild)))
+          writePartitioned(mapped, mapResultsPath, Seq("parent")); jobs += 1
+          rereduceAll(); jobs += 1
+          clearDirtyLog()
+        }
+        if (smallBuild) withTinyShuffle(8, codegenOff = false)(buildWrites())
+        else buildWrites()
         _lastStats = Some(MaintenanceStats("build", jobs, -1, -1, -1,
           (System.nanoTime() - t0) / 1000000))
       } else {

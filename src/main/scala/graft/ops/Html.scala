@@ -96,6 +96,36 @@ object Html {
           (length($"extracted").cast("double") / length($"html")) as "content_ratio",
           ($"extracted" === $"text") as "recovered",
           md5($"extracted") as "extract_md5")
+    },
+
+    // The extraction FRONT of the curation funnel (VERDICT r6: the
+    // ingest step before every curation op is extract → filter → …):
+    // ingest → boilerplate-ratio gate (content/html ≥ 0.35 — a page
+    // that is mostly chrome is dropped before tokenization) →
+    // min-content-length gate over the EXTRACTED text, q87's stage
+    // shape (stage_no, stage, docs_in, docs_out). Per-row scalar
+    // gates + one aggregation; nothing here shuffles more than the
+    // final 3-row rollup at any crawl size.
+    "q103b_extract_gate" -> { (s, dir) =>
+      import s.implicits._
+      val gated = t(s, dir, "documents")
+        .select($"doc_id", expr(htmlSql(duck = false)) as "html")
+        .select(length($"html") as "hc",
+          expr(extractSql("html", duck = false)) as "ex")
+        .select(
+          (length($"ex").cast("double") / $"hc" >= 0.35) as "ratio_ok",
+          (size(expr("regexp_extract_all(ex, '\\\\S+', 0)")) >= 20) as "len_ok")
+      gated.agg(count(lit(1)) as "c0",
+          sum(when($"ratio_ok", 1L).otherwise(0L)) as "c1",
+          sum(when($"ratio_ok" && $"len_ok", 1L).otherwise(0L)) as "c2")
+        .select(explode(array(
+          struct(lit(0) as "stage_no", lit("ingest_html") as "stage",
+            $"c0" as "docs_in", $"c0" as "docs_out"),
+          struct(lit(1) as "stage_no", lit("boilerplate_gate") as "stage",
+            $"c0" as "docs_in", $"c1" as "docs_out"),
+          struct(lit(2) as "stage_no", lit("min_content_length") as "stage",
+            $"c1" as "docs_in", $"c2" as "docs_out"))) as "r")
+        .select($"r.stage_no", $"r.stage", $"r.docs_in", $"r.docs_out")
     })
 
   val oracles: Map[String, String] = Map(
@@ -113,5 +143,25 @@ object Html {
          |  extracted = text AS recovered,
          |  md5(extracted) AS extract_md5
          |FROM x""".stripMargin
+    },
+    "q103b_extract_gate" -> {
+      val h = htmlSql(duck = true)
+      val x = extractSql("html", duck = true)
+      s"""WITH h AS (
+         |  SELECT doc_id, $h AS html FROM documents),
+         |x AS (
+         |  SELECT length(html) AS hc, $x AS ex FROM h),
+         |g AS (
+         |  SELECT CAST(length(ex) AS DOUBLE) / hc >= 0.35 AS ratio_ok,
+         |    len(regexp_extract_all(ex, '\\S+')) >= 20 AS len_ok
+         |  FROM x),
+         |c AS (
+         |  SELECT count(*) AS c0,
+         |    CAST(sum(CASE WHEN ratio_ok THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN ratio_ok AND len_ok THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM g)
+         |SELECT 0 AS stage_no, 'ingest_html' AS stage, c0 AS docs_in, c0 AS docs_out FROM c
+         |UNION ALL SELECT 1, 'boilerplate_gate', c0, c1 FROM c
+         |UNION ALL SELECT 2, 'min_content_length', c1, c2 FROM c""".stripMargin
     })
 }
