@@ -593,6 +593,19 @@ class Executer[D, R <: Product: TypeTag](
     * Safe to scope via session conf: the store lease guarantees no
     * concurrent maintenance, and reads (query/queryAll) never pass
     * through here. */
+  /** Shuffle width for the distributed maintenance branch, derived
+    * from the DECLARED store shape: a store with ≤32 parent
+    * partitions (`fanIn`) moves at most fanIn directory groups per
+    * batch, so session-width shuffles plus AQE re-planning are pure
+    * scheduler latency over kilobyte partitions (measured: a 20k-pair
+    * shingle-index update spent most of its wall clock scheduling
+    * 32-wide stages). Wide stores — the 100 TB shape — keep the
+    * session width and AQE untouched; like `fanIn` itself, the knob
+    * rides the store declaration rather than guessing from data. */
+  private def distributedWidth[A](f: => A): A =
+    if (config.fanIn <= 32) withTinyShuffle(8, codegenOff = false)(f)
+    else f
+
   private def withTinyShuffle[A](
       parts: Int = 1, codegenOff: Boolean = true)(f: => A): A = {
     val saved = Seq(
@@ -1064,7 +1077,7 @@ class Executer[D, R <: Product: TypeTag](
               jobs, if (idsSmall) idsProbe.length else -1,
               pairs.size, dirtyParents.size,
               (System.nanoTime() - t0) / 1000000))
-          } else {
+          } else distributedWidth {
             // Large dirty set: distributed path (joins against the WAL).
             writeDirtyLog(dirtyDF); jobs += 1
             val dirty = readDirtyLog().select("reduce_key", "parent").distinct()
@@ -1101,7 +1114,8 @@ class Executer[D, R <: Product: TypeTag](
         // and the small-pairs branch run at tiny-shuffle settings
         // (1 partition for tiny batches, a fixed narrow width for larger
         // batches whose dirty pair set still collapsed); the distributed
-        // branch keeps the session's AQE planning.
+        // branch keeps the session's AQE planning on WIDE stores and
+        // narrows on small-shaped ones (see distributedWidth).
         try maintain() finally mappedP.unpersist()
         // Bound the merge-on-read overhead: past `tombstoneLimit` live
         // tombstones, fold them into the data files now (amortized — the
