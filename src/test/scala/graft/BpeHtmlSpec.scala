@@ -78,6 +78,20 @@ class BpeHtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("q103b funnel stages are monotone and chain docs_out -> docs_in") {
+    val stages = SparkEntry.queries("q103b_extract_gate")(spark, dir)
+      .orderBy("stage_no").collect()
+    assert(stages.length == 3)
+    stages.foreach { r =>
+      assert(r.getAs[Long]("docs_out") <= r.getAs[Long]("docs_in"))
+    }
+    stages.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("docs_out") == b.getAs[Long]("docs_in"),
+        "each stage's survivors must feed the next stage")
+    }
+    assert(stages(0).getAs[Long]("docs_in") > 0)
+  }
+
   test("q103 extraction round-trips every document and is shuffle-free") {
     import spark.implicits._
     val df = SparkEntry.queries("q103_html_extract")(spark, dir)
