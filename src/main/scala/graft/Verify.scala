@@ -35,8 +35,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Queries are independent — release their persist barriers.
-      spark.catalog.clearCache()
+      // Queries are independent — release their transient barriers, but
+      // keep the memoized shared tables warm (same fix as Bench,
+      // VERDICT r6 #2/#3: a full clearCache made every consumer of the
+      // shared signature/pair/frequency chain rebuild it per query,
+      // which is exactly the wall-clock the driver's correctness gate
+      // pays at sf0.01).
+      graft.ops.SessionCaches.clearTransient(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

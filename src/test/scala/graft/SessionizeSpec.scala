@@ -142,6 +142,42 @@ class SessionizeSpec extends AnyFunSpec {
     } finally q.stop()
   }
 
+  it("a span whose close time EQUALS the watermark is not sealed yet (ADVICE r6)") {
+    // Seal must be STRICT (end + gap < wm), consistent with the
+    // inclusive merge rule: the former inclusive seal emitted a span
+    // the instant wm reached its close time. (The full ADVICE scenario
+    // — an on-time event arriving at exactly t == end+gap == wm — is
+    // unreachable under Spark's own pre-operator late filtering, which
+    // drops rows at t == wm before flatMapGroupsWithState sees them;
+    // the strict seal's observable is therefore emission TIMING, and
+    // it also keeps the operator correct if that filter ever loosens.)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = Sessionize.sessions(input.toDS(), gapMs = 30000L, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sessions_boundary")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev("alice", ts(100)))   // span [100,100], closes at 130
+      q.processAllAvailable()
+      input.addData(Ev("bob", ts(130)))     // wm -> 130 after this batch
+      q.processAllAvailable()
+      input.addData(Ev("bob", ts(130)))     // a batch AT wm == alice's close time
+      q.processAllAvailable()
+      // Strict seal: end + gap == wm must NOT have emitted alice.
+      assert(spark.table("sessions_boundary").as[Session].collect().isEmpty,
+        "nothing may seal while wm has only REACHED the close time")
+      input.addData(Ev("carol", ts(1000)))  // wm strictly past every close time
+      q.processAllAvailable()
+      input.addData(Ev("carol", ts(1001)))  // deliver timeout firings
+      q.processAllAvailable()
+      val got = spark.table("sessions_boundary").as[Session].collect()
+        .map(s => (s.user, s.start.getTime / 1000, s.end.getTime / 1000, s.events))
+        .toSet
+      assert(got.contains(("alice", 100L, 100L, 1)))
+      assert(got.contains(("bob", 130L, 130L, 1)))
+    } finally q.stop()
+  }
+
   it("splits a single batch spanning a gap into separate sessions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Ev]
