@@ -593,17 +593,20 @@ class Executer[D, R <: Product: TypeTag](
     * Safe to scope via session conf: the store lease guarantees no
     * concurrent maintenance, and reads (query/queryAll) never pass
     * through here. */
-  /** Shuffle width for the distributed maintenance branch, derived
-    * from the DECLARED store shape: a store with ≤32 parent
-    * partitions (`fanIn`) moves at most fanIn directory groups per
-    * batch, so session-width shuffles plus AQE re-planning are pure
-    * scheduler latency over kilobyte partitions (measured: a 20k-pair
-    * shingle-index update spent most of its wall clock scheduling
-    * 32-wide stages). Wide stores — the 100 TB shape — keep the
-    * session width and AQE untouched; like `fanIn` itself, the knob
-    * rides the store declaration rather than guessing from data. */
-  private def distributedWidth[A](f: => A): A =
-    if (config.fanIn <= 32) withTinyShuffle(8, codegenOff = false)(f)
+  /** Shuffle width for the distributed maintenance branch. Narrow
+    * (8-wide, AQE off) ONLY when both hold: the store declares a small
+    * shape (fanIn ≤ 32 parents), AND the batch itself is driver-small
+    * (`idsSmall`: ≤ driverDirtyLimit documents — the branch is reached
+    * when the dirty PAIR set overflowed, which a few hundred docs with
+    * wide key fan-out do, q77's shingle updates being the measured
+    * case: most of its wall clock was scheduling 32-wide stages over
+    * kilobyte partitions). A batch that is large in DOCUMENTS is the
+    * unbounded path by definition and keeps the session width and
+    * AQE's skew handling regardless of the store declaration
+    * (code-review r7). */
+  private def distributedWidth[A](batchSmall: Boolean)(f: => A): A =
+    if (batchSmall && config.fanIn <= 32)
+      withTinyShuffle(8, codegenOff = false)(f)
     else f
 
   private def withTinyShuffle[A](
@@ -846,9 +849,13 @@ class Executer[D, R <: Product: TypeTag](
         // width with AQE off (same rationale as the update path's
         // withTinyShuffle: at a few thousand docs the session-width
         // shuffle and AQE re-planning are pure scheduler latency).
-        // 100k docs is far below any width where 8 partitions could
-        // spill; large builds keep the session width untouched.
-        val smallBuild = batchDocs <= 100000
+        // Doc count alone does not bound what the jobs SHUFFLE — map
+        // output amplifies per doc (a shingle index emits hundreds of
+        // rows each) — so the narrow width also requires the DECLARED
+        // small store shape (fanIn ≤ 32, the author's statement that
+        // total state is small); wide stores keep session width + AQE
+        // regardless of batch size (code-review r7).
+        val smallBuild = config.fanIn <= 32 && batchDocs <= 100000
         def buildWrites(): Unit = {
           writeDirtyLogLocal(Seq(("", FullRebuild)))
           writePartitioned(mapped, mapResultsPath, Seq("parent")); jobs += 1
@@ -1077,7 +1084,7 @@ class Executer[D, R <: Product: TypeTag](
               jobs, if (idsSmall) idsProbe.length else -1,
               pairs.size, dirtyParents.size,
               (System.nanoTime() - t0) / 1000000))
-          } else distributedWidth {
+          } else distributedWidth(idsSmall) {
             // Large dirty set: distributed path (joins against the WAL).
             writeDirtyLog(dirtyDF); jobs += 1
             val dirty = readDirtyLog().select("reduce_key", "parent").distinct()

@@ -61,14 +61,19 @@ object Bpe {
     "d" -> "e", "th" -> "is")
 
   /** `~c~c~…~c~` spelling of `wordExpr` (sentinel-stripped first). The
-    * only dialect split in the module: Spark backrefs are `$1` and
-    * replace-all is the default; DuckDB backrefs are `\1` and need the
-    * `'g'` flag. */
+    * capture class is `[\s\S]` — the union is EVERY character in both
+    * dialects, unlike `.`, which matches no line terminators in Java
+    * and excludes `\n` in RE2 too: with a dot, a `\n` in the text
+    * would glue its neighbor characters into one unspelled symbol and
+    * (worse) Java and RE2 would disagree on `\r` (code-review r7).
+    * The only dialect split in the module: Spark backrefs are `$1`
+    * and replace-all is the default; DuckDB backrefs are `\1` and
+    * need the `'g'` flag. */
   private def spelled(wordExpr: String, duck: Boolean): String =
     if (duck)
-      s"'~' || regexp_replace(replace($wordExpr, '~', ''), '(.)', '\\1~', 'g')"
+      s"'~' || regexp_replace(replace($wordExpr, '~', ''), '([\\s\\S])', '\\1~', 'g')"
     else
-      s"concat('~', regexp_replace(replace($wordExpr, '~', ''), '(.)', '$$1~'))"
+      s"concat('~', regexp_replace(replace($wordExpr, '~', ''), '([\\\\s\\\\S])', '$$1~'))"
 
   /** The full encode: every merge applied in order, TWICE each, as a
     * literal replace over the spelling. Twice because left-to-right
@@ -108,17 +113,22 @@ object Bpe {
     * the shape that streams a 100 TB corpus through the scan stage.
     * Exposed to sibling modules (q102c joins it onto Dedup's
     * leakage-safe split). */
+  // Whitespace chars are counted over the raw text: stripping the
+  // sentinel cannot change a \s count, so the former stripped-text
+  // spelling was two dead whole-text passes (code-review r7). Known
+  // dialect edge, shared with the repo-wide \S+ convention: Java's \s
+  // includes \x0B, RE2's does not — each engine is self-consistent,
+  // and the engines can disagree only on vertical-tab-bearing text.
   private def docTokens(duck: Boolean): String = {
     val e = encoded("text", duck)
-    val stripped = "replace(text, '~', '')"
     val wsStripped =
-      if (duck) s"regexp_replace($stripped, '\\s', '', 'g')"
-      else s"regexp_replace($stripped, '\\\\s', '')"
+      if (duck) s"regexp_replace(text, '\\s', '', 'g')"
+      else s"regexp_replace(text, '\\\\s', '')"
     s"(length($e) - length(replace($e, '~', '')) - 1" +
-      s" - (length($stripped) - length($wsStripped)))"
+      s" - (length(text) - length($wsStripped)))"
   }
-  private[ops] def docTokensSpark: String = docTokens(duck = false)
-  private[ops] def docTokensDuck: String = docTokens(duck = true)
+  private[graft] def docTokensSpark: String = docTokens(duck = false)
+  private[graft] def docTokensDuck: String = docTokens(duck = true)
 
   val queries: Map[String, Q] = Map(
     // Corpus token accounting in TOKENIZER units: per language, word

@@ -66,6 +66,18 @@ object Html {
     if (duck) s"regexp_replace($in, '$pat', '$rep', 'g')"
     else s"regexp_replace($in, '$pat', '$rep')"
 
+  /** q103b's gate predicates, rendered from one definition per gate so
+    * the engine and the oracle can never drift on the thresholds (the
+    * module's own lockstep doctrine; code-review r7). Both expect the
+    * column names `hc` (html chars) and `ex` (extracted text). */
+  private val MinContentRatio = 0.35
+  private val MinContentWords = 20
+  private def ratioOkSql: String =
+    s"CAST(length(ex) AS DOUBLE) / hc >= $MinContentRatio"
+  private def lenOkSql(duck: Boolean): String =
+    if (duck) s"len(regexp_extract_all(ex, '\\S+')) >= $MinContentWords"
+    else s"size(regexp_extract_all(ex, '\\\\S+', 0)) >= $MinContentWords"
+
   /** Boilerplate-block strip + tag strip + whitespace normalize +
     * entity unescape. `recovered` is bit-exact for any single-spaced
     * document (the whitespace normalize is part of extraction, so text
@@ -113,8 +125,8 @@ object Html {
         .select(length($"html") as "hc",
           expr(extractSql("html", duck = false)) as "ex")
         .select(
-          (length($"ex").cast("double") / $"hc" >= 0.35) as "ratio_ok",
-          (size(expr("regexp_extract_all(ex, '\\\\S+', 0)")) >= 20) as "len_ok")
+          expr(ratioOkSql) as "ratio_ok",
+          expr(lenOkSql(duck = false)) as "len_ok")
       gated.agg(count(lit(1)) as "c0",
           sum(when($"ratio_ok", 1L).otherwise(0L)) as "c1",
           sum(when($"ratio_ok" && $"len_ok", 1L).otherwise(0L)) as "c2")
@@ -152,8 +164,8 @@ object Html {
          |x AS (
          |  SELECT length(html) AS hc, $x AS ex FROM h),
          |g AS (
-         |  SELECT CAST(length(ex) AS DOUBLE) / hc >= 0.35 AS ratio_ok,
-         |    len(regexp_extract_all(ex, '\\S+')) >= 20 AS len_ok
+         |  SELECT $ratioOkSql AS ratio_ok,
+         |    ${lenOkSql(duck = true)} AS len_ok
          |  FROM x),
          |c AS (
          |  SELECT count(*) AS c0,

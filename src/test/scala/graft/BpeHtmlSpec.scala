@@ -50,6 +50,23 @@ class BpeHtmlSpec extends AnyFunSuite {
     assert(count("t~h") == count("th"))
   }
 
+  test("whole-text encode handles line terminators (dotall-safe spelling)") {
+    // A '.'-based spelling would leave \n and \r unspelled — gluing
+    // neighbors into one symbol and splitting Java/RE2 behavior on \r
+    // (code-review r7). The whole-text count must equal the per-word
+    // count on multi-line text.
+    import spark.implicits._
+    val texts = Seq("a\nb", "the\rcat", "one\n\ntwo three", "x")
+    val out = texts.toDF("text")
+      .selectExpr("text", s"${Bpe.docTokensSpark} AS whole")
+      .as[(String, Int)].collect().toMap
+    texts.foreach { t =>
+      val perWord = t.split("\\s+", -1).filter(_.nonEmpty).map(count).sum
+      assert(out(t) == perWord,
+        s"whole-text (${out(t)}) != per-word ($perWord) on ${t.replace("\n", "\\n").replace("\r", "\\r")}")
+    }
+  }
+
   test("q102 totals match a per-word recount on real data") {
     import spark.implicits._
     val total = SparkEntry.queries("q102_bpe_token_count")(spark, dir)
