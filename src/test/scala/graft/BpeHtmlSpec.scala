@@ -67,6 +67,32 @@ class BpeHtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized: whole-text encode equals per-word encode on hostile text") {
+    // 200 random strings over letters + every whitespace variant the
+    // dialects treat differently ('\t', '\n', '\r'), the sentinel '~',
+    // and multi-space runs — the generated-text guarantee behind the
+    // whole-text spelling (BMP text; the corpus convention).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, lit, sum => ssum}
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz ~\t\n\r  "
+    val texts = (0 until 200).map(_ =>
+      (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+    val whole = df.selectExpr("id", s"${Bpe.docTokensSpark} AS n")
+      .as[(Int, Int)].collect().toMap
+    val perWord = df
+      .selectExpr("id", "explode(regexp_extract_all(text, '\\\\S+', 0)) AS w")
+      .selectExpr("id", s"${Bpe.tokenCountSql("w", duck = false)} AS n")
+      .groupBy("id").agg(ssum("n") as "n")
+      .as[(Int, Long)].collect().toMap
+    texts.indices.foreach { i =>
+      assert(whole(i).toLong == perWord.getOrElse(i, 0L),
+        s"id=$i whole=${whole(i)} perWord=${perWord.getOrElse(i, 0L)} " +
+          s"text=${texts(i).replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")}")
+    }
+  }
+
   test("q102 totals match a per-word recount on real data") {
     import spark.implicits._
     val total = SparkEntry.queries("q102_bpe_token_count")(spark, dir)
