@@ -548,7 +548,7 @@ object Dedup {
 
   /** Mirrors `ExecuterConfig.driverDirtyLimit`'s default: batches at or
     * under this row count take the LocalRelation fast path. */
-  private val MaxLocalBatch = 4096
+  private[graft] val MaxLocalBatch = 4096
 
   /** Execute `batch` against `ex`, collecting it to a LocalRelation
     * when it is small (one limit-probe job decides: `limit(N+1)`
@@ -557,7 +557,7 @@ object Dedup {
     * falling back to the distributed Dataset above the bound — a
     * corpus-proportional batch must never materialize unbounded on the
     * driver (code-review r7). */
-  private def executeBounded(s: SparkSession,
+  private[graft] def executeBounded(s: SparkSession,
       ex: graft.core.Executer[ClusterRow, ClusterRow],
       batch: org.apache.spark.sql.Dataset[ClusterRow],
       query: String, probePhase: String): Unit = {
