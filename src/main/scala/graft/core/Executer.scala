@@ -552,14 +552,22 @@ class Executer[D, R <: Product: TypeTag](
         else Vector.empty
       }
     val rels = if (fs.exists(staging)) walk(staging, "") else Vector.empty
-    rels.foreach { r =>
-      val dest = new Path(s"$destPath/$r")
-      fs.mkdirs(dest.getParent)
-      // Abort BEFORE the staging delete below on any failed rename —
-      // the file would otherwise be destroyed with the staging dir
-      // while the pending generation already names its destination.
-      renameOrFail(new Path(s"$destPath.staging/$r"), dest)
+    // Driver-side FS round trips, batched and parallelized (VERDICT r6
+    // #2: the sandboxed driver's FS latency amplified the per-file
+    // sequential loop 5-7×): mkdirs once per DIRECTORY, then the
+    // renames — independent by construction (distinct sources, distinct
+    // destinations) — fan out on the common pool. Any failure still
+    // aborts BEFORE the staging delete below: the file would otherwise
+    // be destroyed with the staging dir while the pending generation
+    // already names its destination.
+    rels.map(r => new Path(s"$destPath/$r").getParent).distinct
+      .foreach(fs.mkdirs)
+    val firstErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    java.util.Arrays.asList(rels: _*).parallelStream().forEach { r =>
+      try renameOrFail(new Path(s"$destPath.staging/$r"), new Path(s"$destPath/$r"))
+      catch { case t: Throwable => firstErr.compareAndSet(null, t) }
     }
+    if (firstErr.get != null) throw firstErr.get
     fs.delete(staging, true)
     rels.map(r => s"$table/$r")
   }
