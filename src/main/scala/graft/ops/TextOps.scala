@@ -28,7 +28,10 @@ object TextOps {
   /** Stopword occurrences (token-exact). */
   private val StopPat = "\\b(the|a|of|and|to|in)\\b"
   /** BPE-ish subword segmentation: runs of letters, digits, or single
-    * punctuation — an approximation of byte-pair pretokenization. */
+    * punctuation — an approximation of byte-pair PRE-tokenization only
+    * (q20's quick regex estimate). The REAL merge-table BPE encode
+    * lives in [[Bpe]] (q102 family); q20 keeps this column as the
+    * cheap scan-time estimate the two are compared against. */
   private val BpePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   private val winnowCache = scala.collection.concurrent.TrieMap
