@@ -28,7 +28,8 @@ final case class ExecuterConfig(
     tombstoneLimit: Int = 1 << 17,
     manifests: Boolean = true,
     manifestRetention: Int = 2,
-    manifestGraceMs: Long = 600000L) {
+    manifestGraceMs: Long = 600000L,
+    rebuildDirtyFraction: Double = 0.5) {
   val buckets: Int = fanIn * fanIn
 }
 // `manifests` governs FRESH stores only: an existing store keeps the layout
@@ -37,6 +38,13 @@ final case class ExecuterConfig(
 // `manifestRetention`/`manifestGraceMs`: a retired data file is deleted only
 // once it is BOTH ≥ retention generations old AND ≥ grace millis old, so any
 // reader holding a recent snapshot never loses a file under it.
+// `rebuildDirtyFraction`: an update whose dirty (key, parent) pair set
+// covers at least this fraction of the live level-1 partials takes the
+// single-write rebuild path instead of incremental maintenance (the
+// incremental spelling would pay tombstone append + a near-total sibling
+// re-reduce + the merge-on-read overlay, strictly more than a rebuild —
+// measured 2.8× at a 10k-doc bulk re-submit over a 456k-doc corpus).
+// Double.PositiveInfinity disables the fallback. Manifest stores only.
 
 /** One generation of a manifest store's file layout (SURVEY §14): the
   * exact live data files per table, the current local-tombstone file, and
@@ -124,6 +132,13 @@ class Executer[D, R <: Product: TypeTag](
 
   /** Sentinel `parent` value in the dirty WAL meaning "full rebuild". */
   private val FullRebuild = -1
+
+  /** Minimum dirty-pair count before the rebuild-fallback check runs at
+    * all: the check costs one metadata-only count job over the level-1
+    * partials, which a small update (the steady-state maintenance loop)
+    * must never pay. Below this floor the incremental path is always
+    * cheaper than a rebuild anyway. */
+  private val RebuildCheckFloor = 256
 
   /** Above `config.driverDirtyLimit` dirty (key, parent) pairs,
     * incremental maintenance switches from driver-side pruning (isin
@@ -563,9 +578,28 @@ class Executer[D, R <: Product: TypeTag](
     rels.map(r => new Path(s"$destPath/$r").getParent).distinct
       .foreach(fs.mkdirs)
     val firstErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-    java.util.Arrays.asList(rels: _*).parallelStream().forEach { r =>
-      try renameOrFail(new Path(s"$destPath.staging/$r"), new Path(s"$destPath/$r"))
-      catch { case t: Throwable => firstErr.compareAndSet(null, t) }
+    def rename(r: String): Unit =
+      // Short-circuit once a rename failed: the whole merge aborts on
+      // firstErr anyway, and each remaining blocking FS call would only
+      // delay surfacing it.
+      if (firstErr.get == null) {
+        try renameOrFail(new Path(s"$destPath.staging/$r"), new Path(s"$destPath/$r"))
+        catch { case t: Throwable => firstErr.compareAndSet(null, t) }
+      }
+    // Dedicated bounded pool, NOT the JVM-wide commonPool (ADVICE r7):
+    // these are blocking filesystem calls, and parking them on
+    // ForkJoinPool.commonPool could starve any other common-pool user
+    // on the driver for the duration of the fan-out. Small batches
+    // rename inline — thread startup would cost more than it saves.
+    if (rels.size <= 4) rels.foreach(rename)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, rels.size))
+      try {
+        rels.foreach(r => pool.execute(() => rename(r)))
+        pool.shutdown()
+        pool.awaitTermination(1L, java.util.concurrent.TimeUnit.HOURS)
+      } finally pool.shutdownNow()
     }
     if (firstErr.get != null) throw firstErr.get
     fs.delete(staging, true)
@@ -980,7 +1014,73 @@ class Executer[D, R <: Product: TypeTag](
                 pairsProbe.length > DriverDirtyLimit)
             }
 
-          if (!probeOverflow)
+          // ---- cost-based rebuild fallback (VERDICT r7 #2) ------------
+          // When the dirty pair set approaches the whole reduce tree —
+          // a bulk re-submit, a corpus-wide reprocess — incremental
+          // maintenance costs MORE than a from-scratch rebuild: it pays
+          // the tombstone append, a near-total sibling re-reduce, and
+          // leaves a merge-on-read overlay behind, where the rebuild is
+          // one clean write per table (measured: 10k-doc update 17.5s vs
+          // 6.2s full build on a 456k-doc corpus, BENCH_r07). Decision
+          // inputs: the dirty pair count (exact when the probe fit the
+          // driver, else lower-bounded by the overflow itself) vs the
+          // live level-1 pair count (one metadata-only count job, gated
+          // behind RebuildCheckFloor so steady-state small updates never
+          // pay it). MANIFEST STORES ONLY: writePartitioned stages the
+          // replacement table and retires the old files in the pending
+          // generation, so a crash anywhere leaves the published
+          // generation intact — the same atomic-batch contract as any
+          // update. A legacy store's in-place overwrite would open a
+          // destructive window on map_results (source state, not
+          // reconstructible from the WAL), so legacy stores keep the
+          // incremental path unconditionally.
+          val dirtyLower: Long =
+            if (probeOverflow) DriverDirtyLimit.toLong + 1L else pairs.size.toLong
+          val rebuildChosen = anyStale && pending != null &&
+            dirtyLower >= RebuildCheckFloor && {
+              jobs += 1
+              val totalPairs = readPartials().count()
+              val threshold = config.rebuildDirtyFraction * totalPairs
+              if (totalPairs == 0L) false
+              else if (dirtyLower >= threshold) true
+              else if (!probeOverflow) false
+              else {
+                // Overflowed probe whose lower bound did not decide:
+                // one exact count (bounded by the stale scan the
+                // distributed path would run anyway).
+                jobs += 1
+                dirtyDF.select("reduce_key", "parent").distinct().count() >=
+                  threshold
+              }
+            }
+          if (rebuildChosen) {
+            // The first-build sequence, applied to (survivors + batch):
+            // FullRebuild WAL sentinel, one staged whole-table map write,
+            // one whole-tree reduce. A crash replays rereduceAll over
+            // whatever generation is PUBLISHED (the old one until
+            // clearDirtyLog's publish) — idempotent, batch invisible,
+            // re-submitting completes it (RebuildFallbackSpec pins the
+            // kill-mid-fallback window).
+            writeDirtyLogLocal(Seq(("", FullRebuild)))
+            val all = readMapResults()
+            val survivors =
+              if (idsSmall) all.where(!$"doc_id".isin(idsProbe.toIndexedSeq: _*))
+              else all.join(incomingIds, Seq("doc_id"), "left_anti")
+            writePartitioned(survivors.unionByName(mappedP),
+              mapResultsPath, Seq("parent")); jobs += 1
+            // The rewrite physically excluded every tombstoned row and
+            // every prior row of the incoming ids: clear (retire) the
+            // tombstone state before the tree reads map_results, exactly
+            // as a fold would — readers holding pre-rebuild snapshots
+            // keep resolving the old tombstone files until GC.
+            modelRetireTable("tombstones")
+            modelSetTombLocal(None)
+            rereduceAll(); jobs += 1
+            _lastStats = Some(MaintenanceStats("rebuild-fallback",
+              jobs, if (idsSmall) idsProbe.length else -1,
+              dirtyLower.toInt, -1,
+              (System.nanoTime() - t0) / 1000000))
+          } else if (!probeOverflow)
             withTinyShuffle(if (tinyBatch) 1 else 8, codegenOff = tinyBatch) {
             // Small dirty set — the common incremental case. Everything
             // downstream is derived from the probe: the WAL is written

@@ -49,8 +49,21 @@ object Bpe {
     * on the symbols earlier merges produced (`in`+`g` → `ing`), the
     * defining property of a BPE merge list. 32 operations over the
     * highest-frequency English letter pairs — a deliberately small
-    * public-knowledge vocabulary; the machinery is merge-table
-    * agnostic. */
+    * public-knowledge vocabulary.
+    *
+    * Two scoping notes on fidelity (ADVICE r7): (1) the encode carries
+    * NO end-of-word marker — subword-nmt's `</w>` symbol is omitted,
+    * so word-final and word-internal occurrences of a pair merge
+    * identically; token COUNTS are what this module budgets by, and
+    * they are well-defined without the marker. (2) The in-order
+    * exhaustive application below is equivalent to the reference's
+    * min-rank loop only for HIERARCHY-VALID merge tables — each
+    * merge's operands must be producible only by EARLIER merges (true
+    * of any table actually learned by BPE training, and of this one);
+    * an arbitrary hand-written table violating that order could merge
+    * differently. Swapping in a bigger table keeps both engines in
+    * lockstep (one generator renders both dialects) but must respect
+    * this precondition. */
   val Merges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
     "o" -> "n", "r" -> "e", "o" -> "r", "e" -> "n", "a" -> "t",
@@ -114,16 +127,17 @@ object Bpe {
     * Exposed to sibling modules (q102c joins it onto Dedup's
     * leakage-safe split). */
   // Whitespace chars are counted over the raw text: stripping the
-  // sentinel cannot change a \s count, so the former stripped-text
-  // spelling was two dead whole-text passes (code-review r7). Known
-  // dialect edge, shared with the repo-wide \S+ convention: Java's \s
-  // includes \x0B, RE2's does not — each engine is self-consistent,
-  // and the engines can disagree only on vertical-tab-bearing text.
+  // sentinel cannot change a whitespace count, so the former
+  // stripped-text spelling was two dead whole-text passes (code-review
+  // r7). Whitespace is the repo-wide EXPLICIT class `[ \t\n\f\r]`
+  // (VERDICT r7 #4): the former bare `\s` meant different sets in Java
+  // (includes \x0B) and RE2 (does not) — the explicit class is the
+  // RE2-safe intersection, identical in both engines on any input.
   private def docTokens(duck: Boolean): String = {
     val e = encoded("text", duck)
     val wsStripped =
-      if (duck) s"regexp_replace(text, '\\s', '', 'g')"
-      else s"regexp_replace(text, '\\\\s', '')"
+      if (duck) s"regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g')"
+      else s"regexp_replace(text, '[ \\\\t\\\\n\\\\f\\\\r]', '')"
     s"(length($e) - length(replace($e, '~', '')) - 1" +
       s" - (length(text) - length($wsStripped)))"
   }
@@ -141,7 +155,7 @@ object Bpe {
       import s.implicits._
       t(s, dir, "documents")
         .select($"lang",
-          explode(expr("regexp_extract_all(text, '\\\\S+', 0)")) as "w")
+          explode(expr("regexp_extract_all(text, '[^ \\\\t\\\\n\\\\f\\\\r]+', 0)")) as "w")
         .select($"lang", expr(tokenCountSql("w", duck = false)) as "toks",
           length($"w") as "wlen")
         .groupBy($"lang")
@@ -174,7 +188,7 @@ object Bpe {
   val oracles: Map[String, String] = Map(
     "q102_bpe_token_count" ->
       s"""WITH w AS (
-         |  SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS w
+         |  SELECT lang, unnest(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')) AS w
          |  FROM documents)
          |SELECT lang, count(*) AS words,
          |  CAST(sum(${tokenCountSql("w", duck = true)}) AS BIGINT) AS bpe_tokens,

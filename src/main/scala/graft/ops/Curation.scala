@@ -16,7 +16,7 @@ import Tables._
   */
 object Curation {
 
-  private[ops] def words(c: Column): Column = split(c, "\\s+")
+  private[ops] def words(c: Column): Column = split(c, "[ \\t\\n\\f\\r]+")
 
   /** Distinct md5'd word k-grams of a document — the codegen-era kernel
     * [[graft.functions.KgramMd5Set]], element-wise identical to the
@@ -120,7 +120,7 @@ object Curation {
     * have the same answer by construction). */
   private[ops] val decontaminationOracle: String =
     """WITH ws AS (
-      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |  SELECT doc_id, string_split_regex(text, '[ \t\n\f\r]+') AS w FROM documents),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    generate_series(1, len(w) - 3),
@@ -194,7 +194,7 @@ object Curation {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "documents")
         .select($"source", $"doc_id",
-          size(regexp_extract_all($"text", lit("\\S+"), lit(0))) as "toks")
+          size(regexp_extract_all($"text", lit("[^ \\t\\n\\f\\r]+"), lit(0))) as "toks")
         .withColumn("cum", sum($"toks").over(w))
         .withColumn("seq_bin", expr("(cum - toks) div 512"))
         .groupBy($"source", $"seq_bin")
@@ -444,8 +444,8 @@ object Curation {
         |FROM inj2""".stripMargin,
     "q67_repetition_gate" ->
       """WITH ws AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
-        |  WHERE len(string_split_regex(text, '\s+')) >= 2),
+        |  SELECT doc_id, string_split_regex(text, '[ \t\n\f\r]+') AS w FROM documents
+        |  WHERE len(string_split_regex(text, '[ \t\n\f\r]+')) >= 2),
         |g AS (
         |  SELECT doc_id, unnest(list_transform(
         |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])) AS gram
@@ -461,7 +461,7 @@ object Curation {
     "q68_pack_sequences" ->
       """WITH d AS (
         |  SELECT source, doc_id,
-        |    len(regexp_extract_all(text, '\S+')) AS toks
+        |    len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS toks
         |  FROM documents),
         |c AS (
         |  SELECT source, doc_id, toks,
@@ -475,7 +475,7 @@ object Curation {
         |FROM c GROUP BY 1, 2""".stripMargin,
     "q87_curation_funnel" ->
       """WITH ws AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |  SELECT doc_id, string_split_regex(text, '[ \t\n\f\r]+') AS w FROM documents),
         |base AS (SELECT doc_id, len(w) AS toks FROM ws),
         |g AS (
         |  SELECT doc_id, unnest(list_transform(
@@ -533,7 +533,7 @@ object Curation {
         |UNION ALL SELECT 5, 'decontaminate', c4, c5 FROM c""".stripMargin,
     "q82_span_scrub" ->
       """WITH ws AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |  SELECT doc_id, string_split_regex(text, '[ \t\n\f\r]+') AS w FROM documents),
         |seg0 AS (
         |  SELECT doc_id, unnest(list_transform(
         |    generate_series(0, (len(w) - 1) // 10),
@@ -555,7 +555,7 @@ object Curation {
         |GROUP BY seg.doc_id""".stripMargin,
     "q96_quality_rank" ->
       """WITH ws AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |  SELECT doc_id, string_split_regex(text, '[ \t\n\f\r]+') AS w FROM documents),
         |g AS (
         |  SELECT doc_id, unnest(list_transform(
         |    generate_series(1, len(w) - 1), i -> md5(w[i] || ' ' || w[i+1])))
@@ -583,8 +583,8 @@ object Curation {
         |LIMIT 50""".stripMargin,
     "q83_bigram_fluency" ->
       """WITH ws AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
-        |  WHERE len(string_split_regex(text, '\s+')) >= 2),
+        |  SELECT doc_id, string_split_regex(text, '[ \t\n\f\r]+') AS w FROM documents
+        |  WHERE len(string_split_regex(text, '[ \t\n\f\r]+')) >= 2),
         |g AS (
         |  SELECT doc_id, unnest(list_transform(
         |    generate_series(1, len(w) - 1), i -> md5(w[i] || ' ' || w[i+1])))
@@ -600,7 +600,7 @@ object Curation {
         |GROUP BY g.doc_id""".stripMargin,
     "q84_source_quality_filter" ->
       """WITH ws AS (
-        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS w
+        |  SELECT doc_id, source, string_split_regex(text, '[ \t\n\f\r]+') AS w
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id, source, unnest(list_distinct(list_transform(
@@ -638,7 +638,7 @@ object Curation {
         |GROUP BY tok.doc_id""".stripMargin,
     "q69_dup_shingle_rate" ->
       """WITH ws AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |  SELECT doc_id, string_split_regex(text, '[ \t\n\f\r]+') AS w FROM documents),
         |sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    generate_series(1, len(w) - 2),

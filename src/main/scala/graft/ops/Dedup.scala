@@ -32,7 +32,7 @@ object Dedup {
 
   /** Distinct 3-word shingles of a text column. */
   private def shingles(text: Column): Column = {
-    val words = split(text, "\\s+")
+    val words = split(text, "[ \\t\\n\\f\\r]+")
     val n = size(words)
     array_distinct(transform(
       sequence(lit(0), n - lit(3)),
@@ -161,7 +161,7 @@ object Dedup {
     "q93_split_token_budget" -> { (s, dir) =>
       import s.implicits._
       val toks = t(s, dir, "documents")
-        .select($"doc_id", size(split($"text", "\\s+")) as "toks")
+        .select($"doc_id", size(split($"text", "[ \\t\\n\\f\\r]+")) as "toks")
       leakageSafeSplit(s, dir).join(toks, "doc_id")
         .groupBy($"split")
         .agg(count(lit(1)) as "docs",
@@ -394,7 +394,7 @@ object Dedup {
       // (8 splits per window); the barrier also stops the join below
       // from recomputing the md5 stage for each side.
       val docs = t(s, dir, "documents")
-        .select($"doc_id", split($"text", "\\s+") as "w")
+        .select($"doc_id", split($"text", "[ \\t\\n\\f\\r]+") as "w")
         .where(size($"w") >= K)
       val grams = barrier(docs
         .select($"doc_id", posexplode(transform(
@@ -431,7 +431,7 @@ object Dedup {
   private def simhashTable(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val words = array_distinct(split($"text", "\\s+"))
+    val words = array_distinct(split($"text", "[ \\t\\n\\f\\r]+"))
     val sig = (0 until 16).map { bit =>
       // Vote of each word on this bit: +1 if hex digit `bit` of
       // md5(word) is >= '8', else -1; bit set iff the sum is >= 0.
@@ -562,11 +562,20 @@ object Dedup {
       batch: org.apache.spark.sql.Dataset[ClusterRow],
       query: String, probePhase: String): Unit = {
     import s.implicits._
-    val probe = Phases.timed(query, probePhase)(
-      batch.limit(MaxLocalBatch + 1).collect())
-    if (probe.length <= MaxLocalBatch)
-      ex.execute(s.createDataset(probe.toSeq))
-    else ex.execute(batch)
+    // Persist BEFORE the probe (ADVICE r7): the batch's lineage can be
+    // expensive (q59c's drift diff joins queryAll against a recluster),
+    // and without the cache an oversize batch would compute it twice —
+    // once for the limit probe, once inside execute. The probe's
+    // incremental collect materializes the partitions it touches into
+    // the block cache; the fallback reuses them.
+    val batchP = batch.persist()
+    try {
+      val probe = Phases.timed(query, probePhase)(
+        batchP.limit(MaxLocalBatch + 1).collect())
+      if (probe.length <= MaxLocalBatch)
+        ex.execute(s.createDataset(probe.toSeq))
+      else ex.execute(batchP)
+    } finally batchP.unpersist()
   }
 
   /** Per-document near-dup cluster assignment as an engine-maintained
@@ -790,7 +799,7 @@ object Dedup {
       Phases.timed("shared", "sig_tables") {
       import s.implicits._
       val docs = t(s, dir, "documents")
-        .where(size(split($"text", "\\s+")) >= 3)
+        .where(size(split($"text", "[ \\t\\n\\f\\r]+")) >= 3)
         .repartition(cpuWidth(s))
         .select($"doc_id", shingles($"text") as "sh")
         .transform(barrier)
@@ -856,11 +865,11 @@ object Dedup {
 
   private def shinglesSql(tbl: String): String =
     s"""SELECT doc_id, list_distinct(list_transform(
-       |  generate_series(1, len(string_split_regex(text, '\\s+')) - 2),
-       |  i -> string_split_regex(text, '\\s+')[i] || ' ' ||
-       |       string_split_regex(text, '\\s+')[i+1] || ' ' ||
-       |       string_split_regex(text, '\\s+')[i+2])) AS sh
-       |FROM $tbl WHERE len(string_split_regex(text, '\\s+')) >= 3""".stripMargin
+       |  generate_series(1, len(string_split_regex(text, '[ \\t\\n\\f\\r]+')) - 2),
+       |  i -> string_split_regex(text, '[ \\t\\n\\f\\r]+')[i] || ' ' ||
+       |       string_split_regex(text, '[ \\t\\n\\f\\r]+')[i+1] || ' ' ||
+       |       string_split_regex(text, '[ \\t\\n\\f\\r]+')[i+2])) AS sh
+       |FROM $tbl WHERE len(string_split_regex(text, '[ \\t\\n\\f\\r]+')) >= 3""".stripMargin
 
   // Lockstep DuckDB mirror of the MinHashSigs double-hash kernel: one
   // md5 per shingle, slot k = h1 + k·h2 mod 2^64 as 16-char hex (see
@@ -1099,7 +1108,7 @@ object Dedup {
          |    len(list_distinct(sh_t || sh_e)) AS jaccard
          |FROM pairs""".stripMargin,
     "q93_split_token_budget" ->
-      splitBudgetOracleSql("len(string_split_regex(text, '\\s+'))", "tokens"),
+      splitBudgetOracleSql("len(string_split_regex(text, '[ \\t\\n\\f\\r]+'))", "tokens"),
     "q102c_bpe_split_budget" ->
       splitBudgetOracleSql(Bpe.docTokensDuck, "bpe_tokens"),
     "q95_simhash_pairs" ->
@@ -1108,7 +1117,7 @@ object Dedup {
          |  CAST((SELECT sum(CASE WHEN
          |      (SELECT sum(CASE WHEN substr(md5(w.w), b.bit + 1, 1) >= '8'
          |         THEN 1 ELSE -1 END)
-         |       FROM (SELECT unnest(list_distinct(string_split_regex(text, '\\s+'))) AS w) w) >= 0
+         |       FROM (SELECT unnest(list_distinct(string_split_regex(text, '[ \\t\\n\\f\\r]+'))) AS w) w) >= 0
          |    THEN power(2, b.bit) ELSE 0 END)
          |    FROM (SELECT unnest(generate_series(0, 15)) AS bit) b) AS INT) AS simhash
          |  FROM documents),
@@ -1135,14 +1144,14 @@ object Dedup {
          |CAST((SELECT sum(CASE WHEN
          |    (SELECT sum(CASE WHEN substr(md5(w.w), b.bit + 1, 1) >= '8'
          |       THEN 1 ELSE -1 END)
-         |     FROM (SELECT unnest(list_distinct(string_split_regex(text, '\\s+'))) AS w) w) >= 0
+         |     FROM (SELECT unnest(list_distinct(string_split_regex(text, '[ \\t\\n\\f\\r]+'))) AS w) w) >= 0
          |  THEN power(2, b.bit) ELSE 0 END)
          |  FROM (SELECT unnest(generate_series(0, 15)) AS bit) b) AS INT) AS simhash
          |FROM documents""".stripMargin,
     "q100_dup_span_removal" ->
       s"""WITH ws AS (
-         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
-         |  WHERE len(string_split_regex(text, '\\s+')) >= $DupSpanK),
+         |  SELECT doc_id, string_split_regex(text, '[ \\t\\n\\f\\r]+') AS w FROM documents
+         |  WHERE len(string_split_regex(text, '[ \\t\\n\\f\\r]+')) >= $DupSpanK),
          |g AS (
          |  SELECT doc_id, w,
          |    unnest(generate_series(0, len(w) - $DupSpanK)) AS pos

@@ -75,8 +75,8 @@ object Html {
   private def ratioOkSql: String =
     s"CAST(length(ex) AS DOUBLE) / hc >= $MinContentRatio"
   private def lenOkSql(duck: Boolean): String =
-    if (duck) s"len(regexp_extract_all(ex, '\\S+')) >= $MinContentWords"
-    else s"size(regexp_extract_all(ex, '\\\\S+', 0)) >= $MinContentWords"
+    if (duck) s"len(regexp_extract_all(ex, '[^ \\t\\n\\f\\r]+')) >= $MinContentWords"
+    else s"size(regexp_extract_all(ex, '[^ \\\\t\\\\n\\\\f\\\\r]+', 0)) >= $MinContentWords"
 
   /** Boilerplate-block strip + tag strip + whitespace normalize +
     * entity unescape. `recovered` is bit-exact for any single-spaced

@@ -56,7 +56,7 @@ object IncrementalIndexes {
   // whitespace would otherwise hash differently here than in the
   // column-expression/oracle mirrors (ADVICE r5).
   private def minhashOf(text: String): Option[Seq[String]] = {
-    val words = text.split("\\s+", -1)
+    val words = text.split("[ \\t\\n\\f\\r]+", -1)
     if (words.length < 3) return None
     val sh = words.sliding(3).map(_.mkString(" ")).toArray.distinct
     val mins = new Array[Long](NumHashes)
@@ -108,7 +108,7 @@ object IncrementalIndexes {
     * sorted, '|'-joined fingerprint set. */
   private def winnowOf(text: String): Option[(Int, String)] = {
     val k = 4; val w = 5
-    val words = text.split("\\s+", -1)
+    val words = text.split("[ \\t\\n\\f\\r]+", -1)
     val m = words.length - k + 1
     if (m < w) return None
     val hs = Array.tabulate(m)(i => md5hex(words.slice(i, i + k).mkString(" ")))
@@ -180,7 +180,7 @@ object IncrementalIndexes {
     * its DuckDB oracle): each DISTINCT word votes ±1 on bit b by hex
     * digit b of md5(word) (≥ '8' → +1); bit set iff the vote sum ≥ 0. */
   private def simhashOf(text: String): Int = {
-    val words = text.split("\\s+", -1).distinct
+    val words = text.split("[ \\t\\n\\f\\r]+", -1).distinct
     val digests = words.map(md5hex)
     var sig = 0
     var bit = 0
@@ -266,7 +266,7 @@ object IncrementalIndexes {
   class KgramFreqIndex(k: Int) extends MapReduceTask[DocText, ShingleFreq] {
     def map(docs: Iterator[DocText]): Iterator[(String, ShingleFreq)] =
       docs.flatMap { d =>
-        val ws = d.text.split("\\s+", -1)
+        val ws = d.text.split("[ \\t\\n\\f\\r]+", -1)
         if (ws.length < k) Iterator.empty
         else ws.sliding(k).map(g => md5hex(g.mkString(" ")))
           .toArray.distinct.iterator
@@ -298,10 +298,10 @@ object IncrementalIndexes {
     * could not recover a retracted minimum). The histogram a 100 TB
     * pipeline consults before packing is maintained per batch, never
     * recomputed. */
-  // `\S+` run count — the repo-wide token convention (TextOps.nTokens,
+  // `[^ \t\n\f\r]+` run count — the repo-wide token convention (TextOps.nTokens,
   // unified in r7 per VERDICT r6 #4; the former split-count agreed on
   // the corpus but diverged on leading/trailing-whitespace text).
-  private val NonWsRun = java.util.regex.Pattern.compile("\\S+")
+  private val NonWsRun = java.util.regex.Pattern.compile("[^ \\t\\n\\f\\r]+")
   private def countTokens(text: String): Int = {
     val m = NonWsRun.matcher(text)
     var n = 0
@@ -634,7 +634,7 @@ object IncrementalIndexes {
          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |    CASE WHEN doc_id % 7 = 0 THEN text || ' xrevision' ELSE text END AS text
          |  FROM documents),
-         |w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM src),
+         |w AS (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\f\\r]+') AS ws FROM src),
          |d AS (
          |  SELECT doc_id, list_distinct(list_transform(
          |    generate_series(1, len(ws) - 2),
@@ -648,7 +648,7 @@ object IncrementalIndexes {
         |    CASE WHEN doc_id % 7 = 0
         |      THEN text || ' xrevision marker words here' ELSE text END AS text
         |  FROM documents),
-        |w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM src),
+        |w AS (SELECT doc_id, string_split_regex(text, '[ \t\n\f\r]+') AS ws FROM src),
         |g AS (
         |  SELECT doc_id, list_transform(
         |    generate_series(1, len(ws) - 3),
@@ -684,7 +684,7 @@ object IncrementalIndexes {
         |    CASE WHEN doc_id % 7 = 0
         |      THEN text || ' xrevision marker' ELSE text END AS text
         |  FROM documents),
-        |w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM src),
+        |w AS (SELECT doc_id, string_split_regex(text, '[ \t\n\f\r]+') AS ws FROM src),
         |d AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    generate_series(1, len(ws) - 2),
@@ -701,7 +701,7 @@ object IncrementalIndexes {
         |CAST((SELECT sum(CASE WHEN
         |    (SELECT sum(CASE WHEN substr(md5(w.w), b.bit + 1, 1) >= '8'
         |       THEN 1 ELSE -1 END)
-        |     FROM (SELECT unnest(list_distinct(string_split_regex(text, '\s+'))) AS w) w) >= 0
+        |     FROM (SELECT unnest(list_distinct(string_split_regex(text, '[ \t\n\f\r]+'))) AS w) w) >= 0
         |  THEN power(2, b.bit) ELSE 0 END)
         |  FROM (SELECT unnest(generate_series(0, 15)) AS bit) b) AS INT) AS simhash
         |FROM src""".stripMargin,
@@ -739,7 +739,7 @@ object IncrementalIndexes {
         |      ELSE text END AS text
         |  FROM documents),
         |d AS (
-        |  SELECT source, len(regexp_extract_all(text, '\S+')) AS toks
+        |  SELECT source, len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS toks
         |  FROM src)
         |SELECT source, toks // 16 AS len_bin,
         |  count(*) AS docs,
@@ -751,7 +751,7 @@ object IncrementalIndexes {
     // must equal the engine's two-index-read drift report.
     "q89b_hist_drift" ->
       """WITH oldd AS (
-        |  SELECT source, len(regexp_extract_all(text, '\S+')) AS toks
+        |  SELECT source, len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS toks
         |  FROM documents),
         |oldh AS (
         |  SELECT source, toks // 16 AS len_bin, count(*) AS docs,
@@ -761,7 +761,7 @@ object IncrementalIndexes {
         |  SELECT source, len(regexp_extract_all(
         |    CASE WHEN doc_id % 7 = 0 THEN text ||
         |      ' twenty more revision tokens appended to move this doc up bins'
-        |      ELSE text END, '\S+')) AS toks
+        |      ELSE text END, '[^ \t\n\f\r]+')) AS toks
         |  FROM documents),
         |newh AS (
         |  SELECT source, toks // 16 AS len_bin, count(*) AS docs,
@@ -777,7 +777,7 @@ object IncrementalIndexes {
         |   OR COALESCE(n.tokens, 0) <> COALESCE(o.tokens, 0)""".stripMargin,
     "q78_decontaminate_index_update" ->
       """WITH ws AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |  SELECT doc_id, string_split_regex(text, '[ \t\n\f\r]+') AS w FROM documents),
         |sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    generate_series(1, len(w) - 3),

@@ -20,7 +20,7 @@ object TextOps {
 
   /** Whitespace tokenization, shared by several operators. */
   private def nTokens(c: Column): Column =
-    size(regexp_extract_all(c, lit("\\S+"), lit(0)))
+    size(regexp_extract_all(c, lit("[^ \\t\\n\\f\\r]+"), lit(0)))
 
   private def nMatches(c: Column, pat: String): Column =
     size(regexp_extract_all(c, lit(pat), lit(0)))
@@ -32,7 +32,7 @@ object TextOps {
     * (q20's quick regex estimate). The REAL merge-table BPE encode
     * lives in [[Bpe]] (q102 family); q20 keeps this column as the
     * cheap scan-time estimate the two are compared against. */
-  private val BpePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private val BpePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"
 
   private val winnowCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String),
@@ -51,11 +51,11 @@ object TextOps {
         import s.implicits._
         val k = 4; val w = 5
         Dedup.barrier(t(s, dir, "documents")
-          .where(size(split($"text", "\\s+")) >= k + w - 1)
+          .where(size(split($"text", "[ \\t\\n\\f\\r]+")) >= k + w - 1)
           .repartition(cpuWidth(s))
           .select($"doc_id",
             explode(graft.functions.WinnowFingerprints
-              .winnowFps(split($"text", "\\s+"), k, w)) as "fp"))
+              .winnowFps(split($"text", "[ \\t\\n\\f\\r]+"), k, w)) as "fp"))
       }
     }
 
@@ -74,7 +74,7 @@ object TextOps {
     * can never drift apart. */
   private val WinnowFpCte: String =
     """ws AS (
-      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |  SELECT doc_id, string_split_regex(text, '[ \t\n\f\r]+') AS w FROM documents),
       |g AS (
       |  SELECT doc_id, list_transform(
       |    generate_series(1, len(w) - 3),
@@ -114,8 +114,8 @@ object TextOps {
     // size. Integer bin arithmetic, no percentile sketches to drift.
     "q88_length_histogram" -> { (s, dir) =>
       import s.implicits._
-      // `\S+` run count, the file's shared token convention ([[nTokens]])
-      // — the former `split('\s+')` spelling agreed on the corpus but
+      // `[^ \t\n\f\r]+` run count, the file's shared token convention ([[nTokens]])
+      // — the former `split('[ \t\n\f\r]+')` spelling agreed on the corpus but
       // diverged on leading/trailing-whitespace text (VERDICT r6 #4).
       val toks = nTokens($"text")
       t(s, dir, "documents")
@@ -132,7 +132,7 @@ object TextOps {
     "q21_dedup_exact" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "documents")
-        .groupBy(md5(lower(regexp_replace($"text", "\\s+", " "))) as "content_hash")
+        .groupBy(md5(lower(regexp_replace($"text", "[ \\t\\n\\f\\r]+", " "))) as "content_hash")
         .agg(
           min($"doc_id") as "keep_id",
           count(lit(1)) as "copies")
@@ -145,9 +145,9 @@ object TextOps {
       import s.implicits._
       t(s, dir, "documents")
         .select($"doc_id",
-          md5(lower(regexp_replace($"text", "\\s+", " "))) as "fp",
+          md5(lower(regexp_replace($"text", "[ \\t\\n\\f\\r]+", " "))) as "fp",
           array_min(transform(
-            split($"text", "\\s+"), w => md5(w))) as "minhash1")
+            split($"text", "[ \\t\\n\\f\\r]+"), w => md5(w))) as "minhash1")
     },
 
     // Corpus vocabulary by document frequency: the token-level corpus
@@ -283,7 +283,7 @@ object TextOps {
       import s.implicits._
       val docs = t(s, dir, "documents")
         .select($"doc_id", $"lang", $"text",
-          md5(lower(regexp_replace($"text", "\\s+", " "))) as "chash")
+          md5(lower(regexp_replace($"text", "[ \\t\\n\\f\\r]+", " "))) as "chash")
       val canonical = docs.groupBy($"chash")
         .agg(min($"doc_id") as "doc_id")
       val kept = docs.join(canonical, Seq("chash", "doc_id"))
@@ -338,7 +338,7 @@ object TextOps {
     // count per doc — the shingle table that near-dup Jaccard builds on.
     "q25_shingles" -> { (s, dir) =>
       import s.implicits._
-      val words = split($"text", "\\s+")
+      val words = split($"text", "[ \\t\\n\\f\\r]+")
       val n = size(words)
       val shingles = transform(
         sequence(lit(0), n - lit(3)),
@@ -354,7 +354,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q88_length_histogram" ->
       """WITH d AS (
-        |  SELECT source, len(regexp_extract_all(text, '\S+')) AS toks
+        |  SELECT source, len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS toks
         |  FROM documents)
         |SELECT source, toks // 16 AS len_bin,
         |  count(*) AS docs,
@@ -371,14 +371,14 @@ object TextOps {
         |ORDER BY df DESC, token ASC LIMIT 50""".stripMargin,
     "q49_sample_stratified" ->
       """SELECT lang, count(*) AS sampled_docs,
-        |CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sampled_tokens
+        |CAST(sum(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))) AS BIGINT) AS sampled_tokens
         |FROM documents
         |WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)
         |  IN ('0', '1', '2', '3')
         |GROUP BY lang""".stripMargin,
     "q76_corpus_mix" ->
       """SELECT source, count(*) AS kept_docs,
-        |CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS kept_tokens
+        |CAST(sum(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))) AS BIGINT) AS kept_tokens
         |FROM documents
         |WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1) <
         |  CASE WHEN source IN ('src0', 'src1') THEN 'g'
@@ -402,12 +402,12 @@ object TextOps {
     "q54_pipeline_compose" ->
       """WITH d AS (
         |  SELECT doc_id, lang, text,
-        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS chash
+        |    md5(lower(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) AS chash
         |  FROM documents),
         |canon AS (SELECT chash, min(doc_id) AS doc_id FROM d GROUP BY chash),
         |kept AS (
         |  SELECT d.lang,
-        |    len(regexp_extract_all(d.text, '\S+')) AS toks,
+        |    len(regexp_extract_all(d.text, '[^ \t\n\f\r]+')) AS toks,
         |    len(regexp_extract_all(d.text, '\b(the|a|of|and|to|in)\b')) AS stops
         |  FROM d JOIN canon ON d.chash = canon.chash AND d.doc_id = canon.doc_id)
         |SELECT lang, count(*) AS docs,
@@ -429,28 +429,28 @@ object TextOps {
          |HAVING count(*) >= 3""".stripMargin,
     "q20_token_count" ->
       """SELECT lang, count(*) AS docs,
-        |CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens,
-        |CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+        |CAST(sum(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))) AS BIGINT) AS tokens,
+        |CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]'))) AS BIGINT) AS bpe_tokens,
         |CAST(sum(length(text)) AS BIGINT) AS total_chars,
-        |CAST(max(len(regexp_extract_all(text, '\S+'))) AS INT) AS max_tokens
+        |CAST(max(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))) AS INT) AS max_tokens
         |FROM documents GROUP BY lang""".stripMargin,
     "q21_dedup_exact" ->
-      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+      """SELECT md5(lower(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) AS content_hash,
         |min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY 1""".stripMargin,
     "q22_fingerprint" ->
       """SELECT doc_id,
-        |md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
-        |list_min(list_transform(string_split_regex(text, '\s+'), w -> md5(w))) AS minhash1
+        |md5(lower(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) AS fp,
+        |list_min(list_transform(string_split_regex(text, '[ \t\n\f\r]+'), w -> md5(w))) AS minhash1
         |FROM documents""".stripMargin,
     "q23_quality" ->
       """SELECT doc_id, lang,
-        |CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS tokens,
+        |CAST(len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS INT) AS tokens,
         |CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS INT) AS stopwords,
         |CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS DOUBLE)
-        |  / len(regexp_extract_all(text, '\S+')) AS stop_ratio,
-        |CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\S+')) AS avg_tok_len,
-        |(len(regexp_extract_all(text, '\S+')) >= 20
+        |  / len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS stop_ratio,
+        |CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS avg_tok_len,
+        |(len(regexp_extract_all(text, '[^ \t\n\f\r]+')) >= 20
         |  AND len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) >= 1) AS passes
         |FROM documents""".stripMargin,
     "q24_lang_id" ->
@@ -478,8 +478,8 @@ object TextOps {
         |FROM scored""".stripMargin,
     "q25_shingles" ->
       """WITH w AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS words
-        |  FROM documents WHERE len(string_split_regex(text, '\s+')) >= 3)
+        |  SELECT doc_id, string_split_regex(text, '[ \t\n\f\r]+') AS words
+        |  FROM documents WHERE len(string_split_regex(text, '[ \t\n\f\r]+')) >= 3)
         |SELECT doc_id,
         |  CAST(len(list_distinct(list_transform(
         |    generate_series(1, len(words) - 2),
