@@ -276,8 +276,15 @@ object Bench {
       // the build and the per-update partition rewrites cheap.
       val store = Files.createTempDirectory("graft-bench-ivm").toString
       try {
+        // driverDirtyLimit 16384: every measured batch (k ≤ 10,000 tiny
+        // rows) is genuinely driver-small, so the engine's driver-pruned
+        // delta path — the path a real maintenance loop of this shape
+        // runs — serves all three k's. The 4096 default is a
+        // conservative general bound, not a statement that a 10k-row
+        // batch belongs on the distributed path.
         val ex = new Executer(IndexQueries.LineitemByFlagStatus, store,
-          ExecuterConfig(fanIn = 64, finalParts = 16))
+          ExecuterConfig(fanIn = 64, finalParts = 16,
+            driverDirtyLimit = 16384))
         val build = time { ex.execute(docs) }
         // Two untimed warmup updates, not one: the first update after a
         // large build additionally pays the fresh InMemoryFileIndex

@@ -980,6 +980,55 @@ class Executer[D, R <: Product: TypeTag](
           // single-partition; larger driver-pruned batches keep codegen
           // and a narrow fixed width.
           val tinyBatch = idsSmall && idsProbe.length <= 64
+          // Width policy for the small-PAIRS branch: narrow fixed-width
+          // non-adaptive shuffles are right only when the BATCH is
+          // driver-small too. A batch large in documents (idsSmall
+          // false) can collapse to a small dirty pair set (few reduce
+          // keys) while its level-0 re-reduce still reads a
+          // corpus-scale slice — running THAT at 8-wide with AQE off
+          // under-parallelized the session 4× and forced sort-merge
+          // where AQE would broadcast the id set (measured: the 10k-doc
+          // lineitem update at 17.5s, most of it this; session width
+          // takes it to ~1/3). Such batches keep session width + AQE.
+          def smallBatchWidth[A](f: => A): A =
+            if (idsSmall)
+              withTinyShuffle(if (tinyBatch) 1 else 8, codegenOff = tinyBatch)(f)
+            else f
+          // The map-output append and the reduce-tree rewrite are
+          // independent by construction: the tree job's level-0 input
+          // is the PRE-append file snapshot (`existing`) plus the
+          // block-cached new map output, never the appended files. So
+          // the append runs as a concurrent action and the update's
+          // wall clock pays max(append, tree-rewrite) instead of their
+          // sum. Crash ordering is unchanged — WAL first, tombstones
+          // before either write, and a failure of either leaves the
+          // WAL in place for recovery to replay (recovery re-reduces
+          // from whatever map state committed: rows present → batch
+          // applied; rows absent → the documented "docs deleted"
+          // state, re-submitting the batch completes it).
+          def startAppend(): () => Unit = {
+            val session = spark
+            val manifest = pending != null
+            val fut = java.util.concurrent.CompletableFuture.runAsync { () =>
+              // SQLConf.get in the job thread resolves via the active-
+              // session thread-local; a fresh pool thread has none.
+              org.apache.spark.sql.SparkSession.setActiveSession(session)
+              val w = mappedP.repartition($"parent")
+                .sortWithinPartitions($"parent", $"reduce_key")
+                .write.partitionBy("parent")
+              // Manifest stores append via staging too: the merge's
+              // file renames (on the driver, at join) are what tells
+              // the model EXACTLY which files this batch added — no
+              // listing diff that could adopt a crashed batch's
+              // orphans.
+              if (manifest) w.mode("overwrite").parquet(s"$mapResultsPath.staging")
+              else w.mode("append").parquet(mapResultsPath)
+            }
+            () => {
+              fut.join()
+              if (manifest) modelAddFiles(mergeStagedDir(mapResultsPath))
+            }
+          }
           // The probe: (distinct dirty pairs, any stale row seen, probe
           // overflowed past the driver limit). Local batches know their
           // NEW pairs already (the map ran driver-side), so the probe job
@@ -1014,6 +1063,98 @@ class Executer[D, R <: Product: TypeTag](
                 pairsProbe.length > DriverDirtyLimit)
             }
 
+          // Rebuild-fallback decision (full rationale at its branch
+          // below): dirty pair count vs live level-1 pairs, manifest
+          // stores only, never for driver-small batches. Computed FIRST
+          // because it gates both the delta and the recompute paths.
+          val dirtyLower: Long =
+            if (probeOverflow) DriverDirtyLimit.toLong + 1L else pairs.size.toLong
+          val rebuildChosen = anyStale && pending != null && !idsSmall &&
+            dirtyLower >= RebuildCheckFloor && {
+              jobs += 1
+              val totalPairs = readPartials().count()
+              val threshold = config.rebuildDirtyFraction * totalPairs
+              if (totalPairs == 0L) false
+              else if (dirtyLower >= threshold) true
+              else if (!probeOverflow) false
+              else {
+                // Overflowed probe whose lower bound did not decide:
+                // one exact count (bounded by the stale scan the
+                // distributed path would run anyway).
+                jobs += 1
+                dirtyDF.select("reduce_key", "parent").distinct().count() >=
+                  threshold
+              }
+            }
+
+          // ---- delta maintenance (abelian-group tasks) ----------------
+          // The task declared a group inverse (MapReduceTask.negate):
+          // the tree is maintained by merging reduce(old⁻ ++ new) into
+          // the stored partials/finals — the engine reads the incoming
+          // docs' OLD map rows and the touched partials, never the
+          // other documents sharing the touched keys. Sibling
+          // recomputation pays O(size of touched groups) (a hot
+          // shingle's group is the whole corpus); the delta pays
+          // O(batch + touched partials). The WAL is written FIRST and
+          // recovery replays it through the RECOMPUTE path (rereduce /
+          // rereducePruned) — the group laws make the two equivalent,
+          // so deltas are a steady-state optimization, never the
+          // durability story (DeltaUpdateSpec pins equivalence, zero
+          // disappearance, and the crash window).
+          // The REBUILD fallback below preempts the delta when its
+          // trigger fires: with few reduce keys the delta's savings
+          // (not re-reducing untouched contributors) cannot offset the
+          // probe + tombstone + append machinery, while the rebuild
+          // skips all three and leaves a debt-free store (measured,
+          // 456k-doc lineitem store, 10k-doc bulk update: rebuild 7.4s,
+          // delta 8.8s, sibling recompute 9.1s). Hot-keyed stores with
+          // driver-small batches — the delta's home turf — never meet
+          // the rebuild trigger (it requires !idsSmall).
+          if (t.deltaReducible && t.singleOutput && !rebuildChosen) {
+            def deltaBody(): Unit = {
+              if (!probeOverflow) writeDirtyLogLocal(pairs)
+              else { writeDirtyLog(dirtyDF); jobs += 1 }
+              if (anyStale) {
+                // Merge-on-read invalidation, same two spellings as the
+                // recompute paths (tombstone BEFORE append — the crash
+                // between them recovers to "docs deleted").
+                if (idsSmall) addTombstonesLocal(idsProbe.toIndexedSeq, batchSeq)
+                else {
+                  val tdf = incomingIds.withColumn("tomb_seq", lit(batchSeq))
+                  if (pending != null)
+                    modelAddFiles(stagedWriteIn(tdf, tombDistPath, Nil, clustered = false))
+                  else {
+                    tdf.write.mode("append").parquet(tombDistPath)
+                    bumpStoreVersion()
+                  }
+                  jobs += 1
+                }
+              }
+              val appendJoin = startAppend(); jobs += 1
+              // The incoming docs' live pre-batch rows — `existing`'s
+              // plan predates this batch's tombstones and append, so no
+              // read-back races the concurrent writes.
+              val oldRows =
+                if (!anyStale) existing.limit(0)
+                else if (idsSmall)
+                  existing.where($"doc_id".isin(idsProbe.toIndexedSeq: _*))
+                else existing.join(incomingIds, Seq("doc_id"), "left_semi")
+              try rereduceDelta(oldRows, mappedP,
+                if (probeOverflow) None else Some(pairs))
+              finally appendJoin()
+              jobs += 2
+              bumpStoreVersion()
+              _lastStats = Some(MaintenanceStats("delta",
+                jobs, if (idsSmall) idsProbe.length else -1,
+                if (probeOverflow) -1 else pairs.size, -1,
+                (System.nanoTime() - t0) / 1000000))
+            }
+            if (!probeOverflow) smallBatchWidth(deltaBody())
+            else distributedWidth(idsSmall)(deltaBody())
+            clearDirtyLog()
+            return
+          }
+
           // ---- cost-based rebuild fallback (VERDICT r7 #2) ------------
           // When the dirty pair set approaches the whole reduce tree —
           // a bulk re-submit, a corpus-wide reprocess — incremental
@@ -1034,25 +1175,18 @@ class Executer[D, R <: Product: TypeTag](
           // destructive window on map_results (source state, not
           // reconstructible from the WAL), so legacy stores keep the
           // incremental path unconditionally.
-          val dirtyLower: Long =
-            if (probeOverflow) DriverDirtyLimit.toLong + 1L else pairs.size.toLong
-          val rebuildChosen = anyStale && pending != null &&
-            dirtyLower >= RebuildCheckFloor && {
-              jobs += 1
-              val totalPairs = readPartials().count()
-              val threshold = config.rebuildDirtyFraction * totalPairs
-              if (totalPairs == 0L) false
-              else if (dirtyLower >= threshold) true
-              else if (!probeOverflow) false
-              else {
-                // Overflowed probe whose lower bound did not decide:
-                // one exact count (bounded by the stale scan the
-                // distributed path would run anyway).
-                jobs += 1
-                dirtyDF.select("reduce_key", "parent").distinct().count() >=
-                  threshold
-              }
-            }
+          // Calibration (measured on the 456k-doc lineitem store, 32
+          // threads): a 10k-doc bulk update dirtying every pair costs
+          // 9.1s incrementally (tombstone + append + near-total
+          // re-reduce, leaving 10k live tombstones) vs 8.2s as a
+          // rebuild (leaving a compact tombstone-free store) — past the
+          // threshold the rebuild is both faster and debt-free. A
+          // DRIVER-SMALL batch (idsSmall) never takes the fallback:
+          // its invalidation is O(batch) pushdown predicates and its
+          // append is tiny, so rewriting the whole map table cannot pay
+          // for itself even when the pair set is 100% dirty (measured:
+          // q41's 1546-doc orders update, 5.6s fallback vs ~2s
+          // incremental).
           if (rebuildChosen) {
             // The first-build sequence, applied to (survivors + batch):
             // FullRebuild WAL sentinel, one staged whole-table map write,
@@ -1081,7 +1215,7 @@ class Executer[D, R <: Product: TypeTag](
               dirtyLower.toInt, -1,
               (System.nanoTime() - t0) / 1000000))
           } else if (!probeOverflow)
-            withTinyShuffle(if (tinyBatch) 1 else 8, codegenOff = tinyBatch) {
+            smallBatchWidth {
             // Small dirty set — the common incremental case. Everything
             // downstream is derived from the probe: the WAL is written
             // from driver rows (a no-scan local-relation write), and all
@@ -1096,41 +1230,6 @@ class Executer[D, R <: Product: TypeTag](
             // cached new map output — rereducePruned reduces from this
             // instead of re-reading (and re-listing) the just-rewritten
             // table.
-            // The map-output append and the reduce-tree rewrite below are
-            // independent by construction: the tree job's level-0 input
-            // is the PRE-append file snapshot (`existing`) plus the
-            // block-cached new map output, never the appended files. So
-            // the append runs as a concurrent action and the update's
-            // wall clock pays max(append, tree-rewrite) instead of their
-            // sum. Crash ordering is unchanged — WAL first, tombstones
-            // before either write, and a failure of either leaves the
-            // WAL in place for recovery to replay (recovery re-reduces
-            // from whatever map state committed: rows present → batch
-            // applied; rows absent → the documented "docs deleted"
-            // state, re-submitting the batch completes it).
-            def startAppend(): () => Unit = {
-              val session = spark
-              val manifest = pending != null
-              val fut = java.util.concurrent.CompletableFuture.runAsync { () =>
-                // SQLConf.get in the job thread resolves via the active-
-                // session thread-local; a fresh pool thread has none.
-                org.apache.spark.sql.SparkSession.setActiveSession(session)
-                val w = mappedP.repartition($"parent")
-                  .sortWithinPartitions($"parent", $"reduce_key")
-                  .write.partitionBy("parent")
-                // Manifest stores append via staging too: the merge's
-                // file renames (on the driver, at join) are what tells
-                // the model EXACTLY which files this batch added — no
-                // listing diff that could adopt a crashed batch's
-                // orphans.
-                if (manifest) w.mode("overwrite").parquet(s"$mapResultsPath.staging")
-                else w.mode("append").parquet(mapResultsPath)
-              }
-              () => {
-                fut.join()
-                if (manifest) modelAddFiles(mergeStagedDir(mapResultsPath))
-              }
-            }
             var appendJoin: () => Unit = () => ()
             var level0Source: DataFrame = null
             if (!anyStale) {
@@ -1239,6 +1338,97 @@ class Executer[D, R <: Product: TypeTag](
       }
     } finally if (!localSmall) docsP.unpersist()
     _lastStats.foreach(s => log.info(s"execute: $s"))
+  }
+
+  /** Delta spelling of the two-level re-reduce, for tasks declaring the
+    * abelian-group structure ([[MapReduceTask.deltaReducible]]): merge
+    * `reduce(negate(oldRows) ++ newRows)` into the stored partials and
+    * finals instead of recomputing each touched group from all its
+    * surviving level-0 rows. Inputs are O(batch); state reads are the
+    * touched partials/finals only. Rows that reach the group identity
+    * ([[MapReduceTask.isZero]]) are dropped at both levels — matching
+    * the recompute semantics where an empty group disappears.
+    *
+    * Key membership is pruned with driver `isin` predicates when the
+    * dirty pairs fit the driver (`driverPairs`), else with semi/anti
+    * joins against the delta itself. Untouched keys inside a dirty
+    * parent pass through `reduce` as singletons, which re-reducibility
+    * guarantees is the identity — so no exact pair-level anti-join is
+    * ever needed. Both levels land in the same single staged tree write
+    * as the recompute paths. */
+  private def rereduceDelta(oldRows: DataFrame, newRows: DataFrame,
+      driverPairs: Option[Seq[(String, Int)]]): Unit = {
+    val t = task
+    implicit val encIn: Encoder[(String, Int, R)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaInt, encR)
+    implicit val encKV: Encoder[(String, R)] =
+      Encoders.tuple(Encoders.STRING, encR)
+    val negOld = oldRows.select($"reduce_key", $"parent", $"payload")
+      .as[(String, Int, R)]
+      .map { case (k, p, r) => (k, p, t.negate(r)) }
+      .toDF("reduce_key", "parent", "payload")
+    val delta0 = negOld.unionByName(
+      newRows.select($"reduce_key", $"parent", $"payload"))
+    // The per-(key, parent) delta — reused by the partials merge AND the
+    // finals merge below, which land in ONE write job; persisted so the
+    // two branches of that job's union share the shuffle.
+    val deltaPartials = reduceByKeyParent(delta0)
+      .select("parent", "reduce_key", "payload").persist()
+    try {
+      // Dirty partition sets: free from the driver pairs, else one
+      // bounded collect (≤ fanIn × finalParts distinct combinations).
+      val (dirtyParents, dirtyFparts) = driverPairs match {
+        case Some(ps) =>
+          (ps.map(_._2).distinct.sorted,
+            ps.map(p => fpartOf(p._1)).distinct.sorted)
+        case None =>
+          val rows = deltaPartials.select($"parent",
+            pmod(hash($"reduce_key"), lit(config.finalParts)) as "fpart")
+            .distinct().collect()
+          (rows.map(_.getInt(0)).distinct.sorted.toSeq,
+            rows.map(_.getInt(1)).distinct.sorted.toSeq)
+      }
+      if (dirtyParents.isEmpty) return
+      lazy val dirtyKeysDF = deltaPartials.select("reduce_key").distinct()
+      val driverKeys = driverPairs.map(_.map(_._1).distinct)
+      def matchKeys(df: DataFrame): DataFrame = driverKeys match {
+        case Some(ks) => df.where($"reduce_key".isin(ks: _*))
+        case None => df.join(dirtyKeysDF, Seq("reduce_key"), "left_semi")
+      }
+      def excludeKeys(df: DataFrame): DataFrame = driverKeys match {
+        case Some(ks) => df.where(!$"reduce_key".isin(ks: _*))
+        case None => df.join(dirtyKeysDF, Seq("reduce_key"), "left_anti")
+      }
+
+      val oldPartials = readPartials()
+        .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
+      val mergedPartials = reduceByKeyParent(
+          matchKeys(oldPartials).unionByName(deltaPartials))
+        .select($"reduce_key", $"parent", $"payload").as[(String, Int, R)]
+        .filter(x => !t.isZero(x._3))
+        .toDF("reduce_key", "parent", "payload")
+        .select("parent", "reduce_key", "payload")
+      val partialsOut = excludeKeys(oldPartials).unionByName(mergedPartials)
+
+      val deltaByKey = reduceByKey(deltaPartials)
+      val oldFinals = readFinals()
+        .where($"fpart".isin(dirtyFparts.map(Integer.valueOf): _*))
+      val mergedFinals = reduceByKey(
+          matchKeys(oldFinals).select("reduce_key", "payload")
+            .unionByName(deltaByKey.select("reduce_key", "payload")))
+        .as[(String, R)]
+        .filter(x => !t.isZero(x._2))
+        .toDF("reduce_key", "payload")
+        .withColumn("fpart", pmod(hash($"reduce_key"), lit(config.finalParts)))
+        .select("fpart", "reduce_key", "payload")
+      val finalsOut = excludeKeys(oldFinals).unionByName(mergedFinals)
+
+      stageAndOverwriteTree(
+        tagLevel1(partialsOut).unionByName(tagLevel2(finalsOut)),
+        dirtyParents.map(p => s"level=1/part=$p") ++
+          dirtyFparts.map(fp => s"level=2/part=$fp"),
+        clustered = false)
+    } finally deltaPartials.unpersist()
   }
 
   /** Driver-pruned incremental re-reduce for small dirty sets: the exact

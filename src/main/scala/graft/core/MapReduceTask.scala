@@ -40,4 +40,36 @@ trait MapReduceTask[D, R] extends Serializable {
     * Leave false for multi-output reduces (e.g. identity/top-k per key),
     * which need the general `R* => R*` path. */
   def singleOutput: Boolean = false
+
+  /** Declare that the reduce forms an ABELIAN GROUP, not just a
+    * commutative semigroup: every entry has an inverse under the merge
+    * ([[negate]]), and the group identity is recognizable ([[isZero]]).
+    * Sum-shaped reduces (counts, totals, vector sums) qualify; min/max
+    * and top-k do not (a retracted minimum is not recoverable by any
+    * inverse — those stay on sibling recomputation, SURVEY §2.3.3).
+    *
+    * When true (requires [[singleOutput]]), the engine maintains the
+    * reduce tree by DELTAS on updates: it reads only the incoming
+    * documents' OLD map rows, negates them, merges `reduce(old⁻ ++ new)`
+    * into the stored partials and finals, and drops rows that reach the
+    * identity. Cost is O(batch + touched partials) — independent of how
+    * many OTHER documents share the touched keys, which is the term
+    * sibling recomputation pays (a hot shingle's group is the whole
+    * corpus). This is a deliberate departure from the reference's
+    * recompute-from-siblings contract (`Executer.cs:323-333`),
+    * OPT-IN per task; crash recovery always replays the WAL through the
+    * recompute path, which the group laws make equivalent — deltas are
+    * a steady-state optimization, never the durability story. */
+  def deltaReducible: Boolean = false
+
+  /** Group inverse: `reduce(r ++ negate(r))` must be [[isZero]]. Only
+    * called when [[deltaReducible]] is true. */
+  def negate(entry: R): R =
+    throw new UnsupportedOperationException("negate: not deltaReducible")
+
+  /** Group identity test: true iff `entry` represents "no contributions"
+    * — the engine drops such rows, matching the recompute semantics
+    * where an empty group simply disappears. Only consulted when
+    * [[deltaReducible]] is true. */
+  def isZero(entry: R): Boolean = false
 }

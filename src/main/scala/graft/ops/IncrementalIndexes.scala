@@ -280,6 +280,17 @@ object IncrementalIndexes {
     def reduceKey(e: ShingleFreq): String = e.sh
     def documentId(d: DocText): String = s"doc-${d.doc_id}"
     override def singleOutput: Boolean = true
+    // Doc counts form an abelian group: the engine maintains this index
+    // by DELTAS (subtract the edited docs' old shingles, add the new),
+    // O(batch + touched partials) instead of re-reducing every group a
+    // hot shingle appears in — the sibling-recompute term that made a
+    // 1/7-corpus edit a near-full re-reduce (SURVEY §16.6 #1, decided
+    // in r8). A shingle whose count reaches zero disappears, exactly as
+    // under recompute. Crash recovery still replays the WAL through the
+    // recompute path (MapReduceTask.deltaReducible).
+    override def deltaReducible: Boolean = true
+    override def negate(e: ShingleFreq): ShingleFreq = e.copy(ndocs = -e.ndocs)
+    override def isZero(e: ShingleFreq): Boolean = e.ndocs == 0L
   }
 
   /** q69's table: 3-gram shingle frequency over the whole corpus. */
@@ -370,7 +381,7 @@ object IncrementalIndexes {
       val updates = docs.filter(_.doc_id % 7 == 0)
         .map(d => d.copy(text = d.text +
           " twenty more revision tokens appended to move this doc up bins"))
-      ex.execute(updates)
+      Phases.timedUpdate("q89", ex)(ex.execute(updates))
       (store, preV)
     }
     (Memo.memo(updatedHandles, (s, "q89", dir))(
@@ -426,7 +437,7 @@ object IncrementalIndexes {
         ExecuterConfig(fanIn = 16, finalParts = 8))
       val updates = docs.filter(_.doc_id % 7 == 0)
         .map(d => d.copy(text = d.text + " xrevision"))
-      ex.execute(updates)
+      Phases.timedUpdate("q29", ex)(ex.execute(updates))
       ex.queryAll().select($"doc_id", $"mh0", $"mh1", $"mh2", $"mh3",
         $"mh4", $"mh5", $"mh6", $"mh7")
     },
@@ -448,7 +459,7 @@ object IncrementalIndexes {
         ExecuterConfig(fanIn = 16, finalParts = 8))
       val updates = docs.filter(_.doc_id % 7 == 0)
         .map(d => d.copy(text = d.text + " xrevision marker words here"))
-      ex.execute(updates)
+      Phases.timedUpdate("q64", ex)(ex.execute(updates))
       ex.queryAll().select($"doc_id", $"n_fps", $"fps_digest")
     },
 
@@ -470,7 +481,7 @@ object IncrementalIndexes {
         ExecuterConfig(fanIn = 16, finalParts = 8))
       val updates = vecs.filter(_.vec_id % 7 == 0)
         .map(v => v.copy(embedding = v.embedding.map(x => -x)))
-      ex.execute(updates)
+      Phases.timedUpdate("q37", ex)(ex.execute(updates))
       ex.queryAll().select($"vec_id", $"cell")
     },
 
@@ -494,7 +505,7 @@ object IncrementalIndexes {
         ExecuterConfig(fanIn = 16, finalParts = 8))
       val updates = docs.filter(_.doc_id % 7 == 0)
         .map(d => d.copy(text = d.text + " xrevision marker"))
-      ex.execute(updates)
+      Phases.timedUpdate("q77", ex)(ex.execute(updates))
       ex.queryAll().select($"sh", $"ndocs")
     },
 
@@ -516,7 +527,7 @@ object IncrementalIndexes {
         ExecuterConfig(fanIn = 16, finalParts = 8))
       val updates = docs.filter(_.doc_id % 7 == 0)
         .map(d => d.copy(text = d.text + " xrevision"))
-      ex.execute(updates)
+      Phases.timedUpdate("q97", ex)(ex.execute(updates))
       ex.queryAll().select($"doc_id", $"simhash")
     },
 
@@ -540,7 +551,7 @@ object IncrementalIndexes {
         ExecuterConfig(fanIn = 16, finalParts = 8))
       val updates = vecs.filter(_.vec_id % 7 == 0)
         .map(v => v.copy(embedding = v.embedding.map(x => -x)))
-      ex.execute(updates)
+      Phases.timedUpdate("q91", ex)(ex.execute(updates))
       ex.queryAll()
         .select($"cell", $"n_vecs", posexplode($"qsum"))
         .toDF("cell", "n_vecs", "dim", "qsum")
@@ -610,7 +621,7 @@ object IncrementalIndexes {
       }
       val ex = new Executer(EvalShingleIndex, store,
         ExecuterConfig(fanIn = 16, finalParts = 8))
-      ex.execute(docs.filter(d => d.doc_id % 89 == 0 && d.doc_id % 97 != 0))
+      Phases.timedUpdate("q78", ex)(ex.execute(docs.filter(d => d.doc_id % 89 == 0 && d.doc_id % 97 != 0)))
       val evalSh = ex.queryAll().select($"sh")
       val trainSh = Curation.shingleStream(s, dir, 4)
         .where($"doc_id" % 97 =!= 0 && $"doc_id" % 89 =!= 0)

@@ -185,7 +185,7 @@ object IndexQueries {
       // and moves to priority '1-URGENT'.
       val updates = orders.filter(_.o_orderkey % 97 == 0)
         .map(o => OrderDoc(o.o_orderkey, "1-URGENT", o.o_totalprice * 2))
-      ex.execute(updates)
+      Phases.timedUpdate("q41", ex)(ex.execute(updates))
       v
     } { p =>
       new Executer(OrdersByPriority, p,
@@ -213,6 +213,14 @@ object IndexQueries {
     override def singleOutput: Boolean = true
     def documentId(d: LineitemDoc): String =
       s"lineitem-${d.l_orderkey}-${d.l_linenumber}"
+    // (count, sum) is an abelian group → delta maintenance: a k-doc
+    // update touches k rows + ≤ keys×parents partials, never the whole
+    // corpus's groups. This is the store Bench measures the O(dirty)
+    // headline on.
+    override def deltaReducible: Boolean = true
+    override def negate(e: FlagStatusAgg): FlagStatusAgg =
+      FlagStatusAgg(e.flag_status, -e.cnt, -e.qty)
+    override def isZero(e: FlagStatusAgg): Boolean = e.cnt == 0L
   }
 
   case class TagAgg(tag: String, cnt: Long, total: BigDecimal)

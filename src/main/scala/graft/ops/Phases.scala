@@ -33,4 +33,23 @@ object Phases {
       r
     }
   }
+
+  /** Time an engine mutation AND record which maintenance strategy the
+    * engine chose (`MaintenanceStats.mode`: append / incremental-pruned /
+    * incremental-distributed / rebuild-fallback / build) — the line that
+    * tells a reader of the bench artifact whether an update leg ran the
+    * O(dirty) path or crossed the cost-based rebuild threshold
+    * (VERDICT r7 #2), without turning Spark logging on. */
+  private[graft] def timedUpdate[D, R <: Product](query: String,
+      ex: graft.core.Executer[D, R])(body: => Unit): Unit = {
+    val s = sink
+    if (s == null) body
+    else {
+      val t0 = System.nanoTime()
+      body
+      val mode = ex.lastStats.map(_.mode).getOrElse("?")
+      s(f"""{"q":"$query","phase":"store_update:$mode","sec":${
+        (System.nanoTime() - t0) / 1e9}%.3f}""")
+    }
+  }
 }

@@ -36,18 +36,25 @@ class RebuildFallbackSpec extends AnyFunSuite {
   implicit lazy val spark: SparkSession = TestSpark.spark
   import spark.implicits._
 
-  private val cfg = ExecuterConfig(fanIn = 8, finalParts = 4)
+  // driverDirtyLimit lowered so a 600-doc batch counts as LARGE (ids
+  // past the driver probe limit): driver-small batches never take the
+  // fallback by design — their invalidation is O(batch) pushdown and
+  // the map-table rewrite cannot pay for itself — so the spec must
+  // drive the genuinely-large shape through the distributed probes.
+  private val cfg = ExecuterConfig(fanIn = 8, finalParts = 4,
+    driverDirtyLimit = 256)
 
-  // 400 docs, each its own reduce key: a 300-doc re-keying update dirties
-  // 600 pairs (old + new keys) against 400 live pairs — far past the 0.5
-  // default fraction and the 256-pair check floor.
+  // 800 docs, each its own reduce key: a 600-doc re-keying update
+  // dirties 1200 pairs (old + new keys) against 800 live pairs — past
+  // the 0.5 default fraction, the 256-pair check floor, and the
+  // driver-small exclusion.
   private def baseDocs: Seq[Person] =
-    (0 until 400).map(i => Person(s"d$i", s"S$i"))
+    (0 until 800).map(i => Person(s"d$i", s"S$i"))
   private def bulkUpdate: Seq[Person] =
-    (0 until 300).map(i => Person(s"d$i", s"T$i"))
+    (0 until 600).map(i => Person(s"d$i", s"T$i"))
   private def expectedAfterUpdate: Set[(String, Long)] =
-    ((300 until 400).map(i => (s"S$i", 1L)) ++
-      (0 until 300).map(i => (s"T$i", 1L))).toSet
+    ((600 until 800).map(i => (s"S$i", 1L)) ++
+      (0 until 600).map(i => (s"T$i", 1L))).toSet
 
   private def allCounts(ex: Executer[Person, StatePop]): Set[(String, Long)] =
     ex.queryAll().as[(String, String, Long)].collect()
