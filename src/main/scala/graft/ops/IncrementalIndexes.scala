@@ -216,13 +216,18 @@ object IncrementalIndexes {
     * fixed-point quantized first (floor(x·1000 + 0.5), the q75 trick —
     * float addition reordered across partitions would otherwise differ
     * in the last ulp and the oracle hash with it); the centroid is one
-    * final division of exact integers. A re-embedded vector moves
-    * cells: retraction from the old cell's sum happens through
-    * delete-and-invalidate + sibling re-reduce, never a subtraction
-    * (which could not survive a lost update). At 100 TB this is the
-    * coarse-quantizer refresh a production ANN index runs per ingest
-    * batch without touching the 99% of cells no vector left or
-    * joined. */
+    * final division of exact integers. The quantization also makes
+    * (count, component sums) an exact abelian group, so the task
+    * declares [[MapReduceTask.deltaReducible]]: a re-embedded vector's
+    * retraction from its old cell is a SUBTRACTION of exact integers
+    * merged into the stored partials, never a re-reduce of the cell's
+    * other members. (Earlier rounds avoided subtraction because a lost
+    * update could corrupt the sum; the engine-level delta path closed
+    * that — the WAL is written before any mutation and recovery replays
+    * it through sibling recompute, which the group laws make
+    * equivalent.) At 100 TB this is the coarse-quantizer refresh a
+    * production ANN index runs per ingest batch without touching the
+    * 99% of cells no vector left or joined. */
   object IvfCentroidIndex extends MapReduceTask[VecDoc, CentroidRow] {
     def map(docs: Iterator[VecDoc]): Iterator[(String, CentroidRow)] =
       docs.map { v =>
@@ -248,6 +253,10 @@ object IncrementalIndexes {
     def reduceKey(e: CentroidRow): String = e.cell.toString
     def documentId(d: VecDoc): String = s"vec-${d.vec_id}"
     override def singleOutput: Boolean = true
+    override def deltaReducible: Boolean = true
+    override def negate(e: CentroidRow): CentroidRow =
+      e.copy(n_vecs = -e.n_vecs, qsum = e.qsum.map(x => -x))
+    override def isZero(e: CentroidRow): Boolean = e.n_vecs == 0L
   }
 
   case class ShingleFreq(sh: String, ndocs: Long)

@@ -131,5 +131,9 @@ class DeltaUpdateSpec extends AnyFunSuite {
     val sf = graft.ops.IncrementalIndexes.ShingleFreqIndex
     val e = graft.ops.IncrementalIndexes.ShingleFreq("abc", 5L)
     assert(sf.isZero(sf.reduce(Iterator(e, sf.negate(e))).next()))
+    val cx = graft.ops.IncrementalIndexes.IvfCentroidIndex
+    val c = graft.ops.IncrementalIndexes.CentroidRow(3, 2L, Array.fill(64)(7L))
+    val z = cx.reduce(Iterator(c, cx.negate(c))).next()
+    assert(cx.isZero(z) && z.qsum.forall(_ == 0L))
   }
 }
