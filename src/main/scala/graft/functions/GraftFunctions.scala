@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   - `winnow_fps(arr<string>, k, w)`        → array<string>
   *   - `hyperplane_probes(arr, bits, dim)`    → array<int> (2 cells)
   *   - `kgram_md5_set(arr<string>, k)`        → array<string>
+  *   - `bpe_tokens(text)`                     → int (learned merge table)
   *
   * Two entry points: [[GraftExtensions]] for
   * `SparkSession.builder().withExtensions(...)` (the production path),
@@ -62,6 +63,10 @@ object GraftFunctions {
     "kgram_md5_list" -> { args =>
       require(args.size == 2, "kgram_md5_list(words, k)")
       KgramMd5Set(args.head, intArg(args(1), "k"), distinct = false)
+    },
+    "bpe_tokens" -> { args =>
+      require(args.size == 1, "bpe_tokens(text)")
+      BpeTokenCount(args.head, BpeMergesLearned.Merges)
     })
 
   /** Register as temp functions on a live session. */

@@ -33,23 +33,36 @@ import Tables._
   * cannot forge symbol boundaries. Token count needs no re-split:
   * `sentinel occurrences - 1`, by construction of the spelling.
   *
-  * Scale shape: the encode is a per-row scalar chain (no shuffle, no
-  * UDF, no dictionary broadcast — the merge table is baked into the
-  * expression), so it streams through the scan stage at any corpus
-  * size; the aggregations on top are ordinary partial-agg'd hash
-  * aggregates. The per-word chain inside `transform(...)` runs on
-  * Catalyst's higher-order-function path (one narrow map per row) —
-  * the candidate for a codegen'd custom Expression if profiling ever
-  * shows it hot.
+  * Scale shape: the encode is per-row scalar work (no shuffle, no
+  * UDF, no dictionary broadcast), so it streams through the scan stage
+  * at any corpus size; the aggregations on top are ordinary
+  * partial-agg'd hash aggregates. Since r8 the ENGINE side runs
+  * [[graft.functions.BpeKernel]] — a codegen'd custom Expression
+  * applying the learned table with the reference min-rank loop,
+  * O(symbols × merges applied) per row instead of the replace chain's
+  * 2 whole-string scans per merge — while the ORACLE side keeps the
+  * literal replace-chain rendering below, generated from the same
+  * [[Merges]] table; `BpeLearnSpec` pins the two spellings equal on
+  * every corpus document.
   */
 object Bpe {
   private type Q = (SparkSession, String) => org.apache.spark.sql.DataFrame
 
-  /** The fixed merge table, in application order. Later merges operate
-    * on the symbols earlier merges produced (`in`+`g` → `ing`), the
-    * defining property of a BPE merge list. 32 operations over the
-    * highest-frequency English letter pairs — a deliberately small
-    * public-knowledge vocabulary.
+  /** The merge table, in application order — LEARNED from the corpus
+    * (r7's 32-merge hand-written toy replaced per VERDICT r7 #7): 79
+    * operations produced by [[BpeLearn]] over `documents.text` at
+    * sf0.01, stopped at the first merge where corpus fertility (BPE
+    * tokens per whitespace word) reaches 1.30 — real tokenizer sizing;
+    * unbounded learning saturates this small-vocabulary corpus at 89
+    * merges, where every word becomes ONE token and the token/word
+    * distinction the q102 family exists to exercise would vanish (the
+    * saturation numbers are recorded in the generated file's header,
+    * and `BpeLearnSpec` re-learns the table from the corpus and asserts
+    * the baked file matches byte-for-byte). Later merges operate on the
+    * symbols earlier merges produced (`jo`+`in` → `join`), the defining
+    * property of a BPE merge list — GUARANTEED here by construction of
+    * the learner, whose vocabulary state only ever contains single
+    * characters and earlier-merge outputs.
     *
     * Two scoping notes on fidelity (ADVICE r7): (1) the encode carries
     * NO end-of-word marker — subword-nmt's `</w>` symbol is omitted,
@@ -57,21 +70,15 @@ object Bpe {
     * identically; token COUNTS are what this module budgets by, and
     * they are well-defined without the marker. (2) The in-order
     * exhaustive application below is equivalent to the reference's
-    * min-rank loop only for HIERARCHY-VALID merge tables — each
-    * merge's operands must be producible only by EARLIER merges (true
-    * of any table actually learned by BPE training, and of this one);
-    * an arbitrary hand-written table violating that order could merge
-    * differently. Swapping in a bigger table keeps both engines in
-    * lockstep (one generator renders both dialects) but must respect
-    * this precondition. */
-  val Merges: Seq[(String, String)] = Seq(
-    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
-    "o" -> "n", "r" -> "e", "o" -> "r", "e" -> "n", "a" -> "t",
-    "o" -> "u", "e" -> "s", "i" -> "s", "i" -> "t", "a" -> "l",
-    "in" -> "g", "e" -> "d", "a" -> "r", "s" -> "t", "t" -> "o",
-    "o" -> "f", "an" -> "d", "c" -> "h", "l" -> "l", "u" -> "s",
-    "m" -> "e", "w" -> "h", "l" -> "e", "c" -> "o", "s" -> "e",
-    "d" -> "e", "th" -> "is")
+    * min-rank loop only for HIERARCHY-VALID merge tables (see above —
+    * any learned table qualifies); an arbitrary hand-written table
+    * violating that order could merge differently. The same hierarchy
+    * validity is what lets the hot path run
+    * [[graft.functions.BpeKernel]]'s min-rank loop while the oracles
+    * keep the replace-chain rendering — `BpeLearnSpec` proves the two
+    * agree on every corpus document and on a synthetic 300-merge
+    * table. */
+  val Merges: Seq[(String, String)] = graft.functions.BpeMergesLearned.Merges
 
   /** `~c~c~…~c~` spelling of `wordExpr` (sentinel-stripped first). The
     * capture class is `[\s\S]` — the union is EVERY character in both
@@ -88,29 +95,69 @@ object Bpe {
     else
       s"concat('~', regexp_replace(replace($wordExpr, '~', ''), '([\\\\s\\\\S])', '$$1~'))"
 
-  /** The full encode: every merge applied in order, TWICE each, as a
-    * literal replace over the spelling. Twice because left-to-right
-    * non-overlapping replacement consumes the trailing sentinel of
-    * each match — which is also the leading sentinel of an immediately
-    * adjacent candidate (`t h t h`: the second pair's `~` is gone), so
-    * one pass skips alternating pairs of a run. A skipped candidate is
-    * always ISOLATED (it directly follows a match; the pair after it
-    * kept its sentinel and matched), and merging (a,b)→ab can never
-    * create a new (a,b) pair (ab is strictly longer than a), so the
-    * second pass catches every skip and the merge is exhausted —
-    * matching the reference's apply-until-none-left semantics for
-    * token COUNTS. */
-  private def encoded(wordExpr: String, duck: Boolean): String =
-    Merges.foldLeft(spelled(wordExpr, duck)) { case (acc, (a, b)) =>
-      val once = s"replace($acc, '~$a~$b~', '~$a$b~')"
-      s"replace($once, '~$a~$b~', '~$a$b~')"
+  /** One merge applied TWICE, as a literal replace over the spelling.
+    * Twice because left-to-right non-overlapping replacement consumes
+    * the trailing sentinel of each match — which is also the leading
+    * sentinel of an immediately adjacent candidate (`t h t h`: the
+    * second pair's `~` is gone), so one pass skips alternating pairs
+    * of a run. A skipped candidate is always ISOLATED (it directly
+    * follows a match; the pair after it kept its sentinel and
+    * matched), and merging (a,b)→ab can never create a new (a,b) pair
+    * (ab is strictly longer than a), so the second pass catches every
+    * skip and the merge is exhausted — matching the reference's
+    * apply-until-none-left semantics for token COUNTS. */
+  private def mergePair(acc: String, a: String, b: String): String = {
+    val once = s"replace($acc, '~$a~$b~', '~$a$b~')"
+    s"replace($once, '~$a~$b~', '~$a$b~')"
+  }
+
+  /** The full encode as ONE nested scalar chain — Spark dialect only:
+    * Catalyst has no small fixed expression-nesting limit, but
+    * DuckDB's binder recursion caps at 128 and a learned-size table
+    * (79 merges = 158 nested `replace`s) exceeds it, so the DuckDB
+    * oracles apply the same merges as a LAYERED CTE chain instead
+    * ([[duckMergeCtes]]) — same generator template ([[mergePair]]),
+    * different shape. */
+  private def encoded(wordExpr: String,
+      table: Seq[(String, String)] = Merges): String =
+    table.foldLeft(spelled(wordExpr, duck = false)) {
+      case (acc, (a, b)) => mergePair(acc, a, b)
     }
 
-  /** Subword token count of one word: sentinel occurrences − 1. */
-  def tokenCountSql(wordExpr: String, duck: Boolean): String = {
-    val e = encoded(wordExpr, duck)
+  /** Subword token count of one word, Spark dialect (spec use; the
+    * engine's hot path is [[graft.functions.BpeKernel]]). The `table`
+    * override exists for `BpeLearnSpec`'s synthetic-table identity
+    * proofs. */
+  def tokenCountSql(wordExpr: String,
+      table: Seq[(String, String)] = Merges): String = {
+    val e = encoded(wordExpr, table)
     s"(length($e) - length(replace($e, '~', '')) - 1)"
   }
+
+  /** DuckDB spelling of `expr` for the start of a CTE chain. */
+  def duckSpelled(expr: String): String = spelled(expr, duck = true)
+
+  /** DuckDB merge application as a LAYERED CTE chain: `from` must
+    * provide the spelled text as column `s` plus the `carry` columns;
+    * returns (cteBlock, lastCteName) with every merge applied to `s`.
+    * 25 merges (50 nested `replace`s) per layer keeps each layer's
+    * expression depth far below DuckDB's 128 binder-recursion cap —
+    * the chain grows by LAYERS as the learned table grows, never by
+    * nesting depth, so any table size renders. */
+  def duckMergeCtes(tag: String, from: String,
+      carry: Seq[String]): (String, String) = {
+    val chunks = Merges.grouped(25).toVector
+    val ctes = chunks.zipWithIndex.map { case (ms, i) =>
+      val prev = if (i == 0) from else s"$tag${i - 1}"
+      val e = ms.foldLeft("s") { case (acc, (a, b)) => mergePair(acc, a, b) }
+      s"$tag$i AS (SELECT ${(carry :+ s"$e AS s").mkString(", ")} FROM $prev)"
+    }
+    (ctes.mkString(",\n"), s"$tag${chunks.size - 1}")
+  }
+
+  /** Token count of a fully-merged spelled column: sentinels − 1. */
+  def duckTokensOfSpelled(s: String): String =
+    s"(length($s) - length(replace($s, '~', '')) - 1)"
 
   /** Per-document subword total as ONE whole-text encode — no word
     * explode, no higher-order function (Spark HOFs are
@@ -133,16 +180,32 @@ object Bpe {
   // (VERDICT r7 #4): the former bare `\s` meant different sets in Java
   // (includes \x0B) and RE2 (does not) — the explicit class is the
   // RE2-safe intersection, identical in both engines on any input.
-  private def docTokens(duck: Boolean): String = {
-    val e = encoded("text", duck)
-    val wsStripped =
-      if (duck) s"regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g')"
-      else s"regexp_replace(text, '[ \\\\t\\\\n\\\\f\\\\r]', '')"
+  private[graft] def docTokensSpark: String = {
+    val e = encoded("text")
+    val wsStripped = s"regexp_replace(text, '[ \\\\t\\\\n\\\\f\\\\r]', '')"
     s"(length($e) - length(replace($e, '~', '')) - 1" +
       s" - (length(text) - length($wsStripped)))"
   }
-  private[graft] def docTokensSpark: String = docTokens(duck = false)
-  private[graft] def docTokensDuck: String = docTokens(duck = true)
+
+  /** DuckDB whole-text token CTE block: emits CTEs ending in one named
+    * `last` (returned) with columns (carry..., wsc, s) where `s` is the
+    * fully-merged spelled text and `wsc` the whitespace char count;
+    * per-doc tokens = [[duckTokensOfSpelled]]`("s") - wsc` (whitespace
+    * symbols survive the merges untouched — no learned symbol contains
+    * whitespace — so subtracting them leaves exactly the word
+    * subwords). */
+  private[graft] def duckDocTokenCtes(tag: String,
+      carry: Seq[String]): (String, String) = {
+    val sp =
+      s"""${tag}sp AS (
+         |  SELECT ${(carry :+
+          ("(length(text) - length(regexp_replace(text, " +
+            "'[ \\t\\n\\f\\r]', '', 'g'))) AS wsc") :+
+          s"${duckSpelled("text")} AS s").mkString(", ")}
+         |  FROM documents)""".stripMargin
+    val (chain, last) = duckMergeCtes(tag, s"${tag}sp", carry :+ "wsc")
+    (s"$sp,\n$chain", last)
+  }
 
   val queries: Map[String, Q] = Map(
     // Corpus token accounting in TOKENIZER units: per language, word
@@ -156,7 +219,8 @@ object Bpe {
       t(s, dir, "documents")
         .select($"lang",
           explode(expr("regexp_extract_all(text, '[^ \\\\t\\\\n\\\\f\\\\r]+', 0)")) as "w")
-        .select($"lang", expr(tokenCountSql("w", duck = false)) as "toks",
+        .select($"lang",
+          graft.functions.BpeKernel.bpeTokens($"w") as "toks",
           length($"w") as "wlen")
         .groupBy($"lang")
         .agg(count(lit(1)) as "words",
@@ -176,7 +240,8 @@ object Bpe {
       val w = Window.partitionBy($"source").orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "documents")
-        .select($"source", $"doc_id", expr(docTokensSpark) as "toks")
+        .select($"source", $"doc_id",
+          graft.functions.BpeKernel.bpeTokens($"text") as "toks")
         .withColumn("cum", sum($"toks").over(w))
         .withColumn("seq_bin", expr("(cum - toks) div 512"))
         .groupBy($"source", $"seq_bin")
@@ -185,27 +250,36 @@ object Bpe {
           min($"doc_id") as "first_doc")
     })
 
-  val oracles: Map[String, String] = Map(
-    "q102_bpe_token_count" ->
-      s"""WITH w AS (
-         |  SELECT lang, unnest(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')) AS w
-         |  FROM documents)
-         |SELECT lang, count(*) AS words,
-         |  CAST(sum(${tokenCountSql("w", duck = true)}) AS BIGINT) AS bpe_tokens,
-         |  CAST(sum(length(w)) AS BIGINT) AS chars
-         |FROM w GROUP BY lang""".stripMargin,
-    "q102b_bpe_pack" ->
-      s"""WITH d AS (
-         |  SELECT source, doc_id, $docTokensDuck AS toks
-         |  FROM documents),
-         |c AS (
-         |  SELECT source, doc_id, toks,
-         |    sum(toks) OVER (PARTITION BY source ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM d)
-         |SELECT source, CAST((cum - toks) // 512 AS BIGINT) AS seq_bin,
-         |  count(*) AS docs,
-         |  CAST(sum(toks) AS BIGINT) AS bpe_tokens,
-         |  CAST(min(doc_id) AS BIGINT) AS first_doc
-         |FROM c GROUP BY 1, 2""".stripMargin)
+  val oracles: Map[String, String] = {
+    val (wordChain, wordLast) = duckMergeCtes("b", "sp", Seq("lang", "wlen"))
+    val (docChain, docLast) = duckDocTokenCtes("p", Seq("source", "doc_id"))
+    Map(
+      "q102_bpe_token_count" ->
+        s"""WITH w AS (
+           |  SELECT lang, unnest(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')) AS w
+           |  FROM documents),
+           |sp AS (
+           |  SELECT lang, length(w) AS wlen, ${duckSpelled("w")} AS s FROM w),
+           |$wordChain
+           |SELECT lang, count(*) AS words,
+           |  CAST(sum(${duckTokensOfSpelled("s")}) AS BIGINT) AS bpe_tokens,
+           |  CAST(sum(wlen) AS BIGINT) AS chars
+           |FROM $wordLast GROUP BY lang""".stripMargin,
+      "q102b_bpe_pack" ->
+        s"""WITH $docChain,
+           |d AS (
+           |  SELECT source, doc_id,
+           |    (${duckTokensOfSpelled("s")} - wsc) AS toks
+           |  FROM $docLast),
+           |c AS (
+           |  SELECT source, doc_id, toks,
+           |    sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM d)
+           |SELECT source, CAST((cum - toks) // 512 AS BIGINT) AS seq_bin,
+           |  count(*) AS docs,
+           |  CAST(sum(toks) AS BIGINT) AS bpe_tokens,
+           |  CAST(min(doc_id) AS BIGINT) AS first_doc
+           |FROM c GROUP BY 1, 2""".stripMargin)
+  }
 }

@@ -177,7 +177,8 @@ object Dedup {
     "q102c_bpe_split_budget" -> { (s, dir) =>
       import s.implicits._
       val toks = t(s, dir, "documents")
-        .select($"doc_id", expr(Bpe.docTokensSpark) as "toks")
+        .select($"doc_id",
+          graft.functions.BpeKernel.bpeTokens($"text") as "toks")
       leakageSafeSplit(s, dir).join(toks, "doc_id")
         .groupBy($"split")
         .agg(count(lit(1)) as "docs",
@@ -881,11 +882,12 @@ object Dedup {
       s"$seed*$h2) % 18446744073709551616::HUGEINT)::UBIGINT),16,'0'))))"
   }
 
-  /** The leakage-safe-split token-budget oracle, parameterized on the
-    * per-doc token expression — ONE definition for q93 (whitespace
-    * tokens) and q102c (BPE subword tokens), per the q66/q70
-    * shared-oracle doctrine. */
-  private def splitBudgetOracleSql(tokExpr: String, tokCol: String): String =
+  /** The leakage-safe-split token-budget oracle, parameterized on a
+    * CTE BLOCK ending in `tok(doc_id, toks)` — ONE definition for q93
+    * (whitespace tokens, a one-CTE block) and q102c (BPE subword
+    * tokens, [[Bpe.duckDocTokenCtes]]'s layered merge chain), per the
+    * q66/q70 shared-oracle doctrine. */
+  private def splitBudgetOracleSql(tokCtes: String, tokCol: String): String =
     s"""$clusterCteSql,
        |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
        |a AS (
@@ -899,9 +901,7 @@ object Dedup {
        |        1, 4))::INT % 100 < 95 THEN 'val'
        |      ELSE 'test' END AS split
        |  FROM a),
-       |tok AS (
-       |  SELECT doc_id, $tokExpr AS toks
-       |  FROM documents)
+       |$tokCtes
        |SELECT spl.split,
        |  count(*) AS docs,
        |  CAST(sum(toks) AS BIGINT) AS $tokCol,
@@ -1108,9 +1108,19 @@ object Dedup {
          |    len(list_distinct(sh_t || sh_e)) AS jaccard
          |FROM pairs""".stripMargin,
     "q93_split_token_budget" ->
-      splitBudgetOracleSql("len(string_split_regex(text, '[ \\t\\n\\f\\r]+'))", "tokens"),
-    "q102c_bpe_split_budget" ->
-      splitBudgetOracleSql(Bpe.docTokensDuck, "bpe_tokens"),
+      splitBudgetOracleSql(
+        """tok AS (
+          |  SELECT doc_id,
+          |    len(string_split_regex(text, '[ \t\n\f\r]+')) AS toks
+          |  FROM documents)""".stripMargin, "tokens"),
+    "q102c_bpe_split_budget" -> {
+      val (ctes, last) = Bpe.duckDocTokenCtes("t", Seq("doc_id"))
+      splitBudgetOracleSql(
+        s"""$ctes,
+           |tok AS (
+           |  SELECT doc_id, (${Bpe.duckTokensOfSpelled("s")} - wsc) AS toks
+           |  FROM $last)""".stripMargin, "bpe_tokens")
+    },
     "q95_simhash_pairs" ->
       s"""WITH sim AS (
          |  SELECT doc_id,

@@ -8,9 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Bpe
 
-/** Round-7 operators: BPE token accounting (fixed public merge table,
-  * Sennrich et al. 2016 application order) and HTML boilerplate
-  * extraction. The encode pins assert exact token counts through the
+/** Round-7 operators: BPE token accounting (corpus-learned merge
+  * table since r8, Sennrich et al. 2016 application order) and HTML
+  * boilerplate extraction. The encode pins assert exact token counts through the
   * ENGINE's own expression chain (Spark SQL evaluation, not a JVM
   * reimplementation), so the spec pins precisely what production
   * evaluates; DuckDB-side agreement is the driver's oracle gate. */
@@ -20,28 +20,35 @@ class BpeHtmlSpec extends AnyFunSuite {
 
   private def count(word: String): Int = {
     val safe = word.replace("'", "")
-    spark.sql(s"SELECT ${Bpe.tokenCountSql(s"'$safe'", duck = false)}")
+    spark.sql(s"SELECT ${Bpe.tokenCountSql(s"'$safe'")}")
       .collect()(0).getInt(0)
   }
 
   test("BPE encode: merges apply in learned order and compose") {
-    // th+e and th+is build on the (t,h) merge — application order is
-    // the defining BPE property the chain must preserve.
-    assert(count("the") == 1)
-    assert(count("this") == 1)
-    assert(count("and") == 1)
-    assert(count("ing") == 1)
+    // j+o → jo, then jo+in → join: the later merge consumes the
+    // earlier one's output — application order is the defining BPE
+    // property the chain must preserve. Deeper compositions: hash
+    // (as+h, h+ash) and customer (cu+st, cust+o, custo+mer).
+    assert(count("join") == 1)
+    assert(count("hash") == 1)
+    assert(count("customer") == 1)
     // (a,t) fires; (c, at) is not in the table — partial merges stay.
     assert(count("cat") == 2)
+    // A CORPUS word the fertility stop deliberately left split — the
+    // non-degenerate subword structure BpeLearnSpec asserts globally.
+    assert(count("query") == 4)
     // No merge applies at all.
     assert(count("zq") == 2)
   }
 
   test("BPE encode: greedy left-to-right on repeated pairs") {
-    // 'ttt' has no (t,t) merge: stays 3 symbols. 'thth' merges both
-    // (t,h) pairs left-to-right into two 'th' symbols.
+    // 'ttt' has no (t,t) merge: stays 3 symbols. 'erer' merges both
+    // (e,r) pairs left-to-right into two 'er' symbols (and 'ererer'
+    // into three — the adjacent-pair skip the double-replace exists
+    // for).
     assert(count("ttt") == 3)
-    assert(count("thth") == 2)
+    assert(count("erer") == 2)
+    assert(count("ererer") == 3)
   }
 
   test("BPE encode: sentinel characters in input cannot forge boundaries") {
@@ -83,7 +90,7 @@ class BpeHtmlSpec extends AnyFunSuite {
       .as[(Int, Int)].collect().toMap
     val perWord = df
       .selectExpr("id", "explode(regexp_extract_all(text, '\\\\S+', 0)) AS w")
-      .selectExpr("id", s"${Bpe.tokenCountSql("w", duck = false)} AS n")
+      .selectExpr("id", s"${Bpe.tokenCountSql("w")} AS n")
       .groupBy("id").agg(ssum("n") as "n")
       .as[(Int, Long)].collect().toMap
     texts.indices.foreach { i =>
