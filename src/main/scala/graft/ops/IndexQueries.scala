@@ -37,6 +37,12 @@ object IndexQueries {
     def reduceKey(e: NationAgg): String = e.nation
     override def singleOutput: Boolean = true
     def documentId(d: CustDoc): String = s"customer-${d.c_custkey}"
+    // Sum-shaped → abelian group; q40 only builds this store, but a
+    // user updating it gets O(batch) deltas for free.
+    override def deltaReducible: Boolean = true
+    override def negate(e: NationAgg): NationAgg =
+      NationAgg(e.nation, -e.cnt, -e.acctbal)
+    override def isZero(e: NationAgg): Boolean = e.cnt == 0L
   }
 
   case class OrderDoc(o_orderkey: Long, o_orderpriority: String, o_totalprice: Double)
@@ -55,6 +61,14 @@ object IndexQueries {
     def reduceKey(e: PriorityAgg): String = e.priority
     override def singleOutput: Boolean = true
     def documentId(d: OrderDoc): String = s"orders-${d.o_orderkey}"
+    // (count, BigDecimal sum) is an exact abelian group → delta
+    // maintenance: q41's re-prioritization update subtracts the moved
+    // orders from their old priority row and adds them to the new one,
+    // never re-reducing the untouched orders sharing those priorities.
+    override def deltaReducible: Boolean = true
+    override def negate(e: PriorityAgg): PriorityAgg =
+      PriorityAgg(e.priority, -e.cnt, -e.total)
+    override def isZero(e: PriorityAgg): Boolean = e.cnt == 0L
   }
 
   /** One built store DIRECTORY per (task, source dir) per process,
@@ -243,6 +257,12 @@ object IndexQueries {
     def reduceKey(e: TagAgg): String = e.tag
     override def singleOutput: Boolean = true
     def documentId(d: OrderDoc2): String = s"orders-${d.o_orderkey}"
+    // Sum-shaped → abelian group. Multi-emit maps compose with deltas
+    // naturally: the delta negates the incoming docs' old map ROWS,
+    // however many keys each doc emitted to.
+    override def deltaReducible: Boolean = true
+    override def negate(e: TagAgg): TagAgg = TagAgg(e.tag, -e.cnt, -e.total)
+    override def isZero(e: TagAgg): Boolean = e.cnt == 0L
   }
 
   lazy val queries2: Map[String, Q] = Map(

@@ -135,5 +135,15 @@ class DeltaUpdateSpec extends AnyFunSuite {
     val c = graft.ops.IncrementalIndexes.CentroidRow(3, 2L, Array.fill(64)(7L))
     val z = cx.reduce(Iterator(c, cx.negate(c))).next()
     assert(cx.isZero(z) && z.qsum.forall(_ == 0L))
+    import graft.ops.IndexQueries
+    val pa = IndexQueries.PriorityAgg("1-URGENT", 3L, BigDecimal("12.50"))
+    assert(IndexQueries.OrdersByPriority.isZero(IndexQueries.OrdersByPriority
+      .reduce(Iterator(pa, IndexQueries.OrdersByPriority.negate(pa))).next()))
+    val ta = IndexQueries.TagAgg("status:O", 2L, BigDecimal("5"))
+    assert(IndexQueries.OrdersMultiTag.isZero(IndexQueries.OrdersMultiTag
+      .reduce(Iterator(ta, IndexQueries.OrdersMultiTag.negate(ta))).next()))
+    val na = IndexQueries.NationAgg("7", 4L, BigDecimal("9.25"))
+    assert(IndexQueries.CustByNation.isZero(IndexQueries.CustByNation
+      .reduce(Iterator(na, IndexQueries.CustByNation.negate(na))).next()))
   }
 }
