@@ -63,7 +63,14 @@ class DeltaUpdateSpec extends AnyFunSuite {
       val expected = model.values.filter(_ != "SKIP")
         .groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
       assert(allCounts(ex) == expected, s"round $round diverged")
-      if (round > 0) assert(ex.lastStats.get.mode == "delta")
+      if (round > 0) {
+        assert(ex.lastStats.get.mode == "delta")
+        // The delta's job count is a small constant — probe, WAL,
+        // append, merge/write — never a function of key count or
+        // corpus size (the O(batch) claim as a regression net).
+        assert(ex.lastStats.get.sparkJobs <= 10,
+          s"delta ran ${ex.lastStats.get.sparkJobs} jobs")
+      }
     }
     // The maintained state survives a fresh open (published generation).
     val ex2 = new Executer(DeltaCountByState, store, cfg)
