@@ -1195,6 +1195,7 @@ class Executer[D, R <: Product: TypeTag](
             // clearDirtyLog's publish) — idempotent, batch invisible,
             // re-submitting completes it (RebuildFallbackSpec pins the
             // kill-mid-fallback window).
+            stageRebuildOldKeys()
             writeDirtyLogLocal(Seq(("", FullRebuild)))
             val all = readMapResults()
             val survivors =
@@ -1662,6 +1663,44 @@ class Executer[D, R <: Product: TypeTag](
     * reclaims immediately). Reading a generation whose manifest or data
     * files have been GC'd fails with a file-not-found error — never a
     * silently wrong answer. Legacy stores have no generations. */
+  /** The CDC invalidation surface: DISTINCT reduce keys touched by any
+    * mutation published in generations `(sinceVersion, current]` — the
+    * set a downstream consumer holding results as of `sinceVersion`
+    * must refetch (and only that set). "Touched" means a document
+    * contributed to the key before or after the mutation — the same
+    * dirty set the engine's own incremental maintenance re-reduces, so
+    * the record costs one local write (driver-known batches) or one
+    * keys-only parquet write (distributed ones) per published
+    * generation, never a state diff. A key that VANISHED is in the set
+    * (its deletion must invalidate); a rebuilt store records old ∪ new
+    * final keys. `compact()` prunes records older than
+    * `manifestRetention` generations — asking past the pruning horizon
+    * fails loudly, never silently under-reports. Manifest stores only
+    * (generations are the manifest layer's construct). */
+  def changedKeysSince(sinceVersion: Long): DataFrame = {
+    configChecked
+    val cur = readCurrentVersion()
+    if (cur < 0) throw new UnsupportedOperationException(
+      "changedKeysSince: not a manifest store (no published generations)")
+    require(sinceVersion >= -1 && sinceVersion <= cur,
+      s"sinceVersion must be in [-1, $cur], got $sinceVersion")
+    val h = changedHorizon()
+    if (sinceVersion < h) throw new IllegalStateException(
+      s"changed-keys records up to generation $h have been pruned by " +
+        s"compact(); cannot answer since=$sinceVersion — refetch everything")
+    val vs = (sinceVersion + 1) to cur
+    val localKeys = vs.flatMap(readChangedLocal)
+    val localDF = spark.createDataset(localKeys.toSeq)(Encoders.STRING)
+      .toDF("reduce_key")
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("reduce_key", StringType)))
+    vs.map(changedDistPath).filter(exists)
+      .foldLeft(localDF) { (acc, d) =>
+        acc.unionByName(spark.read.schema(schema).parquet(d))
+      }
+      .distinct()
+  }
+
   def queryAllAt(version: Long): DataFrame = {
     configChecked
     require(version >= 0, s"snapshot generations are >= 0, got $version")
@@ -2450,9 +2489,94 @@ class Executer[D, R <: Product: TypeTag](
     // state; clearing first would make a crash lose the batch's dirty
     // set while its data was already visible.
     publishPending()
+    // Archive the WAL's key set as the just-published generation's
+    // changed-keys record ([[changedKeysSince]]) before deleting it. A
+    // crash between publish and archive leaves a generation without a
+    // record — but its WAL survives, recovery replays it, and THAT
+    // clearDirtyLog archives the keys under the recovery's generation:
+    // invalidations can be delayed by a crash, never lost (a missing
+    // record reads as "no changes", which is exactly what
+    // fold/compact-only generations are).
+    archiveChangedKeys()
     if (exists(dirtyPath)) fs.delete(new Path(dirtyPath), true)
     if (exists(dirtyLocalPath)) fs.delete(new Path(dirtyLocalPath), false)
   }
+
+  // ---- changed-keys (CDC invalidation) log --------------------------
+  // One record per published generation that mutated logical state:
+  // `changed/c<v>` (driver-known key list, single local write — no
+  // Spark job on the small-update hot path) or `changed/v<v>` (parquet,
+  // distributed dirty sets). The FullRebuild sentinel records the union
+  // of the PRE-rebuild final keys (staged by the rebuild paths before
+  // they overwrite state) and the post-rebuild final keys — the honest
+  // invalidation set of a reprocess-everything batch.
+  private val changedDirPath = s"$storePath/changed"
+  private def changedLocalPath(v: Long) = s"$changedDirPath/c$v"
+  private def changedDistPath(v: Long) = s"$changedDirPath/v$v"
+  private val changedRebuildStaging = s"$changedDirPath/rebuild.staging"
+  private val changedHorizonPath = s"$changedDirPath/_horizon"
+
+  /** Stage the pre-rebuild final keys so the sentinel archive can name
+    * keys the rebuild made DISAPPEAR. Called by the rebuild-fallback
+    * branch before any mutation; a crashed rebuild leaves the staging
+    * in place for the recovery replay's archive. */
+  private def stageRebuildOldKeys(): Unit =
+    if (exists(treePath))
+      readFinals().select("reduce_key").distinct()
+        .write.mode("overwrite").parquet(changedRebuildStaging)
+
+  private def archiveChangedKeys(): Unit = {
+    if (pending == null) return // legacy stores have no generations
+    val v = pending.version
+    if (v < 0) return
+    def sentinelRecord(): Unit = {
+      val newKeys =
+        if (exists(treePath)) readFinals().select("reduce_key").distinct()
+        else spark.emptyDataFrame.withColumn("reduce_key", lit(""))
+          .where(lit(false))
+      val all =
+        if (exists(changedRebuildStaging))
+          newKeys.unionByName(
+            spark.read.schema(newKeys.schema).parquet(changedRebuildStaging))
+            .distinct()
+        else newKeys
+      all.write.mode("overwrite").parquet(changedDistPath(v))
+      if (exists(changedRebuildStaging))
+        fs.delete(new Path(changedRebuildStaging), true)
+    }
+    if (exists(dirtyLocalPath)) {
+      val pairs = readDirtyLogLocal()
+      if (pairs.exists(_._2 == FullRebuild)) sentinelRecord()
+      else writeLocalAtomic(changedLocalPath(v)) { out =>
+        val keys = pairs.map(_._1).distinct
+        out.writeInt(keys.length); keys.foreach(out.writeUTF)
+      }
+    } else if (exists(dirtyPath)) {
+      val dirty = readDirtyLog()
+      if (dirty.where($"parent" === FullRebuild).limit(1).count() > 0)
+        sentinelRecord()
+      else dirty.select($"reduce_key").distinct()
+        .write.mode("overwrite").parquet(changedDistPath(v))
+    }
+  }
+
+  private def readChangedLocal(v: Long): Seq[String] = {
+    if (!exists(changedLocalPath(v))) return Nil
+    val in = new java.io.DataInputStream(
+      stateFs.open(new Path(changedLocalPath(v))))
+    try {
+      val n = in.readInt()
+      (0 until n).map(_ => in.readUTF())
+    } finally in.close()
+  }
+
+  private def changedHorizon(): Long =
+    if (!exists(changedHorizonPath)) -1L
+    else {
+      val in = new java.io.DataInputStream(
+        stateFs.open(new Path(changedHorizonPath)))
+      try in.readLong() finally in.close()
+    }
 
   /** Crash recovery: if a dirty log survives from an interrupted execute,
     * re-run the re-reduce for it (idempotent — level-1 parents are rebuilt
@@ -2606,6 +2730,23 @@ class Executer[D, R <: Product: TypeTag](
         publishPending()
       }
       sweepOrphansLocked()
+      // Prune changed-keys records past the retention window and advance
+      // the horizon so changedKeysSince refuses (loudly) to answer for
+      // baselines older than what survives — the same contract as
+      // time-traveling to a GC'd generation.
+      val cutoff = pending.version - config.manifestRetention
+      if (cutoff > changedHorizon() && exists(changedDirPath)) {
+        fs.listStatus(new Path(changedDirPath)).foreach { st =>
+          val name = st.getPath.getName
+          val v = name.headOption match {
+            case Some('c') | Some('v') =>
+              try name.drop(1).toLong catch { case _: NumberFormatException => Long.MaxValue }
+            case _ => Long.MaxValue
+          }
+          if (v <= cutoff) fs.delete(st.getPath, true)
+        }
+        writeLocalAtomic(changedHorizonPath)(_.writeLong(cutoff))
+      }
     }
   }
 

@@ -167,6 +167,22 @@ object IndexQueries {
         .select($"reduce_key", $"cnt", toDouble($"total") as "total")
     },
 
+    // The CDC invalidation surface (r8): the keys a consumer holding
+    // the PRE-update generation must refetch after q41's mutation —
+    // exactly the moved orders' old priorities plus the priority they
+    // moved to, derived from the per-generation changed-keys records
+    // the engine writes as a byproduct of its own dirty tracking (one
+    // local write per driver-small batch; no state diff, no extra
+    // scan). Shares q41's store and versions, so the sweep pays
+    // nothing new. At 100 TB this is what turns a maintained index
+    // into a pipeline STAGE: downstream consumers poll
+    // changedKeysSince(v) and refetch O(churn), not O(keys).
+    "q104_changed_keys" -> { (s, dir) =>
+      import s.implicits._
+      val (ex, v) = ordersByPriorityUpdated(s, dir)
+      ex.changedKeysSince(v).select($"reduce_key")
+    },
+
     // The round-6 SQL catalog, oracle-gated: register the (cached,
     // read-only) CustByNation store as temp views and answer entirely
     // through `spark.sql` — the SQL-only consumer's path to maintained
@@ -395,6 +411,14 @@ object IndexQueries {
     "q41b_mr_time_travel" ->
       s"""SELECT o_orderpriority AS reduce_key, count(*) AS cnt,
          |CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS total
-         |FROM orders GROUP BY 1""".stripMargin
+         |FROM orders GROUP BY 1""".stripMargin,
+    // The invalidation set of q41's update batch: each moved order
+    // touches its OLD priority key (retraction) and '1-URGENT'
+    // (insertion) — nothing else.
+    "q104_changed_keys" ->
+      """SELECT DISTINCT o_orderpriority AS reduce_key FROM orders
+        |WHERE o_orderkey % 97 = 0
+        |UNION
+        |SELECT '1-URGENT' AS reduce_key""".stripMargin
   )
 }
