@@ -183,6 +183,21 @@ object IndexQueries {
       ex.changedKeysSince(v).select($"reduce_key")
     },
 
+    // The consumer side of the CDC loop: refetch ONLY the invalidated
+    // keys (point-pruned `queryKeys` — partition filters, never a full
+    // final-table scan; PlanSpec pins the pruning) and get exactly the
+    // current rows a generation-v cache must replace. Keys that
+    // VANISHED return no row — the consumer's delete signal. The
+    // driver-side collect is bounded by one batch's churn, the very
+    // quantity this surface exists to keep small.
+    "q104b_changed_keys_refetch" -> { (s, dir) =>
+      import s.implicits._
+      val (ex, v) = ordersByPriorityUpdated(s, dir)
+      val keys = ex.changedKeysSince(v).as[String].collect().toSeq
+      ex.queryKeys(keys)
+        .select($"reduce_key", $"cnt", toDouble($"total") as "total")
+    },
+
     // The round-6 SQL catalog, oracle-gated: register the (cached,
     // read-only) CustByNation store as temp views and answer entirely
     // through `spark.sql` — the SQL-only consumer's path to maintained
@@ -419,6 +434,23 @@ object IndexQueries {
       """SELECT DISTINCT o_orderpriority AS reduce_key FROM orders
         |WHERE o_orderkey % 97 = 0
         |UNION
-        |SELECT '1-URGENT' AS reduce_key""".stripMargin
+        |SELECT '1-URGENT' AS reduce_key""".stripMargin,
+    // Post-update state restricted to the invalidation set: what the
+    // consumer's refetch must return. A vanished key joins away on
+    // both sides.
+    "q104b_changed_keys_refetch" ->
+      s"""WITH chg AS (
+         |  SELECT DISTINCT o_orderpriority AS reduce_key FROM orders
+         |  WHERE o_orderkey % 97 = 0
+         |  UNION
+         |  SELECT '1-URGENT' AS reduce_key),
+         |cur AS (
+         |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
+         |              ELSE o_orderpriority END AS reduce_key,
+         |  count(*) AS cnt,
+         |  CAST(sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS total
+         |  FROM orders GROUP BY 1)
+         |SELECT cur.reduce_key, cur.cnt, cur.total
+         |FROM cur JOIN chg USING (reduce_key)""".stripMargin
   )
 }
