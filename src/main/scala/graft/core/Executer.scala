@@ -598,7 +598,13 @@ class Executer[D, R <: Product: TypeTag](
       try {
         rels.foreach(r => pool.execute(() => rename(r)))
         pool.shutdown()
-        pool.awaitTermination(1L, java.util.concurrent.TimeUnit.HOURS)
+        // A timeout MUST abort (code-review r8): proceeding would delete
+        // the staging dir with un-renamed files still in it while the
+        // pending generation names their destinations — exactly the
+        // destruction renameOrFail exists to prevent.
+        if (!pool.awaitTermination(1L, java.util.concurrent.TimeUnit.HOURS))
+          firstErr.compareAndSet(null, new java.io.IOException(
+            s"mergeStagedDir: rename fan-out timed out for $destPath"))
       } finally pool.shutdownNow()
     }
     if (firstErr.get != null) throw firstErr.get
@@ -1197,10 +1203,12 @@ class Executer[D, R <: Product: TypeTag](
             // kill-mid-fallback window).
             stageRebuildOldKeys()
             writeDirtyLogLocal(Seq(("", FullRebuild)))
-            val all = readMapResults()
-            val survivors =
-              if (idsSmall) all.where(!$"doc_id".isin(idsProbe.toIndexedSeq: _*))
-              else all.join(incomingIds, Seq("doc_id"), "left_anti")
+            // The trigger requires !idsSmall, so the batch's ids are an
+            // anti-join, never a driver isin (code-review r8: a dead
+            // driver-small arm here implied support the decision logic
+            // forbids).
+            val survivors = readMapResults()
+              .join(incomingIds, Seq("doc_id"), "left_anti")
             writePartitioned(survivors.unionByName(mappedP),
               mapResultsPath, Seq("parent")); jobs += 1
             // The rewrite physically excluded every tombstoned row and
@@ -1212,8 +1220,7 @@ class Executer[D, R <: Product: TypeTag](
             modelSetTombLocal(None)
             rereduceAll(); jobs += 1
             _lastStats = Some(MaintenanceStats("rebuild-fallback",
-              jobs, if (idsSmall) idsProbe.length else -1,
-              dirtyLower.toInt, -1,
+              jobs, -1, dirtyLower.toInt, -1,
               (System.nanoTime() - t0) / 1000000))
           } else if (!probeOverflow)
             smallBatchWidth {
@@ -2488,6 +2495,12 @@ class Executer[D, R <: Product: TypeTag](
     // the two replays an idempotent re-reduce of the just-published
     // state; clearing first would make a crash lose the batch's dirty
     // set while its data was already visible.
+    // Whether this call actually lands a generation — a no-op batch
+    // (nothing staged, nothing dirty) must NOT archive: pending.version
+    // would still be the PREVIOUS generation and an empty record would
+    // clobber its real one, silently under-reporting invalidations
+    // (code-review r8).
+    val published = pending != null && pendingDirty
     publishPending()
     // Archive the WAL's key set as the just-published generation's
     // changed-keys record ([[changedKeysSince]]) before deleting it. A
@@ -2497,7 +2510,7 @@ class Executer[D, R <: Product: TypeTag](
     // invalidations can be delayed by a crash, never lost (a missing
     // record reads as "no changes", which is exactly what
     // fold/compact-only generations are).
-    archiveChangedKeys()
+    if (published) archiveChangedKeys()
     if (exists(dirtyPath)) fs.delete(new Path(dirtyPath), true)
     if (exists(dirtyLocalPath)) fs.delete(new Path(dirtyLocalPath), false)
   }
@@ -2736,6 +2749,11 @@ class Executer[D, R <: Product: TypeTag](
       // time-traveling to a GC'd generation.
       val cutoff = pending.version - config.manifestRetention
       if (cutoff > changedHorizon() && exists(changedDirPath)) {
+        // Horizon BEFORE the deletes (code-review r8): a crash between
+        // the two then refuses queries it could still have answered —
+        // conservative — instead of silently reading pruned generations
+        // as "no changes".
+        writeLocalAtomic(changedHorizonPath)(_.writeLong(cutoff))
         fs.listStatus(new Path(changedDirPath)).foreach { st =>
           val name = st.getPath.getName
           val v = name.headOption match {
@@ -2745,7 +2763,6 @@ class Executer[D, R <: Product: TypeTag](
           }
           if (v <= cutoff) fs.delete(st.getPath, true)
         }
-        writeLocalAtomic(changedHorizonPath)(_.writeLong(cutoff))
       }
     }
   }

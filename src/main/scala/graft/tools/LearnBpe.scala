@@ -40,7 +40,10 @@ object LearnBpe {
     try {
       val counts = wordCounts(spark, sfDir)
       val trace = BpeLearn.learnTrace(counts, 512)
-      val merges = BpeLearn.learnToFertility(counts, target, 512)
+      // Derive the fertility cut from the trace already computed —
+      // learnToFertility would re-run the whole learning loop.
+      val cut = trace.indexWhere(_._2 <= target)
+      val merges = (if (cut < 0) trace else trace.take(cut + 1)).map(_._1)
       val fert = trace(merges.size - 1)._2
       val note = f"Fertility-stopped at target $target%.2f: fertility " +
         f"$fert%.4f after merge ${merges.size}; unbounded learning " +

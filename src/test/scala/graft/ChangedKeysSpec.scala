@@ -124,6 +124,21 @@ class ChangedKeysSpec extends AnyFunSuite {
     assert(got.contains("CA") && got.contains("WA"))
   }
 
+  test("a no-op batch never clobbers the previous generation's record") {
+    val store = TestTmp.dir("graft-chg-noop")
+    val ex = new Executer(DeltaCountByState, store, cfg)
+    ex.execute(spark.createDataset(Seq(Person("a", "CA"))))
+    val v0 = ex.snapshotVersion()
+    ex.execute(spark.createDataset(Seq(Person("b", "TX"))))
+    // A batch of brand-new all-SKIP docs: no map rows, no stale rows,
+    // nothing staged — no generation publishes. The archive must not
+    // overwrite the last real generation's record with this batch's
+    // empty key set (code-review r8).
+    ex.execute(spark.createDataset(Seq(Person("z1", "SKIP"), Person("z2", "SKIP"))))
+    assert(ex.snapshotVersion() > v0)
+    assert(changed(ex, v0) == Set("TX"))
+  }
+
   test("compact prunes old records and the horizon fails loudly") {
     val store = TestTmp.dir("graft-chg-horizon")
     val ex = new Executer(PeopleCountByState, store,
