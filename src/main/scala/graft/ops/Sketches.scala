@@ -60,6 +60,94 @@ object Sketches {
     bridge.column(BloomFilterMightContain(
       Literal(bloomBytes, BinaryType), bridge.expression(hash)))
 
+  /** SpaceSaving heavy-hitters summary (Metwally, Agrawal & El Abbadi,
+    * "Efficient Computation of Frequent and Top-k Elements in Data
+    * Streams", ICDT 2005), with the mergeable-summaries combine
+    * (Agarwal et al., PODS 2012): k counters, eviction inherits the
+    * evicted count as the newcomer's overestimate (`err`), and merging
+    * charges each summary's FLOOR (its min count, 0 unless it evicted)
+    * to tokens the other side tracked. Invariants the spec pins:
+    * `true ≤ est ≤ true + err` for every surviving entry, and when the
+    * stream's vocabulary fits k counters on every partition, no
+    * eviction ever happens and the summary is EXACT — which is what
+    * lets q105 be oracle-checked against a plain GROUP BY (this
+    * corpus: 31 distinct tokens, k = 64). Spark has HLL/GK/CMS
+    * built-ins but no SpaceSaving, so this is the documented
+    * per-partition-imperative case: one summary per partition
+    * (`mapPartitions`), a bounded `numPartitions × k` collect, driver
+    * merge — the treeAggregate shape every mergeable sketch runs at
+    * any scale. */
+  final class SpaceSaving(val k: Int) extends Serializable {
+    // token -> (count, err); size ≤ k.
+    val entries = new java.util.HashMap[String, (Long, Long)]()
+    // Whether an eviction ever happened; the merge floor is 0 otherwise.
+    var evicted = false
+
+    def floor: Long =
+      if (!evicted || entries.isEmpty) 0L
+      else {
+        var m = Long.MaxValue
+        entries.forEach((_, ce) => if (ce._1 < m) m = ce._1)
+        m
+      }
+
+    def add(t: String): Unit = {
+      val cur = entries.get(t)
+      if (cur != null) entries.put(t, (cur._1 + 1L, cur._2))
+      else if (entries.size < k) entries.put(t, (1L, 0L))
+      else {
+        // Evict the min-count entry; the newcomer inherits its count as
+        // an overestimate and records it as err.
+        var minT: String = null; var minC = Long.MaxValue
+        entries.forEach((tok, ce) =>
+          if (ce._1 < minC || (ce._1 == minC && (minT == null || tok < minT))) {
+            minT = tok; minC = ce._1
+          })
+        entries.remove(minT)
+        entries.put(t, (minC + 1L, minC))
+        evicted = true
+      }
+    }
+
+    /** Merge `other` in (both sides' floors charged to absent tokens),
+      * then cut back to the k largest counts. */
+    def merge(other: SpaceSaving): SpaceSaving = {
+      val fa = floor; val fb = other.floor
+      val all = new java.util.HashMap[String, (Long, Long)]()
+      entries.forEach { (t, ce) =>
+        val o = other.entries.get(t)
+        val (oc, oe) = if (o != null) o else (fb, fb)
+        all.put(t, (ce._1 + oc, ce._2 + oe))
+      }
+      other.entries.forEach { (t, ce) =>
+        if (!all.containsKey(t)) all.put(t, (ce._1 + fa, ce._2 + fa))
+      }
+      val out = new SpaceSaving(k)
+      out.evicted = evicted || other.evicted
+      if (all.size <= k) out.entries.putAll(all)
+      else {
+        out.evicted = true
+        val top = new java.util.ArrayList(all.entrySet())
+        top.sort { (a, b) =>
+          val c = java.lang.Long.compare(b.getValue._1, a.getValue._1)
+          if (c != 0) c else a.getKey.compareTo(b.getKey)
+        }
+        (0 until k).foreach { i =>
+          val e = top.get(i); out.entries.put(e.getKey, e.getValue)
+        }
+      }
+      out
+    }
+  }
+
+  object SpaceSaving {
+    def of(k: Int, it: Iterator[String]): SpaceSaving = {
+      val s = new SpaceSaving(k)
+      it.foreach(s.add)
+      s
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // q66's decontamination result, produced the 100 TB way: aggregate
     // the (small) eval side's shingle hashes into ONE 128 KiB Bloom
@@ -120,6 +208,34 @@ object Sketches {
       docLevel.join(tokLevel, "source")
     },
 
+    // SpaceSaving heavy hitters over the corpus token stream (r8): one
+    // k=64 summary per partition, a bounded numPartitions × k collect,
+    // one driver merge — the mergeable-summary shape whose cost is
+    // O(k) per partition at ANY corpus size (a 100 TB run moves a few
+    // KB per task where the exact GROUP BY shuffles the full token
+    // stream). Unlike q71's HLL/GK this one IS oracle-checked: the
+    // corpus vocabulary (31) fits the k=64 counters on every
+    // partition, so no eviction happens, merge floors are 0, and the
+    // summary is provably EXACT — equal to the plain GROUP BY. The
+    // approximate regime (vocab > k: eviction, floors, ε-bounds,
+    // merge law) is SketchSpec's property territory.
+    "q105_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(words($"text")) as "tok").as[String]
+      val partials = toks.mapPartitions(it =>
+          Iterator.single(SpaceSaving.of(64, it)))(
+          org.apache.spark.sql.Encoders.kryo[SpaceSaving])
+        .collect()
+      val merged = partials.reduceLeft((a, b) => a.merge(b))
+      val rows = {
+        val b = Vector.newBuilder[(String, Long)]
+        merged.entries.forEach((t, ce) => b += ((t, ce._1)))
+        b.result()
+      }
+      s.createDataset(rows).toDF("token", "cnt")
+    },
+
     // Exact revenue by a deliberately skewed derived key (5 hot keys
     // over all of lineitem), joined to a per-key dimension WITHOUT
     // broadcasting: the dim is replicated across 8 salt shards and the
@@ -152,6 +268,14 @@ object Sketches {
     "q70_bloom_decontaminate" -> Curation.decontaminationOracle,
     // q71 deliberately has no SQL oracle (different sketch algorithms
     // on each side); SketchSpec pins its error bounds and merge law.
+    // q105 IS oracle-checked: vocabulary < k ⇒ the summary is exactly
+    // the GROUP BY (see the query's derivation); same tokenizer
+    // spelling as the Spark side (Curation.words).
+    "q105_heavy_hitters" ->
+      """SELECT w AS token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(text, '[ \t\n\f\r]+')) AS w
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
     "q72_salted_skew_join" ->
       """WITH dim AS (
         |  SELECT s_suppkey % 5 AS hot, count(*) AS nsupp

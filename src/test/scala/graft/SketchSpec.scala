@@ -111,4 +111,53 @@ class SketchSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n${p.take(1500)}")
     assert(!p.contains("BroadcastHashJoin"), "salting demo must not silently broadcast")
   }
+
+  test("SpaceSaving: exact when the vocabulary fits the counters") {
+    import graft.ops.Sketches.SpaceSaving
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => s"t$i")
+    val stream = (0 until 20000).map(_ => vocab(rnd.nextInt(vocab.size)))
+    val truth = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    // Partitioned build + merge, vocab (40) < k (64): no eviction
+    // anywhere, floors are 0, the merged summary IS the group-by.
+    val parts = stream.grouped(2500).map(g => SpaceSaving.of(64, g.iterator)).toSeq
+    val merged = parts.reduceLeft((a, b) => a.merge(b))
+    val got = {
+      val b = Map.newBuilder[String, (Long, Long)]
+      merged.entries.forEach((t, ce) => b += (t -> ce))
+      b.result()
+    }
+    assert(got.view.mapValues(_._1).toMap == truth)
+    assert(got.values.forall(_._2 == 0L), "no overestimate in the exact regime")
+  }
+
+  test("SpaceSaving: approximate regime keeps true <= est <= true + err " +
+      "and surfaces the hot tokens") {
+    import graft.ops.Sketches.SpaceSaving
+    val rnd = new scala.util.Random(7)
+    // Zipf-ish: 5 hot tokens own most of the stream, a 500-token tail
+    // forces constant eviction at k = 64.
+    val stream = (0 until 60000).map { _ =>
+      if (rnd.nextInt(10) < 6) s"hot${rnd.nextInt(5)}"
+      else s"cold${rnd.nextInt(500)}"
+    }
+    val truth = stream.groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }.withDefaultValue(0L)
+    def check(merged: SpaceSaving): Unit = {
+      var hotSeen = 0
+      merged.entries.forEach { (t, ce) =>
+        val (est, err) = ce
+        assert(truth(t) <= est, s"$t: est $est under true ${truth(t)}")
+        assert(est - err <= truth(t),
+          s"$t: est $est - err $err exceeds true ${truth(t)}")
+        if (t.startsWith("hot")) hotSeen += 1
+      }
+      assert(hotSeen == 5, s"all hot tokens must survive, saw $hotSeen")
+    }
+    val parts = stream.grouped(7500).map(g => SpaceSaving.of(64, g.iterator)).toVector
+    check(parts.reduceLeft((a, b) => a.merge(b)))
+    // The merge law is order-insensitive in its GUARANTEES (estimates
+    // may differ; the bounds and the heavy survivors may not).
+    check(parts.reverse.reduceLeft((a, b) => a.merge(b)))
+  }
 }
