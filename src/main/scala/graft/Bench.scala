@@ -334,48 +334,13 @@ object Bench {
       emitSummary()
     }
 
-    // ---- section 2: the query sweep, cheapest-first (VERDICT r7 #1) ----
-    val sweepQueries = SparkEntry.queries.toSeq
-      .filter { case (n, _) => selected(n) }
-      .sortBy { case (n, _) => (knownCosts.getOrElse(n, 0.4), n) }
-    for (((name, fn), i) <- sweepQueries.zipWithIndex) {
-      if (overBudget) skippedQueries += name
-      else {
-        var rows = -1L
-        var err: Option[String] = None
-        val sec = time {
-          try rows = fn(spark, sfDir).count()
-          catch { case t: Throwable =>
-            err = Some(t.getClass.getSimpleName + ": " +
-              String.valueOf(t.getMessage).take(160).replaceAll("[\"\\\\\n]", " "))
-          }
-        }
-        // Queries are independent: drop their TRANSIENT materialization
-        // barriers so block pressure from one query never bleeds into
-        // the next one's timing — but keep the memoized shared
-        // signature/pair/frequency tables warm. The former
-        // `spark.catalog.clearCache()` also unpersisted those, so every
-        // later consumer silently rebuilt the shared chain per query
-        // and the cross-query sharing never happened under this driver
-        // (VERDICT r6 #2/#3: q59b paid an 86.9s cold rebuild).
-        graft.ops.SessionCaches.clearTransient(spark)
-        results += QR(name, sec, rows, err)
-        // Detail line per query, emitted as it completes: progress
-        // visibility AND a per-query record that does not have to fit in
-        // whatever tail window the recorder keeps.
-        println(f"""{"q":"$name","sec":$sec%.3f,"rows":$rows${
-          err.map(e => s""","err":"$e"""").getOrElse("")}}""")
-        // Periodic checkpoint summary: a kill mid-sweep still leaves a
-        // recent parseable summary line behind it.
-        if ((i + 1) % 15 == 0) emitSummary()
-      }
-    }
-    if (skippedQueries.nonEmpty)
-      println(s"""{"skipped_query_names":${skippedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
-    emitSummary()
-
-    // ---- section 3: the N×-scaled incremental probe (LAST — the most
-    // expensive work runs when losing it costs the least) ----
+    // ---- section 2: the N×-scaled incremental probe (runs BEFORE the
+    // sweep since r8: it carries the cross-scale O(dirty) ratio — a
+    // claim-bearing field — while every sweep query's CORRECTNESS is
+    // already gated by Verify; under host swing a budget kill should
+    // cost the sweep's expensive tail, never this section. The base
+    // section stays first: its headline must land even if this probe
+    // misbehaves.) ----
     if (runInc10x) {
       if (overBudget) { skippedSections += "incscaled"; emitSummary() }
       else {
@@ -418,6 +383,47 @@ object Bench {
         emitSummary()
       }
     }
+
+    // ---- section 3: the query sweep, cheapest-first (VERDICT r7 #1) ----
+    val sweepQueries = SparkEntry.queries.toSeq
+      .filter { case (n, _) => selected(n) }
+      .sortBy { case (n, _) => (knownCosts.getOrElse(n, 0.4), n) }
+    for (((name, fn), i) <- sweepQueries.zipWithIndex) {
+      if (overBudget) skippedQueries += name
+      else {
+        var rows = -1L
+        var err: Option[String] = None
+        val sec = time {
+          try rows = fn(spark, sfDir).count()
+          catch { case t: Throwable =>
+            err = Some(t.getClass.getSimpleName + ": " +
+              String.valueOf(t.getMessage).take(160).replaceAll("[\"\\\\\n]", " "))
+          }
+        }
+        // Queries are independent: drop their TRANSIENT materialization
+        // barriers so block pressure from one query never bleeds into
+        // the next one's timing — but keep the memoized shared
+        // signature/pair/frequency tables warm. The former
+        // `spark.catalog.clearCache()` also unpersisted those, so every
+        // later consumer silently rebuilt the shared chain per query
+        // and the cross-query sharing never happened under this driver
+        // (VERDICT r6 #2/#3: q59b paid an 86.9s cold rebuild).
+        graft.ops.SessionCaches.clearTransient(spark)
+        results += QR(name, sec, rows, err)
+        // Detail line per query, emitted as it completes: progress
+        // visibility AND a per-query record that does not have to fit in
+        // whatever tail window the recorder keeps.
+        println(f"""{"q":"$name","sec":$sec%.3f,"rows":$rows${
+          err.map(e => s""","err":"$e"""").getOrElse("")}}""")
+        // Periodic checkpoint summary: a kill mid-sweep still leaves a
+        // recent parseable summary line behind it.
+        if ((i + 1) % 15 == 0) emitSummary()
+      }
+    }
+    if (skippedQueries.nonEmpty)
+      println(s"""{"skipped_query_names":${skippedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+    emitSummary()
+
     spark.stop()
     // The final summary is re-printed as the ABSOLUTE LAST stdout line
     // of the process: `spark.stop()` and shutdown hooks log to stderr,
