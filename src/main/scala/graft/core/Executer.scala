@@ -1064,9 +1064,23 @@ class Executer[D, R <: Product: TypeTag](
                     dirtyDF.limit(DriverDirtyLimit + 1).collect())
                 else dirtyDF.limit(DriverDirtyLimit + 1).collect()
               jobs += 1
+              val overflowed = pairsProbe.length > DriverDirtyLimit
+              val sampledStale = pairsProbe.exists(_.getBoolean(2))
+              // An OVERFLOWED probe is a truncated sample: a large batch
+              // of mostly-new docs plus a few resubmitted ones can fill
+              // the whole sample with is_stale=false rows while stale
+              // rows exist past the cutoff. Staleness gates tombstoning
+              // and old-row negation in the delta path below — trusting
+              // the sample there silently skips retraction (ADVICE r8,
+              // high). One bounded existence probe (limit-1 over the
+              // semi-joined stale side) makes it exact; non-overflowed
+              // probes saw the complete set and stay job-free. The
+              // localSmall branch is already exact: its stale scan's
+              // limit can only truncate NON-empty results.
+              val staleExact = sampledStale ||
+                (overflowed && { jobs += 1; !stale.isEmpty })
               (pairsProbe.map(r => (r.getString(0), r.getInt(1))).distinct.toSeq,
-                pairsProbe.exists(_.getBoolean(2)),
-                pairsProbe.length > DriverDirtyLimit)
+                staleExact, overflowed)
             }
 
           // Rebuild-fallback decision (full rationale at its branch
@@ -2267,11 +2281,28 @@ class Executer[D, R <: Product: TypeTag](
     n
   }
 
+  // Length-prefixed raw UTF-8 for USER-derived strings (document ids,
+  // reduce keys) in the local binary records: `writeUTF` throws
+  // UTFDataFormatException past 65535 modified-UTF-8 bytes, and a batch
+  // carrying such a key would fail at archive time — after publish
+  // (ADVICE r8). Manifest serialization keeps writeUTF: its strings are
+  // store-relative file paths the engine itself generates, bounded by
+  // construction.
+  private def writeStr(out: java.io.DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.writeInt(b.length); out.write(b)
+  }
+  private def readStr(in: java.io.DataInputStream): String = {
+    val n = in.readInt()
+    val b = new Array[Byte](n); in.readFully(b)
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   private def readTombFile(path: String): Seq[(String, Int)] = {
     val in = new java.io.DataInputStream(stateFs.open(new Path(path)))
     try {
       val n = in.readInt()
-      (0 until n).map(_ => (in.readUTF(), in.readInt()))
+      (0 until n).map(_ => (readStr(in), in.readInt()))
     } finally in.close()
   }
 
@@ -2306,7 +2337,7 @@ class Executer[D, R <: Product: TypeTag](
     val merged = prev.toMap ++ ids.map(_ -> seq)
     def writeTo(path: String): Unit = writeLocalAtomic(path) { out =>
       out.writeInt(merged.size)
-      merged.foreach { case (k, s) => out.writeUTF(k); out.writeInt(s) }
+      merged.foreach { case (k, s) => writeStr(out, k); out.writeInt(s) }
     }
     if (pending != null) {
       val rel = s"_tomb/t$seq.bin"
@@ -2477,14 +2508,14 @@ class Executer[D, R <: Product: TypeTag](
   private def writeDirtyLogLocal(pairs: Seq[(String, Int)]): Unit =
     writeLocalAtomic(dirtyLocalPath) { out =>
       out.writeInt(pairs.length)
-      pairs.foreach { case (k, p) => out.writeUTF(k); out.writeInt(p) }
+      pairs.foreach { case (k, p) => writeStr(out, k); out.writeInt(p) }
     }
 
   private def readDirtyLogLocal(): Seq[(String, Int)] = {
     val in = new java.io.DataInputStream(stateFs.open(new Path(dirtyLocalPath)))
     try {
       val n = in.readInt()
-      (0 until n).map(_ => (in.readUTF(), in.readInt()))
+      (0 until n).map(_ => (readStr(in), in.readInt()))
     } finally in.close()
   }
 
@@ -2500,17 +2531,20 @@ class Executer[D, R <: Product: TypeTag](
     // would still be the PREVIOUS generation and an empty record would
     // clobber its real one, silently under-reporting invalidations
     // (code-review r8).
-    val published = pending != null && pendingDirty
+    // Archive the WAL's key set as the ABOUT-to-publish generation's
+    // changed-keys record ([[changedKeysSince]]) BEFORE the `_current`
+    // flip (ADVICE r8): readers never query (since, cur] past the
+    // published cur, so a pre-publish record for v+1 is invisible until
+    // the flip — whereas archiving after the flip opened a crash window
+    // where generation v's data was visible while changedKeysSince
+    // reported an empty set for it (a consumer polling in that window
+    // cached stale values until the recovery's next generation). A
+    // crash BETWEEN archive and publish leaves an orphan record for an
+    // unpublished version; the surviving WAL replays through recovery,
+    // whose own pre-publish archive overwrites it for the version that
+    // actually lands — never read meanwhile, never leaked.
+    if (pending != null && pendingDirty) archiveChangedKeys()
     publishPending()
-    // Archive the WAL's key set as the just-published generation's
-    // changed-keys record ([[changedKeysSince]]) before deleting it. A
-    // crash between publish and archive leaves a generation without a
-    // record — but its WAL survives, recovery replays it, and THAT
-    // clearDirtyLog archives the keys under the recovery's generation:
-    // invalidations can be delayed by a crash, never lost (a missing
-    // record reads as "no changes", which is exactly what
-    // fold/compact-only generations are).
-    if (published) archiveChangedKeys()
     if (exists(dirtyPath)) fs.delete(new Path(dirtyPath), true)
     if (exists(dirtyLocalPath)) fs.delete(new Path(dirtyLocalPath), false)
   }
@@ -2540,7 +2574,9 @@ class Executer[D, R <: Product: TypeTag](
 
   private def archiveChangedKeys(): Unit = {
     if (pending == null) return // legacy stores have no generations
-    val v = pending.version
+    // Called BEFORE publishPending flips `_current` (see clearDirtyLog):
+    // the record belongs to the version the publish is about to land.
+    val v = pending.version + 1
     if (v < 0) return
     def sentinelRecord(): Unit = {
       val newKeys =
@@ -2562,7 +2598,7 @@ class Executer[D, R <: Product: TypeTag](
       if (pairs.exists(_._2 == FullRebuild)) sentinelRecord()
       else writeLocalAtomic(changedLocalPath(v)) { out =>
         val keys = pairs.map(_._1).distinct
-        out.writeInt(keys.length); keys.foreach(out.writeUTF)
+        out.writeInt(keys.length); keys.foreach(writeStr(out, _))
       }
     } else if (exists(dirtyPath)) {
       val dirty = readDirtyLog()
@@ -2579,7 +2615,7 @@ class Executer[D, R <: Product: TypeTag](
       stateFs.open(new Path(changedLocalPath(v))))
     try {
       val n = in.readInt()
-      (0 until n).map(_ => in.readUTF())
+      (0 until n).map(_ => readStr(in))
     } finally in.close()
   }
 

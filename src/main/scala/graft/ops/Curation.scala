@@ -51,6 +51,15 @@ object Curation {
     .empty[(org.apache.spark.sql.SparkSession, String),
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
 
+  // Shared-build surface (VERDICT r8 #1): membership checks for the
+  // bench's warm section.
+  private[ops] def freq3Built(
+      s: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    freq3Cache.contains((s, dir))
+  private[ops] def fluencyBuilt(
+      s: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    fluencyCache.contains((s, dir))
+
   /** Drop this session's memoized tables (see [[SessionCaches.evict]]).
     * Their persisted blocks are released by Dedup's barrier registry —
     * every persist in this module goes through `Dedup.barrier`. */
@@ -95,7 +104,7 @@ object Curation {
     * frequency aggregation and the join-back (two scans of the 2-gram
     * md5 explode without the barrier), and q96 reuses the whole result
     * after q83 computed it. */
-  private def bigramFluency(s: org.apache.spark.sql.SparkSession,
+  private[ops] def bigramFluency(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Memo.memoFresh(fluencyCache, (s, dir))(
         _.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {

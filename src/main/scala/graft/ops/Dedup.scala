@@ -492,6 +492,21 @@ object Dedup {
           .where($"jaccard" >= 0.5).select($"id_a", $"id_b")))
     }
 
+  // ---- shared-build surface (VERDICT r8 #1) --------------------------
+  // Which links of the memoized sig→lsh→strong→cc/cluster chain are
+  // already built for (s, dir) — the bench's warm section checks this
+  // so each link's one-time cost lands in its OWN `build:` entry
+  // instead of whichever consumer query runs first.
+  private[ops] def chainBuilt(part: String, s: SparkSession,
+      dir: String): Boolean = part match {
+    case "sig" => sigCache.contains((s, dir))
+    case "lsh" => lshCache.contains((s, dir))
+    case "strong" => strongCache.contains((s, dir))
+    case "cc" => ccCache.contains((s, dir))
+    case "cluster_store" => clusterStoreCache.contains((s, dir))
+    case other => throw new IllegalArgumentException(s"no chain part: $other")
+  }
+
   /** Drop this session's memoized artifacts and unpersist their cached
     * blocks (see [[SessionCaches.evict]]). The barrier registry is the
     * authoritative unpersist list — it holds EVERY persist this module
@@ -536,7 +551,7 @@ object Dedup {
       }
     }
 
-  private def neardupClusters(
+  private[ops] def neardupClusters(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     Memo.memo(ccCache, (s, dir)) {
       import s.implicits._

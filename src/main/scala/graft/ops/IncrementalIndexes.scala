@@ -382,12 +382,21 @@ object IncrementalIndexes {
       .repartition(cpuWidth(s)).as[DocLen]
     val cfg = ExecuterConfig(fanIn = 16, finalParts = 8)
     val (path, v) = Memo.memo(updatedStores, ("q89", dir)) {
-      val store = clonedBaseStore("q89", dir) { p =>
-        new Executer(LengthHistIndex, p, cfg).execute(docs)
-      }
+      // Direct baseStoreOf (not clonedBase): warmBase("q89") routes HERE,
+      // so the internal base build must not route back through it.
+      val base = baseStoreOf("q89", dir)(p =>
+        new Executer(LengthHistIndex, p, cfg).execute(docs))
+      val store = Phases.timed("q89", "store_clone")(
+        TempStores.cloneOf(base, "graft-run-q89"))
       val ex = new Executer(LengthHistIndex, store, cfg)
       val preV = ex.snapshotVersion()
-      val updates = docs.filter(_.doc_id % 7 == 0)
+      // % 37 (~1/37 of the corpus), not the siblings' % 7: the oracle
+      // only needs the retraction semantics — bin moves, min/max
+      // recovery through sibling re-reduce — which a ~140-doc batch at
+      // sf0.1 exercises fully, while the % 7 batch dirtied nearly every
+      // (source, bin) pair and made this family's one-time build the
+      // single heaviest driver bench entry (29.6s, VERDICT r8 #5).
+      val updates = docs.filter(_.doc_id % 37 == 0)
         .map(d => d.copy(text = d.text +
           " twenty more revision tokens appended to move this doc up bins"))
       Phases.timedUpdate("q89", ex)(ex.execute(updates))
@@ -413,9 +422,9 @@ object IncrementalIndexes {
   private val baseStores =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
-  private def clonedBaseStore(key: String, dir: String)(
-      build: String => Unit): String = {
-    val base = Memo.memo(baseStores, (key, dir)) {
+  private def baseStoreOf(key: String, dir: String)(
+      build: String => Unit): String =
+    Memo.memo(baseStores, (key, dir)) {
       // Phase line per one-time base build: the sweep's tail is these
       // builds, and a bench anomaly must say WHICH store's build ate
       // the time (the q59b lesson, VERDICT r6 #2).
@@ -423,8 +432,69 @@ object IncrementalIndexes {
         val p = TempStores.scratch(s"graft-base-$key"); build(p); p
       }
     }
+
+  /** Warm (or reuse) the memoized base store for `key`, then clone it
+    * for this invocation's private mutation — the query-body entry
+    * point. The build spelling lives ONLY in [[warmBase]], so the warm
+    * section and the query bodies cannot drift. */
+  private def clonedBase(key: String, s: SparkSession, dir: String): String = {
+    warmBase(key, s, dir)
     Phases.timed(key, "store_clone")(
-      TempStores.cloneOf(base, s"graft-run-$key"))
+      TempStores.cloneOf(baseStores((key, dir)), s"graft-run-$key"))
+  }
+
+  // ---- shared-build surface (VERDICT r8 #1) --------------------------
+  // The one-time base-store builds, exposed so the bench can run each
+  // as its OWN separately-attributed `build:` cost entry instead of
+  // billing it to whichever family query happens to execute first.
+  // Each warm spelling is THE SAME memoized builder the query bodies
+  // call — no second spelling to drift.
+
+  private[ops] def baseBuilt(key: String, dir: String): Boolean =
+    baseStores.contains((key, dir))
+  private[ops] def q89Built(dir: String): Boolean =
+    updatedStores.contains(("q89", dir))
+
+  private def cfg16 = ExecuterConfig(fanIn = 16, finalParts = 8)
+  private def docTexts(s: SparkSession, dir: String) = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id".cast("long") as "doc_id", $"text")
+      .repartition(cpuWidth(s)).as[DocText]
+  }
+  private def vecDocs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select($"vec_id".cast("long") as "vec_id", $"embedding")
+      .repartition(cpuWidth(s)).as[VecDoc]
+  }
+
+  /** Build (memoize) the base store for `key` without cloning or
+    * updating — the warm-section entry point. q89 warms its whole
+    * one-time pipeline (base + clone + update) since the updated store
+    * is itself memoized and shared by q89/q89b. */
+  private[ops] def warmBase(key: String, s: SparkSession, dir: String): Unit = {
+    implicit val spark: SparkSession = s
+    key match {
+      case "q29" => baseStoreOf(key, dir)(p =>
+        new Executer(MinHashIndex, p, cfg16).execute(docTexts(s, dir)))
+      case "q64" => baseStoreOf(key, dir)(p =>
+        new Executer(WinnowIndex, p, cfg16).execute(docTexts(s, dir)))
+      case "q37" => baseStoreOf(key, dir)(p =>
+        new Executer(IvfCellIndex, p, cfg16).execute(vecDocs(s, dir)))
+      case "q77" => baseStoreOf(key, dir)(p =>
+        new Executer(ShingleFreqIndex, p, cfg16).execute(docTexts(s, dir)))
+      case "q97" => baseStoreOf(key, dir)(p =>
+        new Executer(SimhashIndex, p, cfg16).execute(docTexts(s, dir)))
+      case "q91" => baseStoreOf(key, dir)(p =>
+        new Executer(IvfCentroidIndex, p, cfg16).execute(vecDocs(s, dir)))
+      case "q78" => baseStoreOf(key, dir)(p =>
+        new Executer(EvalShingleIndex, p, cfg16)
+          .execute(docTexts(s, dir).filter(_.doc_id % 97 == 0)))
+      case "q89" => lengthHistUpdated(s, dir)
+      case other => throw new IllegalArgumentException(s"no base build: $other")
+    }
+    ()
   }
 
   val queries: Map[String, Q] = Map(
@@ -438,10 +508,7 @@ object IncrementalIndexes {
       val docs = t(s, dir, "documents")
         .select($"doc_id".cast("long") as "doc_id", $"text")
         .repartition(cpuWidth(s)).as[DocText]
-      val store = clonedBaseStore("q29", dir) { p =>
-        new Executer(MinHashIndex, p,
-          ExecuterConfig(fanIn = 16, finalParts = 8)).execute(docs)
-      }
+      val store = clonedBase("q29", s, dir)
       val ex = new Executer(MinHashIndex, store,
         ExecuterConfig(fanIn = 16, finalParts = 8))
       val updates = docs.filter(_.doc_id % 7 == 0)
@@ -460,10 +527,7 @@ object IncrementalIndexes {
       val docs = t(s, dir, "documents")
         .select($"doc_id".cast("long") as "doc_id", $"text")
         .repartition(cpuWidth(s)).as[DocText]
-      val store = clonedBaseStore("q64", dir) { p =>
-        new Executer(WinnowIndex, p,
-          ExecuterConfig(fanIn = 16, finalParts = 8)).execute(docs)
-      }
+      val store = clonedBase("q64", s, dir)
       val ex = new Executer(WinnowIndex, store,
         ExecuterConfig(fanIn = 16, finalParts = 8))
       val updates = docs.filter(_.doc_id % 7 == 0)
@@ -482,10 +546,7 @@ object IncrementalIndexes {
       val vecs = t(s, dir, "embeddings")
         .select($"vec_id".cast("long") as "vec_id", $"embedding")
         .repartition(cpuWidth(s)).as[VecDoc]
-      val store = clonedBaseStore("q37", dir) { p =>
-        new Executer(IvfCellIndex, p,
-          ExecuterConfig(fanIn = 16, finalParts = 8)).execute(vecs)
-      }
+      val store = clonedBase("q37", s, dir)
       val ex = new Executer(IvfCellIndex, store,
         ExecuterConfig(fanIn = 16, finalParts = 8))
       val updates = vecs.filter(_.vec_id % 7 == 0)
@@ -506,10 +567,7 @@ object IncrementalIndexes {
       val docs = t(s, dir, "documents")
         .select($"doc_id".cast("long") as "doc_id", $"text")
         .repartition(cpuWidth(s)).as[DocText]
-      val store = clonedBaseStore("q77", dir) { p =>
-        new Executer(ShingleFreqIndex, p,
-          ExecuterConfig(fanIn = 16, finalParts = 8)).execute(docs)
-      }
+      val store = clonedBase("q77", s, dir)
       val ex = new Executer(ShingleFreqIndex, store,
         ExecuterConfig(fanIn = 16, finalParts = 8))
       val updates = docs.filter(_.doc_id % 7 == 0)
@@ -528,10 +586,7 @@ object IncrementalIndexes {
       val docs = t(s, dir, "documents")
         .select($"doc_id".cast("long") as "doc_id", $"text")
         .repartition(cpuWidth(s)).as[DocText]
-      val store = clonedBaseStore("q97", dir) { p =>
-        new Executer(SimhashIndex, p,
-          ExecuterConfig(fanIn = 16, finalParts = 8)).execute(docs)
-      }
+      val store = clonedBase("q97", s, dir)
       val ex = new Executer(SimhashIndex, store,
         ExecuterConfig(fanIn = 16, finalParts = 8))
       val updates = docs.filter(_.doc_id % 7 == 0)
@@ -552,10 +607,7 @@ object IncrementalIndexes {
       val vecs = t(s, dir, "embeddings")
         .select($"vec_id".cast("long") as "vec_id", $"embedding")
         .repartition(cpuWidth(s)).as[VecDoc]
-      val store = clonedBaseStore("q91", dir) { p =>
-        new Executer(IvfCentroidIndex, p,
-          ExecuterConfig(fanIn = 16, finalParts = 8)).execute(vecs)
-      }
+      val store = clonedBase("q91", s, dir)
       val ex = new Executer(IvfCentroidIndex, store,
         ExecuterConfig(fanIn = 16, finalParts = 8))
       val updates = vecs.filter(_.vec_id % 7 == 0)
@@ -623,11 +675,7 @@ object IncrementalIndexes {
       // and cloned like the sibling index-update queries (VERDICT r5
       // #4); each invocation pays only the clone + the %89 benchmark-
       // release update it exists to measure.
-      val store = clonedBaseStore("q78", dir) { p =>
-        new Executer(EvalShingleIndex, p,
-          ExecuterConfig(fanIn = 16, finalParts = 8))
-          .execute(docs.filter(_.doc_id % 97 == 0))
-      }
+      val store = clonedBase("q78", s, dir)
       val ex = new Executer(EvalShingleIndex, store,
         ExecuterConfig(fanIn = 16, finalParts = 8))
       Phases.timedUpdate("q78", ex)(ex.execute(docs.filter(d => d.doc_id % 89 == 0 && d.doc_id % 97 != 0)))
@@ -754,7 +802,7 @@ object IncrementalIndexes {
     "q89_length_hist_index_update" ->
       """WITH src AS (
         |  SELECT doc_id, source,
-        |    CASE WHEN doc_id % 7 = 0 THEN text ||
+        |    CASE WHEN doc_id % 37 = 0 THEN text ||
         |      ' twenty more revision tokens appended to move this doc up bins'
         |      ELSE text END AS text
         |  FROM documents),
@@ -779,7 +827,7 @@ object IncrementalIndexes {
         |  FROM oldd GROUP BY 1, 2),
         |newd AS (
         |  SELECT source, len(regexp_extract_all(
-        |    CASE WHEN doc_id % 7 = 0 THEN text ||
+        |    CASE WHEN doc_id % 37 = 0 THEN text ||
         |      ' twenty more revision tokens appended to move this doc up bins'
         |      ELSE text END, '[^ \t\n\f\r]+')) AS toks
         |  FROM documents),

@@ -105,6 +105,22 @@ object IndexQueries {
     (Memo.memo(handleCache, (s, key, dir))(openAt(path)).asInstanceOf[A], v)
   }
 
+  // ---- shared-build surface (VERDICT r8 #1) --------------------------
+  // The warm spellings ARE the memoized builders the query bodies call,
+  // so the bench can run each one-time store build as its own
+  // separately-attributed `build:` cost entry.
+  private[ops] def storeBuilt(key: String, dir: String): Boolean =
+    storePaths.contains((key, dir))
+  private[ops] def warmStore(key: String, s: SparkSession, dir: String): Unit = {
+    key match {
+      case "CustByNation" => custByNationIndex(s, dir)
+      case "OrdersMultiTag" => ordersMultiTagIndex(s, dir)
+      case "OrdersByPriorityUpdated" => ordersByPriorityUpdated(s, dir)
+      case other => throw new IllegalArgumentException(s"no store build: $other")
+    }
+    ()
+  }
+
   private def custByNationIndex(
       s: SparkSession, dir: String): Executer[CustDoc, NationAgg] = {
     implicit val spark: SparkSession = s

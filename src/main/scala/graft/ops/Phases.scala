@@ -18,18 +18,30 @@ package graft.ops
   */
 object Phases {
   @volatile private var sink: String => Unit = null
+  // Structured listener alongside the line sink: Bench records
+  // (query, phase, sec) triples into the summary FILE's `phases` map
+  // (VERDICT r8 #4 — a 29.6s driver entry must be decomposable from
+  // the artifact alone, not just from whatever stdout tail survived).
+  @volatile private var recorder: (String, String, Double) => Unit = null
 
   /** Install a detail-line sink (Bench passes `println`). */
   def enable(f: String => Unit): Unit = sink = f
-  def disable(): Unit = sink = null
+  def enableRecorder(f: (String, String, Double) => Unit): Unit = recorder = f
+  def disable(): Unit = { sink = null; recorder = null }
+
+  private def emit(query: String, phase: String, sec: Double): Unit = {
+    val s = sink
+    if (s != null) s(f"""{"q":"$query","phase":"$phase","sec":$sec%.3f}""")
+    val r = recorder
+    if (r != null) r(query, phase, sec)
+  }
 
   private[graft] def timed[T](query: String, phase: String)(body: => T): T = {
-    val s = sink
-    if (s == null) body
+    if (sink == null && recorder == null) body
     else {
       val t0 = System.nanoTime()
       val r = body
-      s(f"""{"q":"$query","phase":"$phase","sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      emit(query, phase, (System.nanoTime() - t0) / 1e9)
       r
     }
   }
@@ -42,14 +54,12 @@ object Phases {
     * (VERDICT r7 #2), without turning Spark logging on. */
   private[graft] def timedUpdate[D, R <: Product](query: String,
       ex: graft.core.Executer[D, R])(body: => Unit): Unit = {
-    val s = sink
-    if (s == null) body
+    if (sink == null && recorder == null) body
     else {
       val t0 = System.nanoTime()
       body
       val mode = ex.lastStats.map(_.mode).getOrElse("?")
-      s(f"""{"q":"$query","phase":"store_update:$mode","sec":${
-        (System.nanoTime() - t0) / 1e9}%.3f}""")
+      emit(query, s"store_update:$mode", (System.nanoTime() - t0) / 1e9)
     }
   }
 }

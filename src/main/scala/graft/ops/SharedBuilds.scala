@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Registry of the ONE-TIME shared-store builds behind the query
+  * families, as first-class schedulable units (VERDICT r8 #1).
+  *
+  * Round 8's bench billed each shared store's build to whichever family
+  * member happened to run first, so the committed cost cache said those
+  * queries cost 0.07–0.14s; the next round's cheapest-first sweep then
+  * ordered them early and paid ~82s of cold builds inside "cheap"
+  * entries — 49 of 112 queries budget-skipped. This registry lets the
+  * bench (a) pre-build a store as its own `build:<name>` cost entry,
+  * (b) order work by MARGINAL query cost, and (c) skip a family's
+  * queries honestly when their build no longer fits the budget, instead
+  * of silently paying it inside one sibling's timing.
+  *
+  * Every `run` spelling delegates to the SAME memoized builder the
+  * query bodies call — warming and querying cannot drift. `prereqs`
+  * express the dedup chain (sig → lsh → strong → cc / cluster_store):
+  * warming a link first attributes each link's marginal cost to its own
+  * entry rather than folding the whole chain into the deepest consumer.
+  */
+object SharedBuilds {
+  final case class Build(
+      name: String,
+      queries: Set[String],
+      prereqs: Seq[String],
+      isBuilt: (SparkSession, String) => Boolean,
+      run: (SparkSession, String) => Unit)
+
+  private def b(name: String, queries: Seq[String], prereqs: Seq[String] = Nil)(
+      isBuilt: (SparkSession, String) => Boolean)(
+      run: (SparkSession, String) => Unit): Build =
+    Build(name, queries.toSet, prereqs, isBuilt, run)
+
+  val all: Seq[Build] = Seq(
+    // Read-only / built-and-updated Executer stores (IndexQueries).
+    b("custbynation",
+      Seq("q40_mr_index_build", "q44_mr_point_query", "q45_mr_contributors",
+        "q62_mr_join_enrich", "q65_mr_multi_point", "q99_sql_view_read"))(
+      (_, dir) => IndexQueries.storeBuilt("CustByNation", dir))(
+      (s, dir) => IndexQueries.warmStore("CustByNation", s, dir)),
+    b("ordersmultitag",
+      Seq("q42_mr_multi_emit", "q56_mr_doc_contributions"))(
+      (_, dir) => IndexQueries.storeBuilt("OrdersMultiTag", dir))(
+      (s, dir) => IndexQueries.warmStore("OrdersMultiTag", s, dir)),
+    b("ordersbypriority",
+      Seq("q41_mr_index_update", "q41b_mr_time_travel",
+        "q104_changed_keys", "q104b_changed_keys_refetch"))(
+      (_, dir) => IndexQueries.storeBuilt("OrdersByPriorityUpdated", dir))(
+      (s, dir) => IndexQueries.warmStore("OrdersByPriorityUpdated", s, dir)),
+
+    // The maintained-index families' pristine base stores (each query
+    // invocation still pays clone + update — its marginal cost).
+    b("base-q29", Seq("q29_minhash_index_update"))(
+      (_, dir) => IncrementalIndexes.baseBuilt("q29", dir))(
+      (s, dir) => IncrementalIndexes.warmBase("q29", s, dir)),
+    b("base-q64", Seq("q64_winnow_index_update"))(
+      (_, dir) => IncrementalIndexes.baseBuilt("q64", dir))(
+      (s, dir) => IncrementalIndexes.warmBase("q64", s, dir)),
+    b("base-q37", Seq("q37_ivf_cell_index_update"))(
+      (_, dir) => IncrementalIndexes.baseBuilt("q37", dir))(
+      (s, dir) => IncrementalIndexes.warmBase("q37", s, dir)),
+    b("base-q77", Seq("q77_shingle_freq_index_update"))(
+      (_, dir) => IncrementalIndexes.baseBuilt("q77", dir))(
+      (s, dir) => IncrementalIndexes.warmBase("q77", s, dir)),
+    b("base-q97", Seq("q97_simhash_index_update"))(
+      (_, dir) => IncrementalIndexes.baseBuilt("q97", dir))(
+      (s, dir) => IncrementalIndexes.warmBase("q97", s, dir)),
+    b("base-q91", Seq("q91_ivf_centroid_index_update"))(
+      (_, dir) => IncrementalIndexes.baseBuilt("q91", dir))(
+      (s, dir) => IncrementalIndexes.warmBase("q91", s, dir)),
+    b("base-q78", Seq("q78_decontaminate_index_update"))(
+      (_, dir) => IncrementalIndexes.baseBuilt("q78", dir))(
+      (s, dir) => IncrementalIndexes.warmBase("q78", s, dir)),
+    // q89's whole one-time pipeline (base build + clone + update) is
+    // memoized and shared by q89/q89b, so it is ONE build entry; the
+    // Phases lines decompose it in the summary's phases map.
+    b("q89", Seq("q89_length_hist_index_update", "q89b_hist_drift"))(
+      (_, dir) => IncrementalIndexes.q89Built(dir))(
+      (s, dir) => IncrementalIndexes.warmBase("q89", s, dir)),
+
+    // The dedup chain, one entry per link.
+    b("sig", Seq("q26_minhash_signatures", "q86_fuzzy_decontaminate"))(
+      (s, dir) => Dedup.chainBuilt("sig", s, dir))(
+      (s, dir) => { Dedup.sigTables(s, dir); () }),
+    b("lsh", Seq("q27_lsh_candidate_pairs", "q90_cross_source_dups"),
+      prereqs = Seq("sig"))(
+      (s, dir) => Dedup.chainBuilt("lsh", s, dir))(
+      (s, dir) => { Dedup.lshCandidatePairs(s, dir); () }),
+    b("strong", Seq("q92_incremental_cluster_assign"),
+      prereqs = Seq("lsh"))(
+      (s, dir) => Dedup.chainBuilt("strong", s, dir))(
+      (s, dir) => { Dedup.strongPairs(s, dir); () }),
+    b("cc",
+      Seq("q59_neardup_clusters", "q80_dedup_manifest",
+        "q59c_recluster_refresh", "q100_dup_span_removal",
+        "q81_leakage_safe_split", "q93_split_token_budget",
+        "q102c_bpe_split_budget"),
+      prereqs = Seq("strong"))(
+      (s, dir) => Dedup.chainBuilt("cc", s, dir))(
+      (s, dir) => { Dedup.neardupClusters(s, dir); () }),
+    b("cluster_store",
+      Seq("q59b_cluster_index_update", "q59c_recluster_refresh",
+        "q92_incremental_cluster_assign"),
+      prereqs = Seq("strong"))(
+      (s, dir) => Dedup.chainBuilt("cluster_store", s, dir))(
+      (s, dir) => { Dedup.clusterIndex(s, dir); () }),
+
+    // Memoized shared tables (Curation / TextOps).
+    b("freq3",
+      Seq("q69_dup_shingle_rate", "q84_source_quality_filter",
+        "q87_curation_funnel"))(
+      (s, dir) => Curation.freq3Built(s, dir))(
+      (s, dir) => { Curation.shingleFreq3(s, dir); () }),
+    b("fluency", Seq("q83_bigram_fluency", "q96_quality_rank"))(
+      (s, dir) => Curation.fluencyBuilt(s, dir))(
+      (s, dir) => { Curation.bigramFluency(s, dir); () }),
+    b("winnow", Seq("q53_winnow_fingerprints", "q94_winnow_matches"))(
+      (s, dir) => TextOps.winnowBuilt(s, dir))(
+      (s, dir) => { TextOps.winnowFpTable(s, dir); () }))
+
+  val byName: Map[String, Build] = all.map(x => x.name -> x).toMap
+
+  /** The builds `query` consumes, with transitive prereqs first —
+    * running them in this order gives each link its marginal cost. */
+  def depsOf(query: String): Seq[Build] = {
+    val direct = all.filter(_.queries.contains(query))
+    val out = collection.mutable.LinkedHashSet.empty[String]
+    def add(n: String): Unit = {
+      val bb = byName(n)
+      bb.prereqs.foreach(add)
+      out += n
+    }
+    direct.foreach(d => add(d.name))
+    out.toSeq.map(byName)
+  }
+}

@@ -59,6 +59,12 @@ object TextOps {
       }
     }
 
+  // Shared-build surface (VERDICT r8 #1): membership check for the
+  // bench's warm section.
+  private[ops] def winnowBuilt(
+      s: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    winnowCache.contains((s, dir))
+
   private[ops] def evictSession(
       s: org.apache.spark.sql.SparkSession): Unit =
     Memo.evictOwner(winnowCache, s)(_ => ())

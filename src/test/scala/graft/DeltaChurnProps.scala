@@ -119,7 +119,7 @@ object DeltaChurnProps extends Properties("DeltaChurn") {
             java.nio.file.Files.newOutputStream(
               java.nio.file.Paths.get(store).resolve("dirty.pairs")))
           out.writeInt(pairs.length)
-          pairs.foreach { case (k, p) => out.writeUTF(k); out.writeInt(p) }
+          pairs.foreach { case (k, p) => TestTmp.writeStr(out, k); out.writeInt(p) }
           out.close()
           java.nio.file.Files.deleteIfExists(
             java.nio.file.Paths.get(store).resolve(".dirty.pairs.crc"))

@@ -108,6 +108,42 @@ class DeltaUpdateSpec extends AnyFunSuite {
     assert(allCounts(ex) == expected)
   }
 
+  test("overflowed probe with mostly-new docs still retracts the few " +
+      "resubmitted ones (ADVICE r8: sampled staleness)") {
+    // The pairs probe truncates at driverDirtyLimit+1 rows; a batch of
+    // ~2000 NEW docs plus 2 resubmitted ones fills the sample with
+    // is_stale=false rows with high probability, so a delta path that
+    // trusts the sampled staleness skips tombstoning and old-row
+    // negation: d0 double-counts under both its old and new key and
+    // d1's zero-entry retraction is lost. Two rounds drive the
+    // pre-fix miss probability to ~0.996.
+    val store = TestTmp.dir("graft-delta-overflow-stale")
+    val ex = new Executer(DeltaCountByState, store,
+      cfg.copy(driverDirtyLimit = 64))
+    val base = (0 until 2000).map(i => Person(s"d$i", s"K$i"))
+    ex.execute(spark.createDataset(base))
+    // Round 1: d0 re-keys, d1 retracts to nothing, 1998 fresh inserts.
+    ex.execute(spark.createDataset(
+      Seq(Person("d0", "M0"), Person("d1", "SKIP")) ++
+        (0 until 1998).map(i => Person(s"n$i", s"N$i"))))
+    assert(ex.lastStats.get.mode == "delta")
+    // Round 2: two of round 1's fresh docs churn the same way.
+    ex.execute(spark.createDataset(
+      Seq(Person("n0", "M1"), Person("n1", "SKIP")) ++
+        (0 until 1998).map(i => Person(s"p$i", s"P$i"))))
+    assert(ex.lastStats.get.mode == "delta")
+    val expected =
+      ((2 until 2000).map(i => s"K$i" -> 1L) ++
+        (2 until 1998).map(i => s"N$i" -> 1L) ++
+        (0 until 1998).map(i => s"P$i" -> 1L) ++
+        Seq("M0" -> 1L, "M1" -> 1L)).toMap
+    assert(allCounts(ex) == expected)
+    assert(ex.query("K0").collect().isEmpty)
+    assert(ex.query("K1").collect().isEmpty)
+    assert(ex.query("N0").collect().isEmpty)
+    assert(ex.query("N1").collect().isEmpty)
+  }
+
   test("crash inside the delta merge: previous generation stays " +
       "published, recovery replays via recompute, resubmit completes") {
     val store = TestTmp.dir("graft-delta-crash")

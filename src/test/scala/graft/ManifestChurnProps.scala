@@ -113,7 +113,7 @@ object ManifestChurnProps extends Properties("ManifestChurn") {
             java.nio.file.Files.newOutputStream(
               java.nio.file.Paths.get(store).resolve("dirty.pairs")))
           out.writeInt(pairs.length)
-          pairs.foreach { case (k, p) => out.writeUTF(k); out.writeInt(p) }
+          pairs.foreach { case (k, p) => TestTmp.writeStr(out, k); out.writeInt(p) }
           out.close()
           java.nio.file.Files.deleteIfExists(
             java.nio.file.Paths.get(store).resolve(".dirty.pairs.crc"))

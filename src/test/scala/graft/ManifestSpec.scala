@@ -120,10 +120,10 @@ class ManifestSpec extends AnyFunSuite {
     Files.createDirectories(Paths.get(store, "_tomb"))
     val orphanTomb = Paths.get(store, "_tomb", "t99.bin")
     val tout = new java.io.DataOutputStream(Files.newOutputStream(orphanTomb))
-    tout.writeInt(1); tout.writeUTF("A"); tout.writeInt(99); tout.close()
+    tout.writeInt(1); TestTmp.writeStr(tout, "A"); tout.writeInt(99); tout.close()
     val wout = new java.io.DataOutputStream(
       Files.newOutputStream(Paths.get(store, "dirty.pairs")))
-    wout.writeInt(1); wout.writeUTF("CA"); wout.writeInt(parentOfA); wout.close()
+    wout.writeInt(1); TestTmp.writeStr(wout, "CA"); wout.writeInt(parentOfA); wout.close()
 
     // Readers stay on the published generation: the orphans are invisible.
     val fresh = new Executer(PeopleCountByState, store, cfg)

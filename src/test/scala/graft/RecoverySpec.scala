@@ -70,7 +70,7 @@ class RecoverySpec extends AnyFunSuite {
       val out = new java.io.DataOutputStream(
         java.nio.file.Files.newOutputStream(fsPath.resolve(file)))
       out.writeInt(pairs.size)
-      pairs.foreach { case (k, v) => out.writeUTF(k); out.writeInt(v) }
+      pairs.foreach { case (k, v) => TestTmp.writeStr(out, k); out.writeInt(v) }
       out.close()
     }
     // Interrupted update of doc 'a' (CA → TX): WAL marks (CA, parent),
@@ -115,7 +115,7 @@ class RecoverySpec extends AnyFunSuite {
       val out = new java.io.DataOutputStream(
         java.nio.file.Files.newOutputStream(fsPath.resolve(file)))
       out.writeInt(pairs.size)
-      pairs.foreach { case (k, v) => out.writeUTF(k); out.writeInt(v) }
+      pairs.foreach { case (k, v) => TestTmp.writeStr(out, k); out.writeInt(v) }
       out.close()
     }
     writePairs("dirty.pairs",
@@ -222,7 +222,7 @@ class RecoverySpec extends AnyFunSuite {
       fsPath.resolve("reduce_tree").toFile)
     val out = new java.io.DataOutputStream(
       java.nio.file.Files.newOutputStream(fsPath.resolve("dirty.pairs")))
-    out.writeInt(1); out.writeUTF(""); out.writeInt(-1); out.close()
+    out.writeInt(1); TestTmp.writeStr(out, ""); out.writeInt(-1); out.close()
 
     assert(!ex.isClean)
     ex.recover()

@@ -118,7 +118,7 @@ class ReshapeSpec extends AnyFunSuite {
     val out = new java.io.DataOutputStream(
       java.nio.file.Files.newOutputStream(
         java.nio.file.Paths.get(dstPath).resolve("dirty.pairs")))
-    out.writeInt(1); out.writeUTF(""); out.writeInt(-1); out.close()
+    out.writeInt(1); TestTmp.writeStr(out, ""); out.writeInt(-1); out.close()
 
     val reopened = new Executer(PeopleCountByState, dstPath, cfg)
     reopened.recover()
