@@ -429,7 +429,13 @@ object Bench {
         rows1x = lineitem.count()
         val (b, ex, store) = buildIvm(lineitem)
         fullBuild = b
-        for (k <- incKs) {
+        // The 10k-doc batch is DEFERRED past the paired samples when the
+        // scaled probe will run: pairing a 10k-churned base store against
+        // a fresh scaled store skews the per-pair ratio in our favor
+        // (the base side pays the churned store's larger file listing) —
+        // both stores must be comparably fresh when paired. The field
+        // still lands in section 1's summary re-emit either way.
+        for (k <- incKs if !(runInc10x && k == 10000)) {
           if (k == 1) {
             val samples = (1 to 3).map { _ => val bt = batchOf(1); time { ex.execute(bt) } }
             inc(k) = samples.sorted.apply(1)
@@ -459,7 +465,18 @@ object Bench {
     // section stays first: its headline must land even if this probe
     // misbehaves.) ----
     if (runInc10x) {
-      if (overBudget) { skippedSections += "incscaled"; emitSummary() }
+      if (overBudget) {
+        skippedSections += "incscaled"
+        // The deferred 10k-doc headline still lands (bounded, ~6s):
+        // a skipped probe must not also cost the base section a field.
+        baseIvm.foreach { case (ex, _) =>
+          val batch = batchOf(10000)
+          inc(10000) = time { ex.execute(batch) }
+        }
+        baseIvm.foreach { case (_, store) => deleteRec(store) }
+        baseIvm = None
+        emitSummary()
+      }
       else try {
         val sec = time {
           // O(dirty) across a scale jump (VERDICT r3 #1): union the
@@ -476,11 +493,14 @@ object Bench {
           // corpus (N encoder round-trips — measured as most of a 641s
           // "build" at 60M rows). The timed build must start where a
           // real build starts: a parquet table on disk.
-          // N defaults to 10 (was 30, VERDICT r7 #3): the flatness claim
-          // survives at 10× and the build-time half only needs the ratio
-          // to track the corpus growth. The replicated corpus is cached
-          // across runs (cachedCorpus above).
-          val scaleN = sys.env.getOrElse("SPARK_GRAFT_INC_SCALE", "10").toInt
+          // N defaults to 8 (was 30 → 10 → 8, VERDICT r7 #3 / r8 #3):
+          // the flatness claim is carried by the PAIRED 1-doc ratio, and
+          // the build-time half only needs the ratio to track the corpus
+          // growth, which ×8 shows as clearly as ×10 at 20% less probe
+          // cost — the scaled build is the single heaviest must-run leg
+          // under driver throttle (67.8s in r8). The replicated corpus
+          // is cached across runs (cachedCorpus above).
+          val scaleN = sys.env.getOrElse("SPARK_GRAFT_INC_SCALE", "8").toInt
           scaleUsed = scaleN
           val corpusDir = cachedCorpus(s"x$scaleN") { dir =>
             lineitem.toDF()
@@ -519,6 +539,13 @@ object Bench {
             }
             val batch100 = batchOf(100)
             inc10x(100) = time { ex10.execute(batch100) }
+            // The deferred base-store 10k-doc batch (see section 1):
+            // measured only now so the paired samples above ran against
+            // a base store not yet churned by it.
+            baseIvm.foreach { case (exBase, _) =>
+              val batch10k = batchOf(10000)
+              inc(10000) = time { exBase.execute(batch10k) }
+            }
           } finally deleteRec(store10)
         }
         sectionSecs("incscaled") = sec
@@ -548,8 +575,8 @@ object Bench {
       } else {
         val est = estOf(s"build:$name", 2.0)
         if (elapsed + est > budgetSec - floor) {
-          skippedBuilds += name
-          println(s"""{"build":"$name","skipped":true}""")
+          if (skippedBuilds.add(name)) // once per build, not per re-check
+            println(s"""{"build":"$name","skipped":true}""")
           false
         } else {
           var err: Option[String] = None
@@ -563,7 +590,8 @@ object Bench {
           buildResults += QR(s"build:$name", sec, 0L, err)
           println(f"""{"build":"$name","sec":$sec%.3f${
             err.map(e => s""","err":"$e"""").getOrElse("")}}""")
-          if (err.isDefined) { failedBuilds += name; false } else true
+          if (err.isDefined) { failedBuilds += name; false }
+          else { skippedBuilds -= name; true } // a fallback build un-skips
         }
       }
     }
@@ -573,23 +601,39 @@ object Bench {
         val warmOrder = SharedBuilds.all
           .filter(_.queries.exists(sweepNames))
           .sortBy(b => estOf(s"build:${b.name}", 2.0))
-        warmOrder.foreach { b =>
-          skippedBuilds -= b.name // a cheaper sibling's prereq skip is retried
-          ensureBuilt(b.name, sweepFloorSec)
-        }
+        warmOrder.foreach(b => ensureBuilt(b.name, sweepFloorSec))
       }
       sectionSecs("warm") = sec
       emitSummary()
     }
 
     // ---- section 4: the query sweep, cheapest-MARGINAL-cost-first
-    // (VERDICT r7 #1, r8 #1) ----
+    // (VERDICT r7 #1, r8 #1) — except the maintained-index update
+    // family, which runs FIRST: those entries carry the engine's
+    // incremental-maintenance evidence (store_update:<mode> phase
+    // labels), and cheapest-first put exactly them last, so a
+    // throttle-window budget kill erased the round's claim-bearing
+    // rows while keeping a hundred generic sub-second ones. They cost
+    // ~30s normally — well inside the sweep floor — and the skips then
+    // land on mid-pack generic queries whose correctness is already
+    // Verify-gated. ----
+    val updateFamily = Set(
+      "q29_minhash_index_update", "q37_ivf_cell_index_update",
+      "q41_mr_index_update", "q41b_mr_time_travel",
+      "q59b_cluster_index_update", "q59c_recluster_refresh",
+      "q64_winnow_index_update", "q77_shingle_freq_index_update",
+      "q78_decontaminate_index_update", "q89_length_hist_index_update",
+      "q89b_hist_drift", "q91_ivf_centroid_index_update",
+      "q97_simhash_index_update")
     val sweepQueries = SparkEntry.queries.toSeq
       .filter { case (n, _) => sweepNames(n) }
-      .sortBy { case (n, _) => (estOf(n, 0.4), n) }
+      .sortBy { case (n, _) => (!updateFamily(n), estOf(n, 0.4), n) }
     for (((name, fn), i) <- sweepQueries.zipWithIndex) {
       val deps = SharedBuilds.depsOf(name)
-      if (overBudget) skippedQueries += name
+      // Est-aware skip: starting a 5s query at budget-1s is how r8-style
+      // runs overshoot their own elapsed ceiling.
+      if (elapsed + math.min(estOf(name, 0.4), 10.0) > budgetSec)
+        skippedQueries += name
       else if (!deps.forall(d => ensureBuilt(d.name, 0.0))) {
         // The family's one-time build didn't fit (or failed): skipping
         // the query is the honest record — running it would re-pay the

@@ -570,7 +570,13 @@ object IncrementalIndexes {
       val store = clonedBase("q77", s, dir)
       val ex = new Executer(ShingleFreqIndex, store,
         ExecuterConfig(fanIn = 16, finalParts = 8))
-      val updates = docs.filter(_.doc_id % 7 == 0)
+      // % 29 (~3% of the corpus), not the siblings' % 7: an inverted
+      // index's dirty set is the batch's SHINGLE fan-out, so a 1/7-doc
+      // batch touched most (sh, bucket) pairs and made this the single
+      // heaviest marginal sweep entry (7.2s); the retraction/insert
+      // semantics the oracle proves are fully exercised by the smaller
+      // slice (same doctrine as q89's % 37, VERDICT r8 #5).
+      val updates = docs.filter(_.doc_id % 29 == 0)
         .map(d => d.copy(text = d.text + " xrevision marker"))
       Phases.timedUpdate("q77", ex)(ex.execute(updates))
       ex.queryAll().select($"sh", $"ndocs")
@@ -749,7 +755,7 @@ object IncrementalIndexes {
     "q77_shingle_freq_index_update" ->
       """WITH src AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |    CASE WHEN doc_id % 7 = 0
+        |    CASE WHEN doc_id % 29 = 0
         |      THEN text || ' xrevision marker' ELSE text END AS text
         |  FROM documents),
         |w AS (SELECT doc_id, string_split_regex(text, '[ \t\n\f\r]+') AS ws FROM src),

@@ -372,11 +372,14 @@ object IndexQueries {
     "q43_mr_delete_key" -> { (s, dir) =>
       implicit val spark: SparkSession = s
       import s.implicits._
-      val store = TempStores.scratch("graft-q43")
-      val custs = t(s, dir, "customer")
-        .select($"c_custkey", $"c_nationkey", $"c_acctbal").as[CustDoc]
+      // Clone the shared read-only CustByNation store and mutate the
+      // CLONE (the q89/q29 doctrine): what this query proves is the
+      // full-key delete + sibling re-reduce semantics, which a
+      // file-copy clone exercises identically to the fresh 3.2s
+      // rebuild it used to pay per invocation.
+      val store = TempStores.cloneOf(
+        custByNationIndex(s, dir).storePath, "graft-q43")
       val ex = new Executer(CustByNation, store, ExecuterConfig(fanIn = 16, finalParts = 8))
-      ex.execute(custs)
       ex.delete("7")
       ex.queryAll()
         .select($"reduce_key", $"cnt", toDouble($"acctbal") as "acctbal")

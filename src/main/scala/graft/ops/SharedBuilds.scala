@@ -37,8 +37,9 @@ object SharedBuilds {
   val all: Seq[Build] = Seq(
     // Read-only / built-and-updated Executer stores (IndexQueries).
     b("custbynation",
-      Seq("q40_mr_index_build", "q44_mr_point_query", "q45_mr_contributors",
-        "q62_mr_join_enrich", "q65_mr_multi_point", "q99_sql_view_read"))(
+      Seq("q40_mr_index_build", "q43_mr_delete_key", "q44_mr_point_query",
+        "q45_mr_contributors", "q62_mr_join_enrich", "q65_mr_multi_point",
+        "q99_sql_view_read"))(
       (_, dir) => IndexQueries.storeBuilt("CustByNation", dir))(
       (s, dir) => IndexQueries.warmStore("CustByNation", s, dir)),
     b("ordersmultitag",
@@ -95,7 +96,7 @@ object SharedBuilds {
       (s, dir) => { Dedup.strongPairs(s, dir); () }),
     b("cc",
       Seq("q59_neardup_clusters", "q80_dedup_manifest",
-        "q59c_recluster_refresh", "q100_dup_span_removal",
+        "q59c_recluster_refresh",
         "q81_leakage_safe_split", "q93_split_token_budget",
         "q102c_bpe_split_budget"),
       prereqs = Seq("strong"))(
@@ -111,7 +112,7 @@ object SharedBuilds {
     // Memoized shared tables (Curation / TextOps).
     b("freq3",
       Seq("q69_dup_shingle_rate", "q84_source_quality_filter",
-        "q87_curation_funnel"))(
+        "q87_curation_funnel", "q96_quality_rank"))(
       (s, dir) => Curation.freq3Built(s, dir))(
       (s, dir) => { Curation.shingleFreq3(s, dir); () }),
     b("fluency", Seq("q83_bigram_fluency", "q96_quality_rank"))(
