@@ -116,6 +116,7 @@ object IndexQueries {
       case "CustByNation" => custByNationIndex(s, dir)
       case "OrdersMultiTag" => ordersMultiTagIndex(s, dir)
       case "OrdersByPriorityUpdated" => ordersByPriorityUpdated(s, dir)
+      case "CdcBands" => cdcBandIndex(s, dir)
       case other => throw new IllegalArgumentException(s"no store build: $other")
     }
     ()
@@ -224,6 +225,18 @@ object IndexQueries {
       custByNationIndex(s, dir).registerStore("graft_cust_by_nation")
       s.sql("""SELECT reduce_key, cnt, CAST(acctbal AS DOUBLE) AS acctbal
               |FROM graft_cust_by_nation""".stripMargin)
+    },
+
+    // Two maintained indexes CHAINED through the CDC surface (see
+    // [[cdcBandIndex]]): the downstream band rollup is synced from the
+    // upstream priority index via snapshot + changedKeysSince +
+    // queryKeys, and must equal a from-scratch two-stage recompute over
+    // the post-update documents.
+    "q106_cdc_pipeline" -> { (s, dir) =>
+      import s.implicits._
+      cdcBandIndex(s, dir).queryAll()
+        .select($"reduce_key", $"npriorities", $"cnt",
+          toDouble($"total") as "total")
     })
 
   /** One OrdersByPriority store per (process, source dir), built then
@@ -252,6 +265,83 @@ object IndexQueries {
       new Executer(OrdersByPriority, p,
         ExecuterConfig(fanIn = 64, finalParts = 16))
     }
+  }
+
+  /** Downstream stage of the CDC pipeline (q106): its DOCUMENTS are the
+    * upstream OrdersByPriority index's reduce rows (doc id = the
+    * upstream reduce key), rolled up into shipping bands. */
+  case class BandAgg(band: String, npriorities: Long, cnt: Long,
+      total: BigDecimal)
+
+  object PriorityBands extends MapReduceTask[PriorityAgg, BandAgg] {
+    private def bandOf(p: String): String =
+      if (p == "1-URGENT" || p == "2-HIGH") "expedite" else "standard"
+    def map(docs: Iterator[PriorityAgg]): Iterator[(String, BandAgg)] =
+      docs.map(p => (p.priority, BandAgg(bandOf(p.priority), 1L, p.cnt, p.total)))
+    def reduce(entries: Iterator[BandAgg]): Iterator[BandAgg] =
+      entries.toSeq.groupBy(_.band).map { case (b, es) =>
+        BandAgg(b, es.map(_.npriorities).sum, es.map(_.cnt).sum,
+          es.map(_.total).sum)
+      }.iterator
+    def reduceKey(e: BandAgg): String = e.band
+    override def singleOutput: Boolean = true
+    def documentId(d: PriorityAgg): String = d.priority
+    override def deltaReducible: Boolean = true
+    override def negate(e: BandAgg): BandAgg =
+      BandAgg(e.band, -e.npriorities, -e.cnt, -e.total)
+    override def isZero(e: BandAgg): Boolean =
+      e.npriorities == 0L && e.cnt == 0L
+  }
+
+  /** The PIPELINE-OF-INDEXES loop closed end-to-end (VERDICT r8 #8): a
+    * downstream maintained index whose source is an UPSTREAM maintained
+    * index, synchronized through the CDC surface rather than a rescan.
+    * The consumer's protocol — exactly what a 100 TB pipeline stage
+    * runs on a poll:
+    *
+    *   1. initial sync from the upstream snapshot it last saw
+    *      (`queryAllAt(v0)` — immutable, so the sync is reproducible);
+    *   2. `changedKeysSince(v0)` — the O(churn) invalidation set the
+    *      upstream recorded as a byproduct of its own dirty tracking;
+    *   3. `queryKeys(changed)` — point-pruned refetch of only those
+    *      keys' CURRENT rows, re-executed into the downstream store
+    *      (update = delete + reinsert per doc id = upstream key);
+    *   4. keys that vanished upstream return no row → explicit
+    *      `deleteDocuments` — the delete signal a log-style CDC feed
+    *      would carry in-band.
+    *
+    * The downstream store then equals a from-scratch rebuild over the
+    * upstream's CURRENT state (q106's oracle recomputes both stages
+    * from the post-update documents in DuckDB) — incremental ≡ batch
+    * across a two-stage index chain, not just one store. */
+  private def cdcBandIndex(
+      s: SparkSession, dir: String): Executer[PriorityAgg, BandAgg] = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    // Resolve the upstream OUTSIDE the memo body: its own build +
+    // q41-update pipeline is a separate (prereq) build entry.
+    val (up, v0) = ordersByPriorityUpdated(s, dir)
+    val cfg = ExecuterConfig(fanIn = 4, finalParts = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"priority", $"cnt", $"total").as[PriorityAgg]
+    cachedIndex("CdcBands", dir, s) { p =>
+      val down = new Executer(PriorityBands, p, cfg)
+      Phases.timed("q106", "cdc_initial_sync") {
+        down.execute(rows(up.queryAllAt(v0)))
+      }
+      // The O(churn) driver-side key list is the quantity the CDC
+      // surface exists to keep small (same bound as q104b).
+      val changed = up.changedKeysSince(v0).as[String].collect().toSeq
+      if (changed.nonEmpty) {
+        val live = rows(up.queryKeys(changed)).collect().toSeq
+        Phases.timedUpdate("q106", down)(
+          down.execute(spark.createDataset(live)))
+        val liveKeys = live.map(_.priority).toSet
+        val vanished = changed.filterNot(liveKeys)
+        if (vanished.nonEmpty) down.deleteDocuments(vanished)
+      }
+      -1L
+    } { p => new Executer(PriorityBands, p, cfg) }._1
   }
 
   case class LineitemDoc(l_orderkey: Long, l_linenumber: Int,
@@ -439,6 +529,21 @@ object IndexQueries {
       s"""SELECT CAST(c_nationkey AS VARCHAR) AS reduce_key, count(*) AS cnt,
          |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal
          |FROM customer GROUP BY 1""".stripMargin,
+    // The two-stage recompute: per-priority aggregate over the
+    // POST-update orders (q41's %97 churn), rolled up into bands —
+    // what the chained downstream store must equal after its CDC sync.
+    "q106_cdc_pipeline" ->
+      s"""WITH p AS (
+         |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
+         |              ELSE o_orderpriority END AS pri,
+         |    count(*) AS cnt,
+         |    sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS total
+         |  FROM orders GROUP BY 1)
+         |SELECT CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'expedite'
+         |            ELSE 'standard' END AS reduce_key,
+         |  count(*) AS npriorities, sum(cnt) AS cnt,
+         |  CAST(sum(total) AS DOUBLE) AS total
+         |FROM p GROUP BY 1""".stripMargin,
     // The PRE-update aggregation: the store has already applied q41's
     // mutation when q41b reads generation v — time travel must
     // reproduce the original documents' answer exactly.

@@ -51,6 +51,12 @@ object SharedBuilds {
         "q104_changed_keys", "q104b_changed_keys_refetch"))(
       (_, dir) => IndexQueries.storeBuilt("OrdersByPriorityUpdated", dir))(
       (s, dir) => IndexQueries.warmStore("OrdersByPriorityUpdated", s, dir)),
+    // The chained downstream stage (q106): its build IS a CDC sync off
+    // the upstream store, so the upstream is a prereq link.
+    b("cdcbands", Seq("q106_cdc_pipeline"),
+      prereqs = Seq("ordersbypriority"))(
+      (_, dir) => IndexQueries.storeBuilt("CdcBands", dir))(
+      (s, dir) => IndexQueries.warmStore("CdcBands", s, dir)),
 
     // The maintained-index families' pristine base stores (each query
     // invocation still pays clone + update — its marginal cost).

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Executer, ExecuterConfig, MapReduceTask}
+
+/** Downstream stage of a two-index CDC chain: its DOCUMENTS are the
+  * upstream count-by-state index's reduce rows (doc id = the state),
+  * rolled up by the state's first letter. Mirrors ops.PriorityBands
+  * (q106) at spec scale. */
+case class BandPop(band: String, states: Long, people: Long)
+
+object StateBandCounts extends MapReduceTask[StatePop, BandPop] {
+  def map(docs: Iterator[StatePop]): Iterator[(String, BandPop)] =
+    docs.map(s => (s.state, BandPop(s.state.take(1), 1L, s.count)))
+  def reduce(entries: Iterator[BandPop]): Iterator[BandPop] =
+    entries.toSeq.groupBy(_.band).map { case (b, es) =>
+      BandPop(b, es.map(_.states).sum, es.map(_.people).sum)
+    }.iterator
+  def reduceKey(e: BandPop): String = e.band
+  def documentId(d: StatePop): String = d.state
+  override def singleOutput: Boolean = true
+}
+
+/** Two Executers chained through the CDC surface (VERDICT r8 #8,
+  * the q106 protocol): the downstream store is synchronized by
+  * snapshot + `changedKeysSince` + point-pruned `queryKeys` refetch +
+  * explicit deletes for vanished keys, and after every sync must equal
+  * a from-scratch recompute over the upstream's CURRENT state —
+  * including the case a CDC feed gets wrong first: an upstream key
+  * whose last contributor re-keys away VANISHES, and the downstream
+  * must receive that as a delete, not silence. */
+class ChainedCdcSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val cfg = ExecuterConfig(fanIn = 4, finalParts = 2)
+
+  /** One consumer poll: sync `down` with everything `up` changed since
+    * the consumer's last-seen version; returns the new cursor. */
+  private def cdcSync(up: Executer[Person, StatePop],
+      down: Executer[StatePop, BandPop], sinceV: Long): Long = {
+    val changed = up.changedKeysSince(sinceV).as[String].collect().toSeq
+    if (changed.nonEmpty) {
+      val live = up.queryKeys(changed)
+        .select($"state", $"count").as[StatePop].collect().toSeq
+      if (live.nonEmpty) down.execute(spark.createDataset(live))
+      val liveKeys = live.map(_.state).toSet
+      val vanished = changed.filterNot(liveKeys)
+      if (vanished.nonEmpty) down.deleteDocuments(vanished)
+    }
+    up.snapshotVersion()
+  }
+
+  /** The two-stage recompute the chain must equal. */
+  private def model(up: Executer[Person, StatePop]): Map[String, (Long, Long)] =
+    up.queryAll().as[(String, String, Long)].collect()
+      .groupBy(_._2.take(1))
+      .map { case (b, rows) =>
+        b -> (rows.length.toLong, rows.map(_._3).sum)
+      }
+
+  private def bands(down: Executer[StatePop, BandPop]): Map[String, (Long, Long)] =
+    down.queryAll().as[(String, String, Long, Long)].collect()
+      .map { case (_, b, s, p) => b -> (s, p) }.toMap
+
+  test("downstream index tracks upstream churn through changedKeysSince, " +
+      "including a vanished upstream key arriving as a delete") {
+    val upStore = TestTmp.dir("graft-cdc-up")
+    val downStore = TestTmp.dir("graft-cdc-down")
+    val up = new Executer(PeopleCountByState, upStore, cfg)
+    val down = new Executer(StateBandCounts, downStore, cfg)
+
+    // Upstream generation 0: states AA, AB, BA, CC.
+    up.execute(spark.createDataset(Seq(
+      Person("p1", "AA"), Person("p2", "AA"), Person("p3", "AB"),
+      Person("p4", "BA"), Person("p5", "CC"))))
+    // Consumer bootstraps from the snapshot it first sees.
+    var cursor = up.snapshotVersion()
+    down.execute(up.queryAllAt(cursor)
+      .select($"state", $"count").as[StatePop])
+    assert(bands(down) == model(up))
+
+    // Churn 1: p5 (CC's ONLY contributor) re-keys to BA — CC vanishes;
+    // p1 moves AA -> AB.
+    up.execute(spark.createDataset(Seq(
+      Person("p5", "BA"), Person("p1", "AB"))))
+    cursor = cdcSync(up, down, cursor)
+    assert(bands(down) == model(up))
+    assert(!bands(down).contains("C"), "vanished key must reach the consumer as a delete")
+
+    // Churn 2: a brand-new key (DD) plus a full-key delete upstream.
+    up.execute(spark.createDataset(Seq(Person("p6", "DD"))))
+    up.delete("AB")
+    cursor = cdcSync(up, down, cursor)
+    assert(bands(down) == model(up))
+
+    // A no-op poll is a no-op sync.
+    val before = bands(down)
+    cursor = cdcSync(up, down, cursor)
+    assert(bands(down) == before)
+  }
+}
