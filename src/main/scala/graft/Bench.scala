@@ -510,10 +510,12 @@ object Bench {
               .write.mode("overwrite").parquet(dir)
           }
           val docs10x = spark.read.parquet(corpusDir).as[IndexQueries.LineitemDoc]
-          rows10x = docs10x.count()
           // The corpus-size context for the scaled ratios must not depend
           // on whether the base section ran in this process (ADVICE r7).
           if (rows1x == 0L) rows1x = lineitem.count()
+          // Exact by construction (an N× replication of the base corpus)
+          // — a count() job here bought nothing but budget.
+          rows10x = rows1x * scaleN
           val (b10, ex10, store10) = buildIvm(docs10x)
           full10x = b10
           try {
