@@ -602,7 +602,11 @@ object Bench {
       val sec = time {
         val warmOrder = SharedBuilds.all
           .filter(_.queries.exists(sweepNames))
-          .sortBy(b => estOf(s"build:${b.name}", 2.0))
+          // Value density, not raw cost: when the floor cuts the warm
+          // tail, the builds left unbuilt should strand the FEWEST
+          // consumer queries per second saved (ordersbypriority feeds 5
+          // sweep queries; a base-qNN store feeds 1).
+          .sortBy(b => estOf(s"build:${b.name}", 2.0) / b.queries.size)
         warmOrder.foreach(b => ensureBuilt(b.name, sweepFloorSec))
       }
       sectionSecs("warm") = sec
