@@ -43,10 +43,18 @@ object ProfileUpdate {
       }
     })
 
-    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
-        $"l_linestatus", $"l_quantity")
-      .as[IndexQueries.LineitemDoc]
+    // Dedupe to one version per (orderkey, linenumber) — the engine's
+    // batch contract, same derivation as Bench's base corpus (the
+    // synthetic lineitem carries duplicate pairs).
+    val lineitem = {
+      import org.apache.spark.sql.functions.{max, struct}
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy($"l_orderkey", $"l_linenumber")
+        .agg(max(struct($"l_returnflag", $"l_linestatus", $"l_quantity")) as "v")
+        .select($"l_orderkey", $"l_linenumber",
+          $"v.l_returnflag", $"v.l_linestatus", $"v.l_quantity")
+        .as[IndexQueries.LineitemDoc]
+    }
     def batchOf(k: Int) = spark.createDataset(
       lineitem.orderBy($"l_orderkey", $"l_linenumber").limit(k)
         .map(l => l.copy(l_quantity = l.l_quantity * 2)).collect().toSeq)
