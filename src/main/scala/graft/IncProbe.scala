@@ -34,10 +34,18 @@ object IncProbe {
     val scaleN = args.lift(1).map(_.toInt).getOrElse(1)
     val fanIn = args.lift(2).map(_.toInt).getOrElse(64)
     val preBuilt = new java.io.File(store, "map_results").exists()
-    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
-        $"l_linestatus", $"l_quantity")
-      .as[IndexQueries.LineitemDoc]
+    // Dedupe to one version per (orderkey, linenumber) — the engine's
+    // batch contract (the synthetic lineitem carries duplicate pairs;
+    // same derivation as Bench's base corpus).
+    val lineitem = {
+      import org.apache.spark.sql.functions.{max, struct}
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy($"l_orderkey", $"l_linenumber")
+        .agg(max(struct($"l_returnflag", $"l_linestatus", $"l_quantity")) as "v")
+        .select($"l_orderkey", $"l_linenumber",
+          $"v.l_returnflag", $"v.l_linestatus", $"v.l_quantity")
+        .as[IndexQueries.LineitemDoc]
+    }
     val docs =
       if (scaleN <= 1) lineitem
       else (0 until scaleN).map { i =>
