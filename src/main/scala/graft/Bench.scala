@@ -131,6 +131,38 @@ object Bench {
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
     def overBudget: Boolean = elapsed > budgetSec
 
+    // HARD ceiling watchdog: the budget is only checked BETWEEN work
+    // items, so one item that starts within budget can run unboundedly
+    // under a host-throttle cliff (observed: a 16s-costed store build
+    // ran 210s at ~15× slowdown until the external timeout killed the
+    // JVM with ZERO queries in the artifact). Past budget + grace, every
+    // in-flight Spark job is cancelled (repeatedly — cancellation also
+    // catches stragglers submitted after the first sweep); the item
+    // fails with a recorded error, the est-aware skip checks (elapsed
+    // already over budget) prevent any new jobs, and the final summary
+    // still lands inside the driver's wall timeout. Bench stores are
+    // throwaway, and the engine is WAL-crash-safe, so mid-item
+    // cancellation is benign.
+    // The watchdog NEVER prints (a tick after the final summary would
+    // beat it to the last stdout line and break the driver's last-line
+    // parser); its cancel count is a summary field instead.
+    val hardCeilingSec = budgetSec + 30
+    val watchdogCancels = new java.util.concurrent.atomic.AtomicInteger(0)
+    locally {
+      val w = new Thread(() => {
+        while (true) {
+          Thread.sleep(2000)
+          if (elapsed > hardCeilingSec) {
+            watchdogCancels.incrementAndGet()
+            try spark.sparkContext.cancelAllJobs()
+            catch { case _: Throwable => () }
+          }
+        }
+      }, "graft-bench-watchdog")
+      w.setDaemon(true)
+      w.start()
+    }
+
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -236,7 +268,7 @@ object Bench {
       val buildFields =
         f""","nbuilds":${buildResults.size},"build_sec":${buildResults.map(_.sec).sum}%.3f,"skipped_builds":${(skippedBuilds ++ failedBuilds).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       val skipFields =
-        f""","elapsed_sec":$elapsed%.1f,"budget_sec":$budgetSec%.0f,"host_factor":$hostFactor%.2f,"skipped_queries":${skippedQueries.size},"skipped_sections":${skippedSections.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+        f""","elapsed_sec":$elapsed%.1f,"budget_sec":$budgetSec%.0f,"host_factor":$hostFactor%.2f,"watchdog_cancels":${watchdogCancels.get},"skipped_queries":${skippedQueries.size},"skipped_sections":${skippedSections.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       lastSummary =
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"errs":$errs,"threads":$cpus,"sf":"$sfDir"$skipFields$buildFields$incFields$inc10xFields}"""
       println(lastSummary)
@@ -410,9 +442,18 @@ object Bench {
       // point is paying the one-off initialization, not measuring
       // (ADVICE r7: the block also re-checks the budget, so a run
       // already over it skips both the warmup and the lazy base write).
-      val (_, _, warmStore) =
-        buildIvm(spark.createDataset(lineitem.limit(5000).collect().toSeq))
-      deleteRec(warmStore)
+      // Attributed as its own section so the artifact's elapsed_sec is
+      // fully decomposable: a COLD run also pays the corpus derivation
+      // (deduped base parquet) here, via the first `lineitem` touch.
+      sectionSecs("prewarm") = time {
+        try {
+          val (_, _, warmStore) =
+            buildIvm(spark.createDataset(lineitem.limit(5000).collect().toSeq))
+          deleteRec(warmStore)
+        } catch { case t: Throwable =>
+          println(s"""{"section":"prewarm","err":"${t.getClass.getSimpleName}"}""")
+        }
+      }
     }
     // The base store outlives its section when the scaled probe will
     // pair against it; cleaned up in the probe's finally.
@@ -422,7 +463,9 @@ object Bench {
     // O(dirty) headline must land in the artifact no matter what the
     // rest of the run does).
     if (runInc) {
-      val sec = time {
+      // A failure here (watchdog cancellation under an extreme throttle
+      // cliff) is RECORDED and must not take the sweep down with it.
+      val sec = time { try {
         // The index under maintenance: TPC-H Q1's grouped aggregate over
         // lineitem — the largest table at this SF, so the full build is
         // a real O(data) pass while updates stay O(dirty).
@@ -445,7 +488,11 @@ object Bench {
           }
         }
         if (runInc10x) baseIvm = Some((ex, store)) else deleteRec(store)
-      }
+      } catch { case t: Throwable =>
+        skippedSections += "incbase:err"
+        println(s"""{"section":"incbase","err":"${t.getClass.getSimpleName}: ${
+          String.valueOf(t.getMessage).take(120).replaceAll("[\"\\\\\n]", " ")}"}""")
+      } }
       sectionSecs("incbase") = sec
       // Calibrate the host factor from this fixed, always-run section
       // (VERDICT r8 #2: planning on "driver ≈ 1.3–1.5× builder" was
@@ -551,6 +598,12 @@ object Bench {
           } finally deleteRec(store10)
         }
         sectionSecs("incscaled") = sec
+        emitSummary()
+      } catch { case t: Throwable =>
+        // Same containment as incbase: record, keep the sweep alive.
+        skippedSections += "incscaled:err"
+        println(s"""{"section":"incscaled","err":"${t.getClass.getSimpleName}: ${
+          String.valueOf(t.getMessage).take(120).replaceAll("[\"\\\\\n]", " ")}"}""")
         emitSummary()
       } finally {
         baseIvm.foreach { case (_, store) => deleteRec(store) }
