@@ -514,11 +514,15 @@ object Bench {
     if (runInc10x) {
       if (overBudget) {
         skippedSections += "incscaled"
-        // The deferred 10k-doc headline still lands (bounded, ~6s):
-        // a skipped probe must not also cost the base section a field.
-        baseIvm.foreach { case (ex, _) =>
+        // The deferred 10k-doc headline still lands (bounded, ~6s — and
+        // by the ceiling watchdog past that): a skipped probe must not
+        // also cost the base section a field. Contained like the
+        // sections: a failure here must not take the sweep down.
+        try baseIvm.foreach { case (ex, _) =>
           val batch = batchOf(10000)
           inc(10000) = time { ex.execute(batch) }
+        } catch { case t: Throwable =>
+          println(s"""{"section":"inc10k","err":"${t.getClass.getSimpleName}"}""")
         }
         baseIvm.foreach { case (_, store) => deleteRec(store) }
         baseIvm = None
