@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{max, struct}
+import org.apache.spark.sql.functions.{concat_ws, lit, max, md5, struct}
 
 import graft.core.{Executer, ExecuterConfig}
 import graft.ops.{IndexQueries, SharedBuilds}
@@ -109,6 +109,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // Cross-RUN disk cache for the one-time shared-store builds
+    // (VERDICT r9 missing #3): ~84s of the driver's round-9 budget was
+    // rebuilding deterministic derivations of static testdata. Bench
+    // opts in; Verify (the correctness gate) never does. Restored
+    // builds are flagged (`cached_builds`) and their restore times
+    // never overwrite committed cold costs. SPARK_GRAFT_STORE_CACHE=0
+    // forces cold builds (how the committed costs are regenerated).
+    val storeCacheOn = !sys.env.get("SPARK_GRAFT_STORE_CACHE").contains("0")
+    if (storeCacheOn) graft.ops.StoreCache.enable()
+
     // Per-phase detail lines for the multi-leg store-build pipelines
     // (VERDICT r6 #2: q59b's 86.9s driver anomaly was undiagnosable
     // without them), and a structured recorder so the phase breakdown
@@ -189,19 +199,38 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
 
-    // Host factor (VERDICT r8 #2): the driver host has run heavy jobs
-    // ~3× slower than the builder that committed the costs file. The
-    // base incremental section is a fixed, always-run workload, so its
-    // measured-over-committed ratio calibrates THIS process's host
-    // speed; every skip decision scales committed costs by it. Clamped:
-    // a wild ratio (first run, changed section shape) must not zero out
-    // or blow up the whole schedule.
+    // Host factors (VERDICT r8 #2, r9 #3): the driver host has run
+    // heavy jobs ~3× slower than the builder that committed the costs
+    // file — and the slowdown is NOT one number: round 9 measured the
+    // latency-bound incbase section at 1.08× while the digest-kernel
+    // jobs (md5/minhash/winnow) ran ~7× their committed costs, so one
+    // scalar admitted work that then ate the whole sweep. TWO factors:
+    // `hostFactor` (incbase-calibrated) for latency/shuffle-bound
+    // entries, `digestFactor` (calibrated by a fixed md5 micro-job in
+    // prewarm) for the digest-kernel families. Both clamped: a wild
+    // ratio (first run, changed workload shape) must not zero out or
+    // blow up the whole schedule.
     var hostFactor = 1.0
+    var digestFactor = 1.0
+    // Digest-kernel cost classes: the maintained-index families whose
+    // update legs re-run md5/minhash/winnow/simhash kernels, their base
+    // builds, and the digest-heavy shared chains.
+    val digestNames: Set[String] = Set(
+      "q29_minhash_index_update", "q37_ivf_cell_index_update",
+      "q64_winnow_index_update", "q77_shingle_freq_index_update",
+      "q78_decontaminate_index_update", "q91_ivf_centroid_index_update",
+      "q97_simhash_index_update",
+      "build:sig", "build:lsh", "build:freq3", "build:winnow",
+      "build:q89", "build:cluster_store")
+    def isDigest(key: String): Boolean =
+      digestNames(key) || key.startsWith("build:base-")
     def estOf(key: String, dflt: Double): Double =
-      knownCosts.getOrElse(key, dflt) * hostFactor
+      knownCosts.getOrElse(key, dflt) *
+        (if (isDigest(key)) digestFactor else hostFactor)
 
     // ---- mutable run state, read by emitSummary at any point ----
-    case class QR(name: String, sec: Double, rows: Long, err: Option[String])
+    case class QR(name: String, sec: Double, rows: Long, err: Option[String],
+        cached: Boolean = false)
     val results = collection.mutable.ListBuffer[QR]()
     val buildResults = collection.mutable.ListBuffer[QR]()
     val skippedQueries = collection.mutable.ListBuffer[String]()
@@ -219,6 +248,12 @@ object Bench {
     var rows1x = 0L
     var rows10x = 0L
     var scaleUsed = 0
+    // Scaled-store cache accounting: when the 8× store restored from
+    // the cross-run cache, `full10x` carries the committed cold cost
+    // (flagged `inc_scaled_build_cached` in the summary); when it was
+    // measured cold, the measurement is committed under its own key.
+    var scaledBuildCached = false
+    var scaledBuildMeasured: Option[Double] = None
     var lastSummary = ""
     val summaryFile =
       sys.env.getOrElse("SPARK_GRAFT_SUMMARY_FILE", "bench_summary.json")
@@ -263,10 +298,24 @@ object Bench {
               f""","inc_scaled_update1_ratio":${inc10x.getOrElse(1, 0.0) / math.max(inc.getOrElse(1, 1e-9), 1e-9)}%.2f"""
             else ""
           val ratios = (if (inc.isEmpty) "" else build) + upd1
-          f""","inc_scale":$scaleUsed,"inc_scaled_full_build_sec":$full10x%.3f,$upd$scaledSpeedup,"inc_scaled_rows":$rows10x$ratios"""
+          val cachedFlag =
+            if (scaledBuildCached) ""","inc_scaled_build_cached":true"""
+            else ""
+          f""","inc_scale":$scaleUsed,"inc_scaled_full_build_sec":$full10x%.3f$cachedFlag,$upd$scaledSpeedup,"inc_scaled_rows":$rows10x$ratios"""
         }
+      // A skipped/failed build strands its consumer queries (they skip
+      // later with "missing_build") — surface the linkage so the
+      // artifact explains its own skip set (VERDICT r9 #7).
+      val stranded = (skippedBuilds ++ failedBuilds).toSeq.map { n =>
+        val qs = SharedBuilds.byName.get(n).map(_.queries.toSeq.sorted)
+          .getOrElse(Nil)
+        s""""$n":${qs.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      }.mkString("{", ",", "}")
+      val cachedBuilds = buildResults.filter(_.cached)
+        .map("\"" + _.name.stripPrefix("build:") + "\"")
+        .mkString("[", ",", "]")
       val buildFields =
-        f""","nbuilds":${buildResults.size},"build_sec":${buildResults.map(_.sec).sum}%.3f,"skipped_builds":${(skippedBuilds ++ failedBuilds).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+        f""","nbuilds":${buildResults.size},"build_sec":${buildResults.map(_.sec).sum}%.3f,"skipped_builds":${(skippedBuilds ++ failedBuilds).map("\"" + _ + "\"").mkString("[", ",", "]")},"stranded_queries":$stranded,"cached_builds":$cachedBuilds"""
       val skipFields =
         f""","elapsed_sec":$elapsed%.1f,"budget_sec":$budgetSec%.0f,"host_factor":$hostFactor%.2f,"watchdog_cancels":${watchdogCancels.get},"skipped_queries":${skippedQueries.size},"skipped_sections":${skippedSections.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       lastSummary =
@@ -305,10 +354,14 @@ object Bench {
       // timing), so the committed file stops lying about sweep order
       // (VERDICT r8 #1).
       try {
+        // Cache-restored builds are EXCLUDED: their ~1s restore time
+        // must never overwrite the committed COLD build cost, which is
+        // what the skip planner needs when the disk cache is absent.
         val merged = knownCosts ++
           results.map(r => r.name -> r.sec) ++
-          buildResults.map(r => r.name -> r.sec) ++
-          sectionSecs.map { case (n, s) => s"section:$n" -> s }
+          buildResults.filterNot(_.cached).map(r => r.name -> r.sec) ++
+          sectionSecs.map { case (n, s) => s"section:$n" -> s } ++
+          scaledBuildMeasured.map(s => s"build:ivmscaled-x$scaleUsed" -> s)
         Files.write(Paths.get(costsFile),
           merged.toSeq.sortBy(_._1)
             .map { case (n, s) => f""""$n":$s%.3f""" }
@@ -412,20 +465,46 @@ object Bench {
     // runs — serves all three k's. The 4096 default is a conservative
     // general bound, not a statement that a 10k-row batch belongs on
     // the distributed path.
-    def buildIvm(docs: org.apache.spark.sql.Dataset[IndexQueries.LineitemDoc])
-        : (Double, Executer[IndexQueries.LineitemDoc, IndexQueries.FlagStatusAgg], String) = {
+    // `cacheTag`: cross-RUN disk cache of the PRISTINE post-build store
+    // (VERDICT r9 missing #3 — the 8× store build was the single
+    // largest line in the driver's 249s round-9 run, 47.9s, rebuilt
+    // every run from a deterministic derivation of static testdata).
+    // On a hit the store is COPIED into this run's scratch dir (the
+    // probe then mutates the copy; the cache stays pristine), the
+    // returned build time is 0.0 and `cached` is true — the caller
+    // reports the committed cold cost with an explicit cached flag
+    // instead of pretending to have measured one. The BASE store is
+    // never cached: its build IS the measured `inc_full_build_sec`
+    // headline (and the host-factor calibrator).
+    def buildIvm(docs: org.apache.spark.sql.Dataset[IndexQueries.LineitemDoc],
+        cacheTag: Option[String] = None, restoreOk: Boolean = true)
+        : (Double, Executer[IndexQueries.LineitemDoc, IndexQueries.FlagStatusAgg], String, Boolean) = {
       val store = Files.createTempDirectory("graft-bench-ivm").toString
+      // Restore BEFORE constructing the Executer: the handle loads the
+      // store's manifest state at first use, so the directory must be
+      // complete when it looks. `restoreOk=false` still SAVES after a
+      // cold build (populating the cache) but never serves from it —
+      // the caller wants a measured build this run.
+      val restored = restoreOk && cacheTag.exists(tag =>
+        graft.ops.StoreCache.restore(tag, sfDir, store).isDefined)
       val ex = new Executer(IndexQueries.LineitemByFlagStatus, store,
         ExecuterConfig(fanIn = 64, finalParts = 16,
           driverDirtyLimit = 16384))
-      val build = time { ex.execute(docs) }
+      val build =
+        if (restored) 0.0
+        else {
+          val b = time { ex.execute(docs) }
+          cacheTag.foreach(tag =>
+            graft.ops.StoreCache.save(tag, sfDir, store, 0L))
+          b
+        }
       // Two untimed warmup updates, not one: the first update after a
       // large build additionally pays the fresh InMemoryFileIndex
       // listing of the just-written store (measured 3-6s extra on a 60M
       // row store, vs the ~1.5s steady state this is meant to record).
       ex.execute(batchOf(1))
       ex.execute(batchOf(1))
-      (build, ex, store)
+      (build, ex, store, restored)
     }
     // `inc` (or any prefix of it) runs the base incremental section
     // alone; the scaled probe requires at least `incs` typed explicitly —
@@ -447,12 +526,30 @@ object Bench {
       // (deduped base parquet) here, via the first `lineitem` touch.
       sectionSecs("prewarm") = time {
         try {
-          val (_, _, warmStore) =
+          val (_, _, warmStore, _) =
             buildIvm(spark.createDataset(lineitem.limit(5000).collect().toSeq))
           deleteRec(warmStore)
         } catch { case t: Throwable =>
           println(s"""{"section":"prewarm","err":"${t.getClass.getSimpleName}"}""")
         }
+      }
+      // Digest-class host calibration (VERDICT r9 #3): a fixed md5
+      // micro-job whose committed quiet-run cost anchors `digestFactor`
+      // — the scalar incbase factor mispredicted digest-kernel jobs by
+      // ~7× in round 9 because driver throttle hits hash-kernel CPU
+      // much harder than scheduler/shuffle latency. Runs after prewarm
+      // so JVM/codegen one-offs never land in the calibration.
+      sectionSecs("calibdigest") = time {
+        try spark.range(1200000)
+          .select(md5(concat_ws("-", $"id" % 9973,
+            lit("graft-digest-calibration-workload"), $"id")) as "h")
+          .agg(max($"h")).collect()
+        catch { case _: Throwable => () }
+      }
+      knownCosts.get("section:calibdigest").foreach { committed =>
+        if (committed > 0.05)
+          digestFactor = math.max(0.5,
+            math.min(8.0, sectionSecs("calibdigest") / committed))
       }
     }
     // The base store outlives its section when the scaled probe will
@@ -470,7 +567,7 @@ object Bench {
         // lineitem — the largest table at this SF, so the full build is
         // a real O(data) pass while updates stay O(dirty).
         rows1x = lineitem.count()
-        val (b, ex, store) = buildIvm(lineitem)
+        val (b, ex, store, _) = buildIvm(lineitem)
         fullBuild = b
         // The 10k-doc batch is DEFERRED past the paired samples when the
         // scaled probe will run: pairing a 10k-churned base store against
@@ -496,9 +593,12 @@ object Bench {
       sectionSecs("incbase") = sec
       // Calibrate the host factor from this fixed, always-run section
       // (VERDICT r8 #2: planning on "driver ≈ 1.3–1.5× builder" was
-      // falsified at ~3×; measure it instead).
+      // falsified at ~3×; measure it instead). NOT when the section
+      // errored (ADVICE r9): a fast failure records a tiny time, which
+      // would clamp the factor to 0.5 and halve every estimate on
+      // exactly the host that just failed its calibration workload.
       knownCosts.get("section:incbase").foreach { committed =>
-        if (committed > 1.0)
+        if (committed > 1.0 && !skippedSections.contains("incbase:err"))
           hostFactor = math.max(0.5, math.min(5.0, sec / committed))
       }
       emitSummary()
@@ -567,8 +667,22 @@ object Bench {
           // Exact by construction (an N× replication of the base corpus)
           // — a count() job here bought nothing but budget.
           rows10x = rows1x * scaleN
-          val (b10, ex10, store10) = buildIvm(docs10x)
-          full10x = b10
+          // The scaled store is disk-cached across runs (pristine
+          // post-build state; this run's updates mutate a copy). On a
+          // hit the build is NOT re-measured: the committed cold cost
+          // carries the build-ratio field, explicitly flagged as cached
+          // in the summary — and with no committed cost on record the
+          // cache is bypassed so the ratio is always a real measurement.
+          val scaledBuildKey = s"build:ivmscaled-x$scaleN"
+          val (b10, ex10, store10, b10cached) = buildIvm(docs10x,
+            cacheTag = Some(s"ivmscaled-x$scaleN"),
+            // Without a committed cold cost the ratio field would have
+            // nothing honest to report — measure this run (and save).
+            restoreOk = knownCosts.contains(scaledBuildKey))
+          scaledBuildCached = b10cached
+          full10x =
+            if (b10cached) knownCosts(scaledBuildKey)
+            else { scaledBuildMeasured = Some(b10); b10 }
           try {
             baseIvm match {
               case Some((exBase, _)) =>
@@ -632,7 +746,13 @@ object Bench {
       else if (!b.prereqs.forall(ensureBuilt(_, floor))) {
         skippedBuilds += name; false
       } else {
-        val est = estOf(s"build:$name", 2.0)
+        // A disk-cached store restores in copy time, not build time —
+        // estimate accordingly or the warm section would floor-skip
+        // builds that cost ~1s (VERDICT r9 #2's caching prescription).
+        val cachedHit =
+          b.cacheTag.exists(graft.ops.StoreCache.isCached(_, sfDir))
+        val est =
+          if (cachedHit) 2.0 else estOf(s"build:$name", 4.0)
         if (elapsed + est > budgetSec - floor) {
           if (skippedBuilds.add(name)) // once per build, not per re-check
             println(s"""{"build":"$name","skipped":true}""")
@@ -646,8 +766,11 @@ object Bench {
                 String.valueOf(t.getMessage).take(160).replaceAll("[\"\\\\\n]", " "))
             }
           }
-          buildResults += QR(s"build:$name", sec, 0L, err)
+          val fromCache =
+            b.cacheTag.exists(graft.ops.StoreCache.wasRestored)
+          buildResults += QR(s"build:$name", sec, 0L, err, cached = fromCache)
           println(f"""{"build":"$name","sec":$sec%.3f${
+            if (fromCache) ""","cached":true""" else ""}${
             err.map(e => s""","err":"$e"""").getOrElse("")}}""")
           if (err.isDefined) { failedBuilds += name; false }
           else { skippedBuilds -= name; true } // a fallback build un-skips
@@ -657,13 +780,32 @@ object Bench {
     val sweepNames = SparkEntry.queries.keySet.filter(selected)
     if (sweepNames.nonEmpty) {
       val sec = time {
+        // Value density over the whole UNBUILT chain (ADVICE r9): a
+        // cheap-looking dependent (cdcbands at a small est) must not
+        // pull its expensive unbuilt prereq chain ahead of genuinely
+        // cheaper independent builds — cost = the build plus its
+        // unbuilt transitive prereqs (cache hits count as copy time),
+        // value = the union of the chain's consumer queries.
+        def chainOf(b: SharedBuilds.Build): Seq[SharedBuilds.Build] = {
+          val out = collection.mutable.LinkedHashSet.empty[String]
+          def add(n: String): Unit = {
+            val bb = SharedBuilds.byName(n)
+            bb.prereqs.foreach(add)
+            out += n
+          }
+          add(b.name)
+          out.toSeq.map(SharedBuilds.byName)
+        }
+        def chainCost(b: SharedBuilds.Build): Double =
+          chainOf(b).filterNot(_.isBuilt(spark, sfDir)).map { x =>
+            if (x.cacheTag.exists(graft.ops.StoreCache.isCached(_, sfDir)))
+              2.0
+            else estOf(s"build:${x.name}", 4.0)
+          }.sum
         val warmOrder = SharedBuilds.all
           .filter(_.queries.exists(sweepNames))
-          // Value density, not raw cost: when the floor cuts the warm
-          // tail, the builds left unbuilt should strand the FEWEST
-          // consumer queries per second saved (ordersbypriority feeds 5
-          // sweep queries; a base-qNN store feeds 1).
-          .sortBy(b => estOf(s"build:${b.name}", 2.0) / b.queries.size)
+          .sortBy(b => chainCost(b) /
+            chainOf(b).flatMap(_.queries).toSet.count(sweepNames))
         warmOrder.foreach(b => ensureBuilt(b.name, sweepFloorSec))
       }
       sectionSecs("warm") = sec
@@ -688,50 +830,86 @@ object Bench {
       "q78_decontaminate_index_update", "q89_length_hist_index_update",
       "q89b_hist_drift", "q91_ivf_centroid_index_update",
       "q97_simhash_index_update")
+    // Known digest-amplified outliers (VERDICT r9 #4: q91 20.6s + q64
+    // 19.5s consumed 72% of the round-9 sweep while ~90 sub-second
+    // generic queries were shed): demoted BEHIND the generic sweep.
+    // Their store_update evidence still lands on any run that has the
+    // time; what they can no longer do is starve a hundred cheap rows.
+    val digestTail = Set(
+      "q64_winnow_index_update", "q91_ivf_centroid_index_update")
+    def groupOf(n: String): Int =
+      if (digestTail(n)) 2 else if (updateFamily(n)) 0 else 1
     val sweepQueries = SparkEntry.queries.toSeq
       .filter { case (n, _) => sweepNames(n) }
-      .sortBy { case (n, _) => (!updateFamily(n), estOf(n, 0.4), n) }
-    for (((name, fn), i) <- sweepQueries.zipWithIndex) {
+      .sortBy { case (n, _) => (groupOf(n), estOf(n, 0.4), n) }
+    // The generic sweep's protected reserve (VERDICT r9 #2/#4): the
+    // update family runs first (its rows are claim-bearing) but may not
+    // start an entry that would eat into the time the generic queries
+    // are estimated to need — such entries are DEFERRED to the tail,
+    // not skipped, so they still run when time remains.
+    val genericEstTotal = sweepQueries
+      .filter { case (n, _) => groupOf(n) == 1 }
+      .map { case (n, _) => math.min(estOf(n, 0.4), 10.0) }.sum
+    val deferred = collection.mutable.ListBuffer[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    var ranCount = 0
+    def runQuery(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val deps = SharedBuilds.depsOf(name)
-      // Est-aware skip: starting a 5s query at budget-1s is how r8-style
-      // runs overshoot their own elapsed ceiling.
-      if (elapsed + math.min(estOf(name, 0.4), 10.0) > budgetSec)
-        skippedQueries += name
-      else if (!deps.forall(d => ensureBuilt(d.name, 0.0))) {
+      if (!deps.forall(d => ensureBuilt(d.name, 0.0))) {
         // The family's one-time build didn't fit (or failed): skipping
         // the query is the honest record — running it would re-pay the
         // build inside the query's timing, the exact r8 lie.
         skippedQueries += name
         println(s"""{"q":"$name","skipped":"missing_build"}""")
-      } else {
-        var rows = -1L
-        var err: Option[String] = None
-        val sec = time {
-          try rows = fn(spark, sfDir).count()
-          catch { case t: Throwable =>
-            err = Some(t.getClass.getSimpleName + ": " +
-              String.valueOf(t.getMessage).take(160).replaceAll("[\"\\\\\n]", " "))
-          }
-        }
-        // Queries are independent: drop their TRANSIENT materialization
-        // barriers so block pressure from one query never bleeds into
-        // the next one's timing — but keep the memoized shared
-        // signature/pair/frequency tables warm. The former
-        // `spark.catalog.clearCache()` also unpersisted those, so every
-        // later consumer silently rebuilt the shared chain per query
-        // and the cross-query sharing never happened under this driver
-        // (VERDICT r6 #2/#3: q59b paid an 86.9s cold rebuild).
-        graft.ops.SessionCaches.clearTransient(spark)
-        results += QR(name, sec, rows, err)
-        // Detail line per query, emitted as it completes: progress
-        // visibility AND a per-query record that does not have to fit in
-        // whatever tail window the recorder keeps.
-        println(f"""{"q":"$name","sec":$sec%.3f,"rows":$rows${
-          err.map(e => s""","err":"$e"""").getOrElse("")}}""")
-        // Periodic checkpoint summary: a kill mid-sweep still leaves a
-        // recent parseable summary line behind it.
-        if ((i + 1) % 15 == 0) emitSummary()
+        return
       }
+      var rows = -1L
+      var err: Option[String] = None
+      val sec = time {
+        try rows = fn(spark, sfDir).count()
+        catch { case t: Throwable =>
+          err = Some(t.getClass.getSimpleName + ": " +
+            String.valueOf(t.getMessage).take(160).replaceAll("[\"\\\\\n]", " "))
+        }
+      }
+      // Queries are independent: drop their TRANSIENT materialization
+      // barriers so block pressure from one query never bleeds into
+      // the next one's timing — but keep the memoized shared
+      // signature/pair/frequency tables warm. The former
+      // `spark.catalog.clearCache()` also unpersisted those, so every
+      // later consumer silently rebuilt the shared chain per query
+      // and the cross-query sharing never happened under this driver
+      // (VERDICT r6 #2/#3: q59b paid an 86.9s cold rebuild).
+      graft.ops.SessionCaches.clearTransient(spark)
+      results += QR(name, sec, rows, err)
+      // Detail line per query, emitted as it completes: progress
+      // visibility AND a per-query record that does not have to fit in
+      // whatever tail window the recorder keeps.
+      println(f"""{"q":"$name","sec":$sec%.3f,"rows":$rows${
+        err.map(e => s""","err":"$e"""").getOrElse("")}}""")
+      // Periodic checkpoint summary: a kill mid-sweep still leaves a
+      // recent parseable summary line behind it.
+      ranCount += 1
+      if (ranCount % 15 == 0) emitSummary()
+    }
+    for ((name, fn) <- sweepQueries) {
+      val est = math.min(estOf(name, 0.4), 10.0)
+      groupOf(name) match {
+        case 0 if elapsed + est > budgetSec - genericEstTotal =>
+          deferred += ((name, fn)) // the generic reserve wins; retry at tail
+        case _ if elapsed + est > budgetSec =>
+          // Est-aware skip: starting a 5s query at budget-1s is how
+          // r8-style runs overshoot their own elapsed ceiling.
+          skippedQueries += name
+        case _ => runQuery(name, fn)
+      }
+    }
+    // Deferred update-family entries get their second chance once the
+    // generic sweep has its rows — plain est-aware skip from here.
+    for ((name, fn) <- deferred) {
+      if (elapsed + math.min(estOf(name, 0.4), 10.0) > budgetSec)
+        skippedQueries += name
+      else runQuery(name, fn)
     }
     if (skippedQueries.nonEmpty)
       println(s"""{"skipped_query_names":${skippedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")

@@ -256,7 +256,8 @@ object IncrementalIndexes {
     override def deltaReducible: Boolean = true
     override def negate(e: CentroidRow): CentroidRow =
       e.copy(n_vecs = -e.n_vecs, qsum = e.qsum.map(x => -x))
-    override def isZero(e: CentroidRow): Boolean = e.n_vecs == 0L
+    override def isZero(e: CentroidRow): Boolean =
+      e.n_vecs == 0L && e.qsum.forall(_ == 0L)
   }
 
   case class ShingleFreq(sh: String, ndocs: Long)
@@ -382,24 +383,32 @@ object IncrementalIndexes {
       .repartition(cpuWidth(s)).as[DocLen]
     val cfg = ExecuterConfig(fanIn = 16, finalParts = 8)
     val (path, v) = Memo.memo(updatedStores, ("q89", dir)) {
-      // Direct baseStoreOf (not clonedBase): warmBase("q89") routes HERE,
-      // so the internal base build must not route back through it.
-      val base = baseStoreOf("q89", dir)(p =>
-        new Executer(LengthHistIndex, p, cfg).execute(docs))
-      val store = Phases.timed("q89", "store_clone")(
-        TempStores.cloneOf(base, "graft-run-q89"))
-      val ex = new Executer(LengthHistIndex, store, cfg)
-      val preV = ex.snapshotVersion()
-      // % 37 (~1/37 of the corpus), not the siblings' % 7: the oracle
-      // only needs the retraction semantics — bin moves, min/max
-      // recovery through sibling re-reduce — which a ~140-doc batch at
-      // sf0.1 exercises fully, while the % 7 batch dirtied nearly every
-      // (source, bin) pair and made this family's one-time build the
-      // single heaviest driver bench entry (29.6s, VERDICT r8 #5).
-      val updates = docs.filter(_.doc_id % 37 == 0)
-        .map(d => d.copy(text = d.text +
-          " twenty more revision tokens appended to move this doc up bins"))
-      Phases.timedUpdate("q89", ex)(ex.execute(updates))
+      val store = TempStores.scratch("graft-run-q89")
+      // The whole built+updated pipeline is a deterministic derivation,
+      // so the cross-RUN cache (Bench only) serves the post-update store
+      // plus its pre-update snapshot version as one entry.
+      val (preV, _) = StoreCache.orBuild("q89", dir, store) { st =>
+        // Built directly into the updated store's directory: the base
+        // was only ever cloned into this pipeline (nothing else reads
+        // it), so the former build-then-clone paid a full store copy
+        // for pristine-memo semantics no consumer needed. q89b's
+        // pre-update read comes from TIME TRAVEL (the preV snapshot),
+        // not from a pristine sibling directory.
+        val ex = new Executer(LengthHistIndex, st, cfg)
+        Phases.timed("q89", "base_store_build")(ex.execute(docs))
+        val preV0 = ex.snapshotVersion()
+        // % 37 (~1/37 of the corpus), not the siblings' % 7: the oracle
+        // only needs the retraction semantics — bin moves, min/max
+        // recovery through sibling re-reduce — which a ~140-doc batch at
+        // sf0.1 exercises fully, while the % 7 batch dirtied nearly every
+        // (source, bin) pair and made this family's one-time build the
+        // single heaviest driver bench entry (29.6s, VERDICT r8 #5).
+        val updates = docs.filter(_.doc_id % 37 == 0)
+          .map(d => d.copy(text = d.text +
+            " twenty more revision tokens appended to move this doc up bins"))
+        Phases.timedUpdate("q89", ex)(ex.execute(updates))
+        preV0
+      }
       (store, preV)
     }
     (Memo.memo(updatedHandles, (s, "q89", dir))(
@@ -429,7 +438,12 @@ object IncrementalIndexes {
       // builds, and a bench anomaly must say WHICH store's build ate
       // the time (the q59b lesson, VERDICT r6 #2).
       Phases.timed(key, "base_store_build") {
-        val p = TempStores.scratch(s"graft-base-$key"); build(p); p
+        val p = TempStores.scratch(s"graft-base-$key")
+        // Cross-RUN disk cache (Bench only; tag matches the SharedBuilds
+        // entry name): pristine base stores are pure in (task, testdata)
+        // — every mutation runs on a per-invocation clone, never here.
+        StoreCache.orBuild(s"base-$key", dir, p)(d => { build(d); 0L })
+        p
       }
     }
 
@@ -530,7 +544,12 @@ object IncrementalIndexes {
       val store = clonedBase("q64", s, dir)
       val ex = new Executer(WinnowIndex, store,
         ExecuterConfig(fanIn = 16, finalParts = 8))
-      val updates = docs.filter(_.doc_id % 7 == 0)
+      // % 29, not the siblings' % 7 (the q89/q77 doctrine, VERDICT r9
+      // #5): the oracle needs retraction + re-reduce semantics, which a
+      // ~1/29 slice exercises fully, while the 1/7 batch re-ran the
+      // winnow kernel over 1/7 of the corpus and made this the round-9
+      // sweep's heaviest entry (19.5s under digest-class throttle).
+      val updates = docs.filter(_.doc_id % 29 == 0)
         .map(d => d.copy(text = d.text + " xrevision marker words here"))
       Phases.timedUpdate("q64", ex)(ex.execute(updates))
       ex.queryAll().select($"doc_id", $"n_fps", $"fps_digest")
@@ -616,7 +635,11 @@ object IncrementalIndexes {
       val store = clonedBase("q91", s, dir)
       val ex = new Executer(IvfCentroidIndex, store,
         ExecuterConfig(fanIn = 16, finalParts = 8))
-      val updates = vecs.filter(_.vec_id % 7 == 0)
+      // % 29 slice for the same reason as q64 above (VERDICT r9 #5):
+      // negation still provably moves every updated vector to the
+      // complement cell, so retraction + re-reduce of BOTH cells'
+      // sums is exercised at a fraction of the digest cost.
+      val updates = vecs.filter(_.vec_id % 29 == 0)
         .map(v => v.copy(embedding = v.embedding.map(x => -x)))
       Phases.timedUpdate("q91", ex)(ex.execute(updates))
       ex.queryAll()
@@ -719,7 +742,7 @@ object IncrementalIndexes {
     "q64_winnow_index_update" ->
       """WITH src AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |    CASE WHEN doc_id % 7 = 0
+        |    CASE WHEN doc_id % 29 = 0
         |      THEN text || ' xrevision marker words here' ELSE text END AS text
         |  FROM documents),
         |w AS (SELECT doc_id, string_split_regex(text, '[ \t\n\f\r]+') AS ws FROM src),
@@ -782,7 +805,7 @@ object IncrementalIndexes {
     "q91_ivf_centroid_index_update" ->
       """WITH src AS (
         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
-        |    CASE WHEN vec_id % 7 = 0
+        |    CASE WHEN vec_id % 29 = 0
         |      THEN list_transform(embedding::DOUBLE[], x -> -x)
         |      ELSE embedding::DOUBLE[] END AS e
         |  FROM embeddings),

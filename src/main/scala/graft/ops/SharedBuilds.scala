@@ -22,69 +22,79 @@ import org.apache.spark.sql.SparkSession
   * entry rather than folding the whole chain into the deepest consumer.
   */
 object SharedBuilds {
+  /** `cacheTag`: the [[StoreCache]] tag this build's store directory is
+    * disk-cached under across RUNS (Bench enables the cache; Verify
+    * never does) — None for the memoized-DataFrame builds, whose
+    * artifacts are in-memory tables rather than store directories. */
   final case class Build(
       name: String,
       queries: Set[String],
       prereqs: Seq[String],
+      cacheTag: Option[String],
       isBuilt: (SparkSession, String) => Boolean,
       run: (SparkSession, String) => Unit)
 
-  private def b(name: String, queries: Seq[String], prereqs: Seq[String] = Nil)(
+  private def b(name: String, queries: Seq[String], prereqs: Seq[String] = Nil,
+      cacheTag: Option[String] = None)(
       isBuilt: (SparkSession, String) => Boolean)(
       run: (SparkSession, String) => Unit): Build =
-    Build(name, queries.toSet, prereqs, isBuilt, run)
+    Build(name, queries.toSet, prereqs, cacheTag, isBuilt, run)
 
   val all: Seq[Build] = Seq(
     // Read-only / built-and-updated Executer stores (IndexQueries).
     b("custbynation",
       Seq("q40_mr_index_build", "q43_mr_delete_key", "q44_mr_point_query",
         "q45_mr_contributors", "q62_mr_join_enrich", "q65_mr_multi_point",
-        "q99_sql_view_read"))(
+        "q99_sql_view_read"),
+      cacheTag = Some("custbynation"))(
       (_, dir) => IndexQueries.storeBuilt("CustByNation", dir))(
       (s, dir) => IndexQueries.warmStore("CustByNation", s, dir)),
     b("ordersmultitag",
-      Seq("q42_mr_multi_emit", "q56_mr_doc_contributions"))(
+      Seq("q42_mr_multi_emit", "q56_mr_doc_contributions"),
+      cacheTag = Some("ordersmultitag"))(
       (_, dir) => IndexQueries.storeBuilt("OrdersMultiTag", dir))(
       (s, dir) => IndexQueries.warmStore("OrdersMultiTag", s, dir)),
     b("ordersbypriority",
       Seq("q41_mr_index_update", "q41b_mr_time_travel",
-        "q104_changed_keys", "q104b_changed_keys_refetch"))(
+        "q104_changed_keys", "q104b_changed_keys_refetch"),
+      cacheTag = Some("ordersbypriorityupdated"))(
       (_, dir) => IndexQueries.storeBuilt("OrdersByPriorityUpdated", dir))(
       (s, dir) => IndexQueries.warmStore("OrdersByPriorityUpdated", s, dir)),
     // The chained downstream stage (q106): its build IS a CDC sync off
     // the upstream store, so the upstream is a prereq link.
     b("cdcbands", Seq("q106_cdc_pipeline"),
-      prereqs = Seq("ordersbypriority"))(
+      prereqs = Seq("ordersbypriority"), cacheTag = Some("cdcbands"))(
       (_, dir) => IndexQueries.storeBuilt("CdcBands", dir))(
       (s, dir) => IndexQueries.warmStore("CdcBands", s, dir)),
 
     // The maintained-index families' pristine base stores (each query
     // invocation still pays clone + update — its marginal cost).
-    b("base-q29", Seq("q29_minhash_index_update"))(
+    b("base-q29", Seq("q29_minhash_index_update"), cacheTag = Some("base-q29"))(
       (_, dir) => IncrementalIndexes.baseBuilt("q29", dir))(
       (s, dir) => IncrementalIndexes.warmBase("q29", s, dir)),
-    b("base-q64", Seq("q64_winnow_index_update"))(
+    b("base-q64", Seq("q64_winnow_index_update"), cacheTag = Some("base-q64"))(
       (_, dir) => IncrementalIndexes.baseBuilt("q64", dir))(
       (s, dir) => IncrementalIndexes.warmBase("q64", s, dir)),
-    b("base-q37", Seq("q37_ivf_cell_index_update"))(
+    b("base-q37", Seq("q37_ivf_cell_index_update"), cacheTag = Some("base-q37"))(
       (_, dir) => IncrementalIndexes.baseBuilt("q37", dir))(
       (s, dir) => IncrementalIndexes.warmBase("q37", s, dir)),
-    b("base-q77", Seq("q77_shingle_freq_index_update"))(
+    b("base-q77", Seq("q77_shingle_freq_index_update"), cacheTag = Some("base-q77"))(
       (_, dir) => IncrementalIndexes.baseBuilt("q77", dir))(
       (s, dir) => IncrementalIndexes.warmBase("q77", s, dir)),
-    b("base-q97", Seq("q97_simhash_index_update"))(
+    b("base-q97", Seq("q97_simhash_index_update"), cacheTag = Some("base-q97"))(
       (_, dir) => IncrementalIndexes.baseBuilt("q97", dir))(
       (s, dir) => IncrementalIndexes.warmBase("q97", s, dir)),
-    b("base-q91", Seq("q91_ivf_centroid_index_update"))(
+    b("base-q91", Seq("q91_ivf_centroid_index_update"), cacheTag = Some("base-q91"))(
       (_, dir) => IncrementalIndexes.baseBuilt("q91", dir))(
       (s, dir) => IncrementalIndexes.warmBase("q91", s, dir)),
-    b("base-q78", Seq("q78_decontaminate_index_update"))(
+    b("base-q78", Seq("q78_decontaminate_index_update"), cacheTag = Some("base-q78"))(
       (_, dir) => IncrementalIndexes.baseBuilt("q78", dir))(
       (s, dir) => IncrementalIndexes.warmBase("q78", s, dir)),
     // q89's whole one-time pipeline (base build + clone + update) is
     // memoized and shared by q89/q89b, so it is ONE build entry; the
     // Phases lines decompose it in the summary's phases map.
-    b("q89", Seq("q89_length_hist_index_update", "q89b_hist_drift"))(
+    b("q89", Seq("q89_length_hist_index_update", "q89b_hist_drift"),
+      cacheTag = Some("q89"))(
       (_, dir) => IncrementalIndexes.q89Built(dir))(
       (s, dir) => IncrementalIndexes.warmBase("q89", s, dir)),
 

@@ -1,0 +1,151 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.collection.concurrent.TrieMap
+
+/** Cross-RUN disk cache for the one-time shared-store builds
+  * (VERDICT r9, What's missing #3): every SharedBuilds store is a
+  * deterministic derivation of static testdata plus a fixed config, yet
+  * each bench process rebuilt all of them from scratch — ~84s of the
+  * driver's 240s budget in round 9, ahead of the query sweep it then
+  * starved. The derived CORPORA were already cached across runs
+  * (`Bench.cachedCorpus`); this extends the same mechanism — a source
+  * fingerprint key, a process-private build dir, an atomic rename — to
+  * whole store DIRECTORIES (an Executer store is self-contained on
+  * disk: manifest + parquet, session-free by design).
+  *
+  * DISABLED by default and enabled only by Bench: the correctness gate
+  * (Verify) must always exercise the real build path, never a disk
+  * artifact a previous — possibly older — process wrote. Within Bench
+  * the restore is honest by construction: restored builds are flagged
+  * in the summary (`cached_builds`) and their near-zero restore times
+  * never overwrite the committed cold-build costs.
+  *
+  * Staleness safety: the key folds in (a) a fingerprint of every
+  * source parquet in the SF dir (names, sizes, mtimes — regenerated
+  * testdata can never be served a stale store) and (b) a DERIVATION
+  * VERSION bumped whenever any store-building code changes shape. A
+  * forgotten bump can only skew bench timings, never correctness —
+  * Verify does not read this cache.
+  *
+  * Restores COPY the cached directory into the caller's scratch path:
+  * callers may mutate their stores (clones, update batches), and the
+  * cache must stay pristine for the next run.
+  */
+private[graft] object StoreCache {
+  /** Bump when any shared-store derivation changes its on-disk content:
+    * task map/reduce logic, store configs (fanIn/finalParts), update
+    * batch shapes, or the Executer's file formats. */
+  private val version = 1
+
+  @volatile private var on = false
+  def enable(): Unit = on = true
+  def isEnabled: Boolean = on
+
+  /** Tags restored from cache in this process — the bench's honesty
+    * surface (summary `cached_builds`, costs-file exclusion). */
+  private val restored = TrieMap.empty[String, Unit]
+  def wasRestored(tag: String): Boolean = restored.contains(tag)
+
+  private val fps = TrieMap.empty[String, String]
+  private def fingerprint(sfDir: String): String =
+    Memo.memo(fps, sfDir) {
+      val root = Paths.get(sfDir)
+      val parts = collection.mutable.ListBuffer[String]()
+      if (Files.exists(root)) {
+        val s = Files.walk(root)
+        try s.sorted().forEach { p =>
+          if (Files.isRegularFile(p))
+            parts += s"${root.relativize(p)}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+        } finally s.close()
+      }
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"v$version|${parts.mkString("|")}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(6).map(b => f"$b%02x").mkString
+    }
+
+  private def cacheDir(tag: String, sfDir: String): String = {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    s"${System.getProperty("java.io.tmpdir")}/graft-store-$tag-$sfName-${fingerprint(sfDir)}"
+  }
+
+  private def copyTree(src: String, dst: String): Unit = {
+    val from = Paths.get(src)
+    val to = Paths.get(dst)
+    Files.createDirectories(to)
+    val walk = Files.walk(from)
+    try walk.forEach { p =>
+      val target = to.resolve(from.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+  }
+
+  private def deleteRec(dir: String): Unit = {
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
+  def isCached(tag: String, sfDir: String): Boolean =
+    on && Files.exists(Paths.get(cacheDir(tag, sfDir), "_GRAFT_OK"))
+
+  /** If a complete cache entry exists, copy its store into `dest` and
+    * return its saved meta value; else None (caller builds into `dest`
+    * and then calls [[save]]). */
+  def restore(tag: String, sfDir: String, dest: String): Option[Long] = {
+    if (!isCached(tag, sfDir)) return None
+    val dir = cacheDir(tag, sfDir)
+    val meta = new String(
+      Files.readAllBytes(Paths.get(dir, "_GRAFT_META")),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    copyTree(s"$dir/store", dest)
+    restored.put(tag, ())
+    Some(meta)
+  }
+
+  /** Publish `src` (a just-built pristine store) as the cache entry for
+    * `tag`: copy into a process-private dir, then atomic-rename into
+    * place — two concurrent benches cannot interleave writes, and the
+    * `_GRAFT_OK` marker is only present on complete entries. */
+  def save(tag: String, sfDir: String, src: String, meta: Long): Unit = {
+    if (!on) return
+    val dir = cacheDir(tag, sfDir)
+    if (Files.exists(Paths.get(dir, "_GRAFT_OK"))) return
+    val tmp = dir + ".tmp-" + ProcessHandle.current().pid()
+    try {
+      deleteRec(tmp)
+      copyTree(src, s"$tmp/store")
+      Files.write(Paths.get(tmp, "_GRAFT_META"),
+        meta.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.write(Paths.get(tmp, "_GRAFT_OK"), Array.emptyByteArray)
+      try Files.move(Paths.get(tmp), Paths.get(dir),
+        StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        deleteRec(tmp) // lost a concurrent race; winner's entry is live
+      }
+    } catch { case _: Throwable =>
+      // Cache population is best-effort: a full disk or permission
+      // error must never fail the build that just succeeded.
+      deleteRec(tmp)
+    }
+  }
+
+  /** Build-or-restore convenience used by the memoized store builders:
+    * returns (meta, restoredFromCache). */
+  def orBuild(tag: String, sfDir: String, dest: String)(
+      build: String => Long): (Long, Boolean) =
+    restore(tag, sfDir, dest) match {
+      case Some(meta) => (meta, true)
+      case None =>
+        val meta = build(dest)
+        save(tag, sfDir, dest, meta)
+        (meta, false)
+    }
+}

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.{Executer, ExecuterConfig, MapReduceTask}
+
+/** The PIPELINE-OF-INDEXES consumer as a streaming micro-batch job
+  * (VERDICT r8 #8 / r9 next #8): a DOWNSTREAM maintained index whose
+  * documents are an UPSTREAM maintained index's reduce rows, kept in
+  * sync through the CDC surface — `changedKeysSince` (the O(churn)
+  * invalidation set the upstream records as a byproduct of its own
+  * dirty tracking) plus point-pruned `queryKeys` refetch — never a
+  * rescan of upstream state. `graft.ops.IndexQueries.cdcBandIndex`
+  * (q106) is the one-shot spelling of this protocol; this class is the
+  * CONTINUOUS spelling: each poll (one micro-batch via [[attach]], or a
+  * direct [[syncOnce]] call) advances a durable cursor.
+  *
+  * Chain contract: the downstream task's `documentId(ru)` must equal
+  * the UPSTREAM's reduce key of `ru` — that is what makes an upstream
+  * key's change an update (delete + reinsert) of exactly one downstream
+  * document, and a vanished upstream key an explicit downstream delete.
+  * (The reference has no notion of chaining; this is the composition
+  * its persistent, queryable indexes make possible —
+  * `MapReduce/Executer.cs:370-377` gives reads, and reads feeding
+  * another index's `Execute` IS a pipeline stage.)
+  *
+  * Delivery semantics: AT-LEAST-ONCE with idempotent application. The
+  * cursor is persisted AFTER the downstream mutation lands, so a crash
+  * between them replays the same sync — which converges, because a
+  * sync is delete-and-reinsert per doc id plus deletes for vanished
+  * keys (both idempotent). The cursor lives in a `_cdc_cursor` file at
+  * the downstream store root (outside the manifest's tables), so a
+  * restarted consumer resumes where the store's state actually is —
+  * the streaming checkpoint pattern, one long instead of offsets.
+  *
+  * At 100 TB: each poll moves O(churn) keys — collected on the driver
+  * exactly like the engine's own driver-small update path, bounded by
+  * one batch's churn, the quantity the CDC surface exists to keep
+  * small. A poll with more churn than fits the driver belongs on the
+  * rebuild path (sync from `queryAll` instead), which [[syncOnce]]
+  * does NOT attempt silently: the collect is the documented bound.
+  */
+class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
+    up: Executer[_, RU],
+    task: MapReduceTask[RU, RD],
+    storePath: String,
+    config: ExecuterConfig = ExecuterConfig())(implicit spark: SparkSession) {
+
+  val executer = new Executer[RU, RD](task, storePath, config)
+
+  private implicit val encRU: Encoder[RU] = Encoders.product[RU]
+  private val fields = encRU.schema.fieldNames.toSeq
+
+  private val cursorFile = Paths.get(storePath, "_cdc_cursor")
+
+  /** The last upstream generation this consumer has fully applied;
+    * −1 before the bootstrap sync. */
+  def cursor: Long =
+    if (Files.exists(cursorFile))
+      new String(Files.readAllBytes(cursorFile),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else -1L
+
+  private def writeCursor(v: Long): Unit = {
+    val tmp = Paths.get(s"$cursorFile.tmp-${ProcessHandle.current().pid()}")
+    Files.write(tmp, v.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, cursorFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** One consumer poll. Bootstrap (no cursor yet): sync the full
+    * upstream snapshot at its current generation — an immutable
+    * time-travel read, so the sync is reproducible even while new
+    * upstream mutations land. Steady state: refetch exactly the keys
+    * `changedKeysSince(cursor)` reports, delete the vanished ones.
+    * Returns the new cursor. Synchronized: polls are serial per
+    * consumer (micro-batches of one streaming query already are). */
+  def syncOnce(): Long = synchronized {
+    val since = cursor
+    val now = up.snapshotVersion()
+    require(now >= 0, "CdcConsumer needs a manifest upstream store with " +
+      "at least one published generation (changedKeysSince is the " +
+      "manifest layer's surface)")
+    if (since < 0) {
+      val snap = up.queryAllAt(now)
+        .select(fields.head, fields.tail: _*).as[RU]
+      executer.execute(snap)
+      writeCursor(now)
+      return now
+    }
+    if (now == since) return since // no upstream generation landed
+    val changed = up.changedKeysSince(since)
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (changed.nonEmpty) {
+      val liveDF = up.queryKeys(changed)
+      // One bounded collect of (key, payload): the keys say which
+      // documents are live (vanished = changed minus live), the
+      // payloads are the refetched downstream documents. Sorted by key
+      // so the sync batch is byte-identical across runs.
+      implicit val encKV: Encoder[(String, RU)] =
+        Encoders.tuple(Encoders.STRING, encRU)
+      val live = liveDF
+        .select(liveDF.col("reduce_key"),
+          org.apache.spark.sql.functions.struct(
+            fields.map(liveDF.col): _*) as "payload")
+        .as[(String, RU)]
+        .collect().sortBy(_._1).toSeq
+      if (live.nonEmpty)
+        executer.execute(spark.createDataset(live.map(_._2)))
+      val liveKeys = live.map(_._1).toSet
+      val vanished = changed.filterNot(liveKeys)
+      if (vanished.nonEmpty) executer.deleteDocuments(vanished)
+    }
+    writeCursor(now)
+    now
+  }
+
+  /** Run one [[syncOnce]] per micro-batch of `ticks` — the streaming
+    * spelling of the poll loop. Any stream works as the tick source
+    * (`rate` in production, MemoryStream in tests); tick VALUES are
+    * ignored, only trigger cadence matters. */
+  def attach(
+      ticks: Dataset[_],
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ticks.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        syncOnce(); ()
+      }
+      .start()
+
+  def queryAll() = executer.queryAll()
+}

@@ -23,6 +23,27 @@ object StateBandCounts extends MapReduceTask[StatePop, BandPop] {
   override def singleOutput: Boolean = true
 }
 
+/** The DELTA-path spelling of the downstream stage: production's
+  * PriorityBands (`ops/IndexQueries.scala`) declares `deltaReducible`,
+  * so the q106 chain's 5-doc sync batches run the abelian-group delta
+  * maintenance — a path the recompute-only [[StateBandCounts]] above
+  * never pins (VERDICT r9 #1's identified spec gap). Same shape:
+  * counts + an exact decimal sum, negate = componentwise minus. */
+object StateBandCountsDelta extends MapReduceTask[StatePop, BandPop] {
+  def map(docs: Iterator[StatePop]): Iterator[(String, BandPop)] =
+    StateBandCounts.map(docs)
+  def reduce(entries: Iterator[BandPop]): Iterator[BandPop] =
+    StateBandCounts.reduce(entries)
+  def reduceKey(e: BandPop): String = e.band
+  def documentId(d: StatePop): String = d.state
+  override def singleOutput: Boolean = true
+  override def deltaReducible: Boolean = true
+  override def negate(e: BandPop): BandPop =
+    BandPop(e.band, -e.states, -e.people)
+  override def isZero(e: BandPop): Boolean =
+    e.states == 0L && e.people == 0L
+}
+
 /** Two Executers chained through the CDC surface (VERDICT r8 #8,
   * the q106 protocol): the downstream store is synchronized by
   * snapshot + `changedKeysSince` + point-pruned `queryKeys` refetch +
@@ -100,5 +121,47 @@ class ChainedCdcSpec extends AnyFunSuite {
     val before = bands(down)
     cursor = cdcSync(up, down, cursor)
     assert(bands(down) == before)
+  }
+
+  test("delta-reducible downstream (production PriorityBands shape) " +
+      "tracks upstream churn through the same CDC sync") {
+    val upStore = TestTmp.dir("graft-cdcd-up")
+    val downStore = TestTmp.dir("graft-cdcd-down")
+    val up = new Executer(PeopleCountByState, upStore, cfg)
+    val down = new Executer(StateBandCountsDelta, downStore, cfg)
+
+    up.execute(spark.createDataset(Seq(
+      Person("p1", "AA"), Person("p2", "AA"), Person("p3", "AB"),
+      Person("p4", "BA"), Person("p5", "CC"))))
+    var cursor = up.snapshotVersion()
+    // The production chain's initial sync is a DISTRIBUTED read of the
+    // upstream snapshot (a file scan, not a local relation) — keep that
+    // shape here so the downstream's first build takes the same path.
+    down.execute(up.queryAllAt(cursor)
+      .select($"state", $"count").as[StatePop])
+    assert(bands(down) == model(up))
+
+    // Churn 1 (mirrors q41's shape: values change, one key gains, one
+    // vanishes): the downstream re-sync batch then runs the DELTA path.
+    up.execute(spark.createDataset(Seq(
+      Person("p5", "BA"), Person("p1", "AB"))))
+    cursor = cdcSync(up, down, cursor)
+    assert(bands(down) == model(up))
+    assert(!bands(down).contains("C"))
+
+    // Churn 2: new key + full-key delete, synced through deltas again.
+    up.execute(spark.createDataset(Seq(Person("p6", "DD"))))
+    up.delete("AB")
+    cursor = cdcSync(up, down, cursor)
+    assert(bands(down) == model(up))
+
+    // Churn 3: REPEATED small syncs (the steady-state consumer poll) —
+    // each lands another delta on the same touched bands; accumulated
+    // merge-on-read state must keep resolving to the model.
+    for (i <- 7 to 9) {
+      up.execute(spark.createDataset(Seq(Person(s"p$i", "BA"))))
+      cursor = cdcSync(up, down, cursor)
+      assert(bands(down) == model(up), s"after poll $i")
+    }
   }
 }

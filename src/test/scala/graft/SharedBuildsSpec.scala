@@ -40,6 +40,47 @@ class SharedBuildsSpec extends AnyFunSuite {
     }
   }
 
+  test("no query triggers a shared build it is not registered as " +
+      "consuming (the q96/freq3 rot mode, ADVICE r9)") {
+    // The OTHER direction of the first test: the registry's consumer
+    // lists must be COMPLETE, not just valid. Method: run every query
+    // at sf0.001 in an order that puts queries claiming NO builds
+    // first — if such a query flips any registered build to isBuilt,
+    // it is an unregistered consumer (when it ran, no listed consumer
+    // could have built the store yet). Queries WITH registered deps
+    // then run after, asserting their triggers ⊆ depsOf. Within-group
+    // order is name-sorted, so a violation is attributed to the first
+    // (deterministic) query that trips it. Caveat (documented, not
+    // checkable here): builds memoize per PROCESS, so a store another
+    // suite already built for this dir is invisible to this test —
+    // the sf0.001 dir is used by few suites, and first-trigger
+    // attribution is exactly the property the bench's cost accounting
+    // needs.
+    implicit lazy val spark: org.apache.spark.sql.SparkSession =
+      TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    def builtNow(): Set[String] =
+      SharedBuilds.all.filter(_.isBuilt(spark, dir)).map(_.name).toSet
+    val (withDeps, noDeps) = SparkEntry.queries.toSeq.sortBy(_._1)
+      .partition { case (n, _) => SharedBuilds.depsOf(n).nonEmpty }
+    for ((name, fn) <- noDeps ++ withDeps) {
+      val before = builtNow()
+      // Result content is irrelevant here (the oracle gate owns it);
+      // a query that cannot run at sf0.001 still must not leave an
+      // unregistered build behind, which `finally`-style accounting
+      // below catches either way.
+      try fn(spark, dir).count()
+      catch { case _: Throwable => () }
+      val triggered = builtNow() -- before
+      val allowed = SharedBuilds.depsOf(name).map(_.name).toSet
+      val unregistered = triggered -- allowed
+      assert(unregistered.isEmpty,
+        s"query '$name' triggered unregistered shared builds: " +
+          s"${unregistered.toSeq.sorted.mkString(", ")} — add it to their " +
+          "consumer lists in SharedBuilds")
+    }
+  }
+
   test("the maintained-index update family names in Bench exist") {
     // Mirrors Bench.updateFamily — a rename there must fail loudly here,
     // not silently demote the family out of its priority slot.

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Executer, ExecuterConfig}
+import graft.streaming.CdcConsumer
+
+/** The CDC chain as a CONTINUOUS micro-batch consumer (VERDICT r9 next
+  * #8): two stores chained through `changedKeysSince`/`queryKeys`, the
+  * downstream driven by a streaming query (`foreachBatch` over a tick
+  * stream), polled repeatedly under churn, with the durable cursor
+  * surviving a consumer restart — the poll-loop spelling that
+  * ChainedCdcSpec's one-shot syncs and q106's build-time sync don't
+  * cover. */
+class StreamingCdcSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val cfg = ExecuterConfig(fanIn = 4, finalParts = 2)
+
+  private def model(up: Executer[Person, StatePop]): Map[String, (Long, Long)] =
+    up.queryAll().as[(String, String, Long)].collect()
+      .groupBy(_._2.take(1))
+      .map { case (b, rows) => b -> (rows.length.toLong, rows.map(_._3).sum) }
+
+  private def bands(c: CdcConsumer[StatePop, BandPop]): Map[String, (Long, Long)] =
+    c.queryAll().as[(String, String, Long, Long)].collect()
+      .map { case (_, b, s, p) => b -> (s, p) }.toMap
+
+  test("a streaming-driven consumer tracks continuous upstream churn " +
+      "and its cursor survives a restart") {
+    val upStore = TestTmp.dir("graft-scdc-up")
+    val downStore = TestTmp.dir("graft-scdc-down")
+    val ckpt = TestTmp.dir("graft-scdc-ckpt")
+    val up = new Executer(PeopleCountByState, upStore, cfg)
+
+    up.execute(spark.createDataset(Seq(
+      Person("p1", "AA"), Person("p2", "AB"), Person("p3", "BA"),
+      Person("p4", "CC"))))
+
+    val consumer = new CdcConsumer(up, StateBandCountsDelta, downStore, cfg)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ticks = MemoryStream[Int]
+    // ProcessingTime(0), not AvailableNow: the consumer is a LONG-LIVED
+    // poll loop — AvailableNow drains once and STOPS, so later ticks
+    // would never fire a sync.
+    val q = consumer.attach(ticks.toDS(), ckpt,
+      trigger = Trigger.ProcessingTime(0))
+
+    def poll(): Unit = {
+      ticks.addData(1)
+      q.processAllAvailable()
+    }
+
+    // Bootstrap poll: full snapshot sync.
+    poll()
+    assert(bands(consumer) == model(up))
+
+    // Continuous churn: value changes, a vanishing key, a brand-new
+    // key, and a full-key delete — one poll after each mutation, plus
+    // one poll covering TWO accumulated generations (the consumer was
+    // "behind"; changedKeysSince spans the gap).
+    up.execute(spark.createDataset(Seq(Person("p4", "BA")))) // CC vanishes
+    poll()
+    assert(bands(consumer) == model(up))
+    assert(!bands(consumer).contains("C"),
+      "vanished upstream key must arrive as a downstream delete")
+
+    up.execute(spark.createDataset(Seq(Person("p5", "DD"))))
+    up.execute(spark.createDataset(Seq(Person("p6", "AB")))) // 2 gens, 1 poll
+    poll()
+    assert(bands(consumer) == model(up))
+
+    up.delete("AB")
+    poll()
+    assert(bands(consumer) == model(up))
+
+    // A tick with no upstream churn is a no-op.
+    val before = bands(consumer)
+    poll()
+    assert(bands(consumer) == before)
+    q.stop()
+
+    // RESTART: a fresh consumer over the same store resumes from the
+    // persisted cursor — churn that landed while it was down arrives
+    // on its first poll, with no re-bootstrap.
+    up.execute(spark.createDataset(Seq(Person("p1", "CA"))))
+    val consumer2 = new CdcConsumer(up, StateBandCountsDelta, downStore, cfg)
+    assert(consumer2.cursor >= 0, "cursor must persist across restarts")
+    consumer2.syncOnce()
+    assert(bands(consumer2) == model(up))
+  }
+}
