@@ -2294,6 +2294,16 @@ class Executer[D, R <: Product: TypeTag](
   }
   private def readStr(in: java.io.DataInputStream): String = {
     val n = in.readInt()
+    // Validated BEFORE allocating (ADVICE r9): a record written by a
+    // different format (e.g. the pre-r9 writeUTF spelling, whose 2-byte
+    // length plus 2 data bytes would be read here as one 4-byte length)
+    // must fail as an explicit corrupt-record error, not as a
+    // multi-GB allocation attempt. 16 MiB is far above any real
+    // document id / reduce key and far below anything allocatable by
+    // accident from reinterpreted bytes.
+    if (n < 0 || n > (16 << 20)) throw new java.io.IOException(
+      s"corrupt or unsupported string record: length $n out of range " +
+        "(store written by an incompatible version?)")
     val b = new Array[Byte](n); in.readFully(b)
     new String(b, java.nio.charset.StandardCharsets.UTF_8)
   }
