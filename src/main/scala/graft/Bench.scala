@@ -317,7 +317,7 @@ object Bench {
       val buildFields =
         f""","nbuilds":${buildResults.size},"build_sec":${buildResults.map(_.sec).sum}%.3f,"skipped_builds":${(skippedBuilds ++ failedBuilds).map("\"" + _ + "\"").mkString("[", ",", "]")},"stranded_queries":$stranded,"cached_builds":$cachedBuilds"""
       val skipFields =
-        f""","elapsed_sec":$elapsed%.1f,"budget_sec":$budgetSec%.0f,"host_factor":$hostFactor%.2f,"watchdog_cancels":${watchdogCancels.get},"skipped_queries":${skippedQueries.size},"skipped_sections":${skippedSections.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+        f""","elapsed_sec":$elapsed%.1f,"budget_sec":$budgetSec%.0f,"host_factor":$hostFactor%.2f,"digest_factor":$digestFactor%.2f,"watchdog_cancels":${watchdogCancels.get},"skipped_queries":${skippedQueries.size},"skipped_sections":${skippedSections.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       lastSummary =
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"errs":$errs,"threads":$cpus,"sf":"$sfDir"$skipFields$buildFields$incFields$inc10xFields}"""
       println(lastSummary)

@@ -355,6 +355,32 @@ object IndexQueries {
         val vanished = changed.filterNot(liveKeys)
         if (vanished.nonEmpty) down.deleteDocuments(vanished)
       }
+      // Divergence probe (VERDICT r9 #1: one driver-gate hash mismatch
+      // here that six local full-sweep reproductions and 125 stress
+      // iterations never reproduced): compare the maintained downstream
+      // against a direct rollup of the upstream's CURRENT rows and
+      // REPORT — never repair — any mismatch to stderr, so if the
+      // divergence ever recurs at the gate, the artifact says which
+      // band and which component drifted. Cost: one tiny driver-side
+      // compare of ≤|bands| rows at build time, zero at query time.
+      locally {
+        val expect = rows(up.queryAll()).collect()
+          .groupBy(r => if (r.priority == "1-URGENT" || r.priority == "2-HIGH")
+            "expedite" else "standard")
+          .map { case (b, rs) => b ->
+            ((rs.length.toLong, rs.map(_.cnt).sum, rs.map(_.total).sum)) }
+        val got = down.queryAll()
+          .select($"reduce_key", $"npriorities", $"cnt", $"total")
+          .as[(String, Long, Long, BigDecimal)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+        val diverged = got.keySet != expect.keySet || expect.exists {
+          case (k, e) => val g = got(k)
+            g._1 != e._1 || g._2 != e._2 || (g._3 compare e._3) != 0
+        }
+        if (diverged) System.err.println(
+          s"[graft][q106-DIVERGENCE] maintained=$got expected=$expect " +
+            s"changed=$changed")
+      }
       -1L
     } { p => new Executer(PriorityBands, p, cfg) }._1
   }
