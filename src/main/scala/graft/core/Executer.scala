@@ -1732,6 +1732,63 @@ class Executer[D, R <: Product: TypeTag](
         .map(f => col(s"payload.$f")): _*)
   }
 
+  /** The CDC surface with BEFORE/AFTER IMAGES — [[changedKeysSince]]
+    * upgraded from an invalidation set to a Debezium-style change feed:
+    * one row per touched key with `change_type` ('insert' | 'update' |
+    * 'delete'), the key's payload as of generation `sinceVersion`
+    * (`old_*` columns, NULL on insert), and its current payload
+    * (`new_*` columns, NULL on delete). Consumers that can apply
+    * retractions directly (a downstream delta-reducible index, an
+    * external OLAP sink) read this instead of refetching via
+    * [[queryKeys]] — the before-image IS the retraction.
+    *
+    * Semantics follow the invalidation set exactly: "touched" means a
+    * document contributed to the key before or after some mutation in
+    * `(sinceVersion, current]` — so a key whose documents were
+    * resubmitted with identical payloads still appears, as an 'update'
+    * whose old and new images are equal (the consumer's idempotent
+    * apply makes it a no-op). Both sides are snapshot reads (the old
+    * side time-travels to `sinceVersion`, within the same GC-retention
+    * contract as [[queryAllAt]]); the join is pruned to the changed
+    * keys — O(churn) rows move, never O(keys). */
+  def diffSince(sinceVersion: Long): DataFrame = {
+    require(sinceVersion >= 0,
+      s"diffSince needs a published base generation, got $sinceVersion")
+    val keysDF = changedKeysSince(sinceVersion) // distinct reduce_key
+    val fields = encR.schema.fieldNames.toSeq
+    // Prune both snapshot reads to the changed keys' final partitions —
+    // the same one-job-per-poll shape as [[queryKeys]]: when the churn
+    // fits the driver (the normal poll; the bound every CDC consumer
+    // already lives under), both sides read |distinct fparts| ≤ |keys|
+    // partitions with pushed-down key predicates; a poll with more
+    // churn than fits the driver falls back to semi-joins against the
+    // key set (O(keys-scan) IO — at that churn a full resync is the
+    // better consumer strategy anyway, see [[CdcConsumer]]).
+    val keysProbe = keysDF.limit(DriverDirtyLimit + 1).collect()
+      .map(_.getString(0))
+    val driverSmall = keysProbe.length <= DriverDirtyLimit
+    def pruned(df: DataFrame, partCol: String): DataFrame =
+      if (driverSmall) {
+        val fparts = keysProbe.map(fpartOf).distinct.toSeq
+        df.where(col(partCol).isin(fparts.map(Integer.valueOf): _*) &&
+          $"reduce_key".isin(keysProbe.toSeq: _*))
+      } else df.join(keysDF, Seq("reduce_key"), "left_semi")
+    val snapB = Some(manifestAt(sinceVersion))
+    val before = pruned(
+        relFor(treePath, treeReadSchema, snapB).where($"level" === 2), "part")
+      .select((col("reduce_key") +: fields.map(f =>
+        col(s"payload.$f") as s"old_$f")) :+ lit(true).as("_was"): _*)
+    val after = pruned(readFinals(), "fpart")
+      .select((col("reduce_key") +: fields.map(f =>
+        col(s"payload.$f") as s"new_$f")) :+ lit(true).as("_is"): _*)
+    before.join(after, Seq("reduce_key"), "full_outer")
+      .withColumn("change_type",
+        when(col("_was").isNull, lit("insert"))
+          .when(col("_is").isNull, lit("delete"))
+          .otherwise(lit("update")))
+      .drop("_was", "_is")
+  }
+
   /** [[query]] as of an earlier published generation — the point-read
     * sibling of [[queryAllAt]]: the same immutable-snapshot semantics,
     * pruned to the key's single final partition exactly like a live

@@ -248,6 +248,22 @@ object IndexQueries {
       cdcBandIndex(s, dir).queryAll()
         .select($"reduce_key", $"npriorities", $"cnt",
           toDouble($"total") as "total")
+    },
+
+    // The CDC surface with BEFORE/AFTER IMAGES (`Executer.diffSince`):
+    // q104's invalidation set upgraded to a Debezium-style change feed
+    // — per touched key, the pre-update payload (old_*) and the current
+    // payload (new_*) with a change_type verdict. The oracle recomputes
+    // both generations' aggregates from the documents and joins them
+    // over the same invalidation set — so the engine's time-travel
+    // before-image and live after-image must BOTH be exact.
+    "q107_cdc_diff" -> { (s, dir) =>
+      import s.implicits._
+      val (ex, v) = ordersByPriorityUpdated(s, dir)
+      ex.diffSince(v)
+        .select($"reduce_key", $"change_type",
+          $"old_cnt", toDouble($"old_total") as "old_total",
+          $"new_cnt", toDouble($"new_total") as "new_total")
     })
 
   /** One OrdersByPriority store per (process, source dir), built then
@@ -618,6 +634,36 @@ object IndexQueries {
          |  CAST(sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS total
          |  FROM orders GROUP BY 1)
          |SELECT cur.reduce_key, cur.cnt, cur.total
-         |FROM cur JOIN chg USING (reduce_key)""".stripMargin
+         |FROM cur JOIN chg USING (reduce_key)""".stripMargin,
+    // Before/after change feed over the invalidation set: the old image
+    // aggregates the ORIGINAL documents, the new image the post-update
+    // ones; both restricted to the changed keys and full-outer-joined.
+    // No key vanishes or appears in q41's mutation at these SFs only if
+    // every priority retains orders — change_type still derives from
+    // NULL-ness, so the oracle is shape-correct for all three verdicts.
+    "q107_cdc_diff" ->
+      s"""WITH chg AS (
+         |  SELECT DISTINCT o_orderpriority AS reduce_key FROM orders
+         |  WHERE o_orderkey % 97 = 0
+         |  UNION
+         |  SELECT '1-URGENT' AS reduce_key),
+         |old AS (
+         |  SELECT o_orderpriority AS reduce_key, count(*) AS old_cnt,
+         |    CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS old_total
+         |  FROM orders GROUP BY 1),
+         |new AS (
+         |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
+         |              ELSE o_orderpriority END AS reduce_key,
+         |    count(*) AS new_cnt,
+         |    CAST(sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS new_total
+         |  FROM orders GROUP BY 1),
+         |o AS (SELECT old.* FROM old JOIN chg USING (reduce_key)),
+         |n AS (SELECT new.* FROM new JOIN chg USING (reduce_key))
+         |SELECT COALESCE(o.reduce_key, n.reduce_key) AS reduce_key,
+         |  CASE WHEN o.reduce_key IS NULL THEN 'insert'
+         |       WHEN n.reduce_key IS NULL THEN 'delete'
+         |       ELSE 'update' END AS change_type,
+         |  o.old_cnt, o.old_total, n.new_cnt, n.new_total
+         |FROM o FULL OUTER JOIN n ON o.reduce_key = n.reduce_key""".stripMargin
   )
 }

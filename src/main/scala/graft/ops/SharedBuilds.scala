@@ -56,7 +56,8 @@ object SharedBuilds {
       (s, dir) => IndexQueries.warmStore("OrdersMultiTag", s, dir)),
     b("ordersbypriority",
       Seq("q41_mr_index_update", "q41b_mr_time_travel",
-        "q104_changed_keys", "q104b_changed_keys_refetch"),
+        "q104_changed_keys", "q104b_changed_keys_refetch",
+        "q107_cdc_diff"),
       cacheTag = Some("ordersbypriorityupdated"))(
       (_, dir) => IndexQueries.storeBuilt("OrdersByPriorityUpdated", dir))(
       (s, dir) => IndexQueries.warmStore("OrdersByPriorityUpdated", s, dir)),

@@ -54,6 +54,44 @@ class ChangedKeysSpec extends AnyFunSuite {
     assert(changed(ex, v3).isEmpty)
   }
 
+  test("diffSince delivers before/after images with the right " +
+      "change_type for insert, update, and delete") {
+    val store = TestTmp.dir("graft-chg-diff")
+    val ex = new Executer(PeopleCountByState, store, cfg)
+    ex.execute(spark.createDataset(Seq(
+      Person("a", "CA"), Person("b", "CA"), Person("c", "TX"),
+      Person("d", "WA"))))
+    val v0 = ex.snapshotVersion()
+
+    // One batch producing all three verdicts: CA loses a contributor
+    // (update), WA's only contributor re-keys to a brand-new NV (WA
+    // delete + NV insert), TX untouched (must not appear at all).
+    ex.execute(spark.createDataset(Seq(Person("b", "NV"), Person("d", "NV"))))
+
+    val rows = ex.diffSince(v0)
+      .select($"reduce_key", $"change_type",
+        $"old_state", $"old_count", $"new_state", $"new_count")
+      .as[(String, String, Option[String], Option[Long],
+        Option[String], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._4, r._6))).toMap
+
+    assert(rows.keySet == Set("CA", "WA", "NV"), "TX was untouched")
+    assert(rows("CA") == (("update", Some(2L), Some(1L))))
+    assert(rows("WA") == (("delete", Some(1L), None)))
+    assert(rows("NV") == (("insert", None, Some(2L))))
+
+    // The feed is cumulative across generations like changedKeysSince:
+    // a later mutation widens the same since-v0 diff, and a diff from
+    // the CURRENT generation is empty.
+    val v1 = ex.snapshotVersion()
+    ex.delete("CA")
+    assert(ex.diffSince(v1).select($"reduce_key", $"change_type")
+      .as[(String, String)].collect().toSet == Set(("CA", "delete")))
+    assert(ex.diffSince(v0).where($"reduce_key" === "CA")
+      .select($"change_type").as[String].collect().toSeq == Seq("delete"))
+    assert(ex.diffSince(ex.snapshotVersion()).count() == 0L)
+  }
+
   test("a compact-only generation contributes no invalidations") {
     val store = TestTmp.dir("graft-chg-compact")
     // Generous retention: compact() prunes changed records past the

@@ -150,6 +150,20 @@ class PlanSpec extends AnyFunSuite {
     // Absent keys contribute no rows; empty key set returns empty.
     assert(ex.queryKeys(Seq("CA", "ZZ")).count() == 1L)
     assert(ex.queryKeys(Nil).count() == 0L)
+
+    // The before/after change feed prunes BOTH snapshot reads to the
+    // changed keys' fparts — a diff poll reads O(churn) partitions,
+    // never a full final-table scan on either side.
+    val v = ex.snapshotVersion()
+    ex.execute(spark.createDataset(Seq(Person("c", "NV"))))
+    val diff = ex.diffSince(v)
+    val p4 = diff.queryExecution.executedPlan.toString
+    val pfs = p4.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pfs.size >= 2 && pfs.forall(l =>
+        l.contains("level") && l.contains("part")),
+      s"diffSince does not partition-prune both sides: $pfs")
+    assert(diff.select($"reduce_key", $"change_type").as[(String, String)]
+      .collect().toSet == Set(("TX", "delete"), ("NV", "insert")))
   }
 
   test("decontamination broadcasts the eval side; the corpus side never shuffles pre-join") {
