@@ -93,5 +93,22 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(consumer2.cursor >= 0, "cursor must persist across restarts")
     consumer2.syncOnce()
     assert(bands(consumer2) == model(up))
+
+    // FAN-OUT: a second, independent consumer (own store, own cursor)
+    // bootstraps late off the same upstream and then tracks it on its
+    // own poll cadence — consumers never coordinate; each holds only
+    // its own cursor. This is the pipeline-DAG shape: one maintained
+    // index feeding N downstream stages.
+    val down2 = TestTmp.dir("graft-scdc-down2")
+    val late = new CdcConsumer(up, StateBandCountsDelta, down2, cfg)
+    late.syncOnce() // bootstrap sees the CURRENT upstream state
+    assert(bands(late) == model(up))
+    up.execute(spark.createDataset(Seq(Person("p7", "EE"))))
+    late.syncOnce() // late consumer catches up...
+    assert(bands(late) == model(up))
+    assert(bands(consumer2) != model(up),
+      "consumers are independent: the idle one must NOT have moved")
+    consumer2.syncOnce() // ...and the first one catches up on ITS poll
+    assert(bands(consumer2) == model(up))
   }
 }
