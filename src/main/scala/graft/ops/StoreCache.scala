@@ -113,10 +113,26 @@ private[graft] object StoreCache {
   /** Publish `src` (a just-built pristine store) as the cache entry for
     * `tag`: copy into a process-private dir, then atomic-rename into
     * place — two concurrent benches cannot interleave writes, and the
-    * `_GRAFT_OK` marker is only present on complete entries. */
+    * `_GRAFT_OK` marker is only present on complete entries. Saving
+    * also sweeps SUPERSEDED entries of the same (tag, sf) under other
+    * fingerprints/versions — regenerated testdata or a derivation bump
+    * must not accumulate orphaned store copies in the temp dir
+    * (the ADVICE-r4 hygiene contract, extended to this cache). */
   def save(tag: String, sfDir: String, src: String, meta: Long): Unit = {
     if (!on) return
     val dir = cacheDir(tag, sfDir)
+    locally {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val parent = Paths.get(System.getProperty("java.io.tmpdir"))
+      val prefix = s"graft-store-$tag-$sfName-"
+      val me = Paths.get(dir).getFileName.toString
+      val ls = Files.list(parent)
+      try ls.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(prefix) && n != me && !n.contains(".tmp-"))
+          try deleteRec(p.toString) catch { case _: Throwable => () }
+      } finally ls.close()
+    }
     if (Files.exists(Paths.get(dir, "_GRAFT_OK"))) return
     val tmp = dir + ".tmp-" + ProcessHandle.current().pid()
     try {
