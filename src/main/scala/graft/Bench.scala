@@ -485,8 +485,12 @@ object Bench {
       // complete when it looks. `restoreOk=false` still SAVES after a
       // cold build (populating the cache) but never serves from it —
       // the caller wants a measured build this run.
+      // Store-shape inputs folded into the cache entry (VERDICT r10 #6):
+      // a config or task change invalidates without a version bump.
+      val cacheExtra = s"${IndexQueries.LineitemByFlagStatus.getClass.getName}" +
+        ":fanIn=64:finalParts=16:driverDirtyLimit=16384"
       val restored = restoreOk && cacheTag.exists(tag =>
-        graft.ops.StoreCache.restore(tag, sfDir, store).isDefined)
+        graft.ops.StoreCache.restore(tag, sfDir, store, cacheExtra).isDefined)
       val ex = new Executer(IndexQueries.LineitemByFlagStatus, store,
         ExecuterConfig(fanIn = 64, finalParts = 16,
           driverDirtyLimit = 16384))
@@ -495,7 +499,7 @@ object Bench {
         else {
           val b = time { ex.execute(docs) }
           cacheTag.foreach(tag =>
-            graft.ops.StoreCache.save(tag, sfDir, store, 0L))
+            graft.ops.StoreCache.save(tag, sfDir, store, 0L, cacheExtra))
           b
         }
       // Two untimed warmup updates, not one: the first update after a
@@ -892,25 +896,28 @@ object Bench {
       ranCount += 1
       if (ranCount % 15 == 0) emitSummary()
     }
-    for ((name, fn) <- sweepQueries) {
-      val est = math.min(estOf(name, 0.4), 10.0)
-      groupOf(name) match {
-        case 0 if elapsed + est > budgetSec - genericEstTotal =>
-          deferred += ((name, fn)) // the generic reserve wins; retry at tail
-        case _ if elapsed + est > budgetSec =>
-          // Est-aware skip: starting a 5s query at budget-1s is how
-          // r8-style runs overshoot their own elapsed ceiling.
-          skippedQueries += name
-        case _ => runQuery(name, fn)
-      }
-    }
-    // Deferred update-family entries get their second chance once the
-    // generic sweep has its rows — plain est-aware skip from here.
-    for ((name, fn) <- deferred) {
+    def skipOrRun(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       if (elapsed + math.min(estOf(name, 0.4), 10.0) > budgetSec)
+        // Est-aware skip: starting a 5s query at budget-1s is how
+        // r8-style runs overshoot their own elapsed ceiling.
         skippedQueries += name
       else runQuery(name, fn)
+    for ((name, fn) <- sweepQueries if groupOf(name) == 0) {
+      val est = math.min(estOf(name, 0.4), 10.0)
+      if (elapsed + est > budgetSec - genericEstTotal)
+        deferred += ((name, fn)) // the generic reserve wins; retry later
+      else if (elapsed + est > budgetSec) skippedQueries += name
+      else runQuery(name, fn)
     }
+    for ((name, fn) <- sweepQueries if groupOf(name) == 1) skipOrRun(name, fn)
+    // Deferred update-family entries get their second chance once the
+    // generic sweep has its rows — BEFORE the demoted digestTail
+    // outliers (~20s each under throttle), which would otherwise eat
+    // the tail budget ahead of the claim-bearing rows the reserve
+    // exists to protect (ADVICE r10).
+    for ((name, fn) <- deferred) skipOrRun(name, fn)
+    for ((name, fn) <- sweepQueries if groupOf(name) == 2) skipOrRun(name, fn)
     if (skippedQueries.nonEmpty)
       println(s"""{"skipped_query_names":${skippedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     emitSummary()

@@ -60,6 +60,14 @@ private[core] final case class Snapshot(
     retired: Vector[Retired])
 
 object Executer {
+  /** On-disk store format version. Bump when ANY persisted layout
+    * changes: table schemas/partitioning, manifest or WAL encoding,
+    * tombstone format, state-file layout. Folded into the cross-run
+    * [[graft.ops.StoreCache]] fingerprint so a format change can never
+    * silently serve a previous build's store to the bench
+    * (VERDICT r10 #6). */
+  val FormatVersion = 1
+
   // One checksum-free state-file FileSystem per (scheme, authority),
   // shared by every Executer instance in the process (see `stateFs`).
   private val stateFsCache =
@@ -1703,6 +1711,14 @@ class Executer[D, R <: Product: TypeTag](
     val cur = readCurrentVersion()
     if (cur < 0) throw new UnsupportedOperationException(
       "changedKeysSince: not a manifest store (no published generations)")
+    changedKeysIn(sinceVersion, cur)
+  }
+
+  /** [[changedKeysSince]] with the upper generation PINNED by the caller
+    * — so a read path that snapshots the store at entry ([[diffSince]])
+    * derives its key set from exactly the generations its images cover,
+    * never from a generation a concurrent writer published mid-read. */
+  private def changedKeysIn(sinceVersion: Long, cur: Long): DataFrame = {
     require(sinceVersion >= -1 && sinceVersion <= cur,
       s"sinceVersion must be in [-1, $cur], got $sinceVersion")
     val h = changedHorizon()
@@ -1751,10 +1767,28 @@ class Executer[D, R <: Product: TypeTag](
     * side time-travels to `sinceVersion`, within the same GC-retention
     * contract as [[queryAllAt]]); the join is pruned to the changed
     * keys — O(churn) rows move, never O(keys). */
-  def diffSince(sinceVersion: Long): DataFrame = {
+  def diffSince(sinceVersion: Long): DataFrame = consistentRead {
+    configChecked
     require(sinceVersion >= 0,
       s"diffSince needs a published base generation, got $sinceVersion")
-    val keysDF = changedKeysSince(sinceVersion) // distinct reduce_key
+    // The full_outer join below pairs old and new images BY KEY — sound
+    // only when a key has exactly one output row per side. A
+    // multi-output task (singleOutput=false is a legal shape) would pair
+    // arbitrary old/new rows with no error; fail loudly instead
+    // (ADVICE r10). Such consumers use changedKeysSince + queryKeys.
+    require(task.singleOutput,
+      "diffSince requires a singleOutput task: the before/after images " +
+        "are keyed by reduce_key, which is only unambiguous when each " +
+        "key has one output row — use changedKeysSince + queryKeys for " +
+        "multi-output stores")
+    // Pin BOTH generations at entry (ADVICE r10): the key set, the
+    // before side, and the after side must all resolve the same pair of
+    // manifests, or a concurrent writer could mix keys from one
+    // generation with after-images from a later one.
+    val cur = readCurrentVersion()
+    if (cur < 0) throw new UnsupportedOperationException(
+      "diffSince: not a manifest store (no published generations)")
+    val keysDF = changedKeysIn(sinceVersion, cur) // distinct reduce_key
     val fields = encR.schema.fieldNames.toSeq
     // Prune both snapshot reads to the changed keys' final partitions —
     // the same one-job-per-poll shape as [[queryKeys]]: when the churn
@@ -1778,7 +1812,11 @@ class Executer[D, R <: Product: TypeTag](
         relFor(treePath, treeReadSchema, snapB).where($"level" === 2), "part")
       .select((col("reduce_key") +: fields.map(f =>
         col(s"payload.$f") as s"old_$f")) :+ lit(true).as("_was"): _*)
-    val after = pruned(readFinals(), "fpart")
+    // After side reads the manifest captured at entry, not the live
+    // pointer — same snapshot discipline as the before side.
+    val snapA = Some(manifestAt(cur))
+    val after = pruned(
+        relFor(treePath, treeReadSchema, snapA).where($"level" === 2), "part")
       .select((col("reduce_key") +: fields.map(f =>
         col(s"payload.$f") as s"new_$f")) :+ lit(true).as("_is"): _*)
     before.join(after, Seq("reduce_key"), "full_outer")
@@ -1863,6 +1901,20 @@ class Executer[D, R <: Product: TypeTag](
         .where($"parent" === parent && $"doc_id" === id)
         .select("reduce_key", "bucket")
     }
+  }
+
+  /** Every LIVE document id in the store (distinct, post-normalization,
+    * tombstoned docs excluded) — the inventory a CDC consumer needs on a
+    * re-bootstrap to find downstream documents the new snapshot no
+    * longer covers ([[graft.streaming.CdcConsumer]]). One distinct over
+    * `map_results`; the caller bounds any collect. */
+  def documentIds(): DataFrame = consistentRead {
+    configChecked
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    if (!exists(mapResultsPath))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", StringType))))
+    else readMapResults().select("doc_id").distinct()
   }
 
   // ---------------------------------------------------------------------

@@ -387,7 +387,9 @@ object IncrementalIndexes {
       // The whole built+updated pipeline is a deterministic derivation,
       // so the cross-RUN cache (Bench only) serves the post-update store
       // plus its pre-update snapshot version as one entry.
-      val (preV, _) = StoreCache.orBuild("q89", dir, store) { st =>
+      val (preV, _) = StoreCache.orBuild("q89", dir, store,
+          s"${LengthHistIndex.getClass.getName}:fanIn=${cfg.fanIn}" +
+            s":finalParts=${cfg.finalParts}") { st =>
         // Built directly into the updated store's directory: the base
         // was only ever cloned into this pipeline (nothing else reads
         // it), so the former build-then-clone paid a full store copy
@@ -431,7 +433,8 @@ object IncrementalIndexes {
   private val baseStores =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
-  private def baseStoreOf(key: String, dir: String)(
+  private def baseStoreOf(key: String, dir: String,
+      task: MapReduceTask[_, _], taskCfg: ExecuterConfig)(
       build: String => Unit): String =
     Memo.memo(baseStores, (key, dir)) {
       // Phase line per one-time base build: the sweep's tail is these
@@ -442,7 +445,11 @@ object IncrementalIndexes {
         // Cross-RUN disk cache (Bench only; tag matches the SharedBuilds
         // entry name): pristine base stores are pure in (task, testdata)
         // — every mutation runs on a per-invocation clone, never here.
-        StoreCache.orBuild(s"base-$key", dir, p)(d => { build(d); 0L })
+        // Task identity + layout config fold into the entry so either
+        // changing invalidates it without a version bump (VERDICT r10 #6).
+        StoreCache.orBuild(s"base-$key", dir, p,
+          s"${task.getClass.getName}:fanIn=${taskCfg.fanIn}" +
+            s":finalParts=${taskCfg.finalParts}")(d => { build(d); 0L })
         p
       }
     }
@@ -490,19 +497,19 @@ object IncrementalIndexes {
   private[ops] def warmBase(key: String, s: SparkSession, dir: String): Unit = {
     implicit val spark: SparkSession = s
     key match {
-      case "q29" => baseStoreOf(key, dir)(p =>
+      case "q29" => baseStoreOf(key, dir, MinHashIndex, cfg16)(p =>
         new Executer(MinHashIndex, p, cfg16).execute(docTexts(s, dir)))
-      case "q64" => baseStoreOf(key, dir)(p =>
+      case "q64" => baseStoreOf(key, dir, WinnowIndex, cfg16)(p =>
         new Executer(WinnowIndex, p, cfg16).execute(docTexts(s, dir)))
-      case "q37" => baseStoreOf(key, dir)(p =>
+      case "q37" => baseStoreOf(key, dir, IvfCellIndex, cfg16)(p =>
         new Executer(IvfCellIndex, p, cfg16).execute(vecDocs(s, dir)))
-      case "q77" => baseStoreOf(key, dir)(p =>
+      case "q77" => baseStoreOf(key, dir, ShingleFreqIndex, cfg16)(p =>
         new Executer(ShingleFreqIndex, p, cfg16).execute(docTexts(s, dir)))
-      case "q97" => baseStoreOf(key, dir)(p =>
+      case "q97" => baseStoreOf(key, dir, SimhashIndex, cfg16)(p =>
         new Executer(SimhashIndex, p, cfg16).execute(docTexts(s, dir)))
-      case "q91" => baseStoreOf(key, dir)(p =>
+      case "q91" => baseStoreOf(key, dir, IvfCentroidIndex, cfg16)(p =>
         new Executer(IvfCentroidIndex, p, cfg16).execute(vecDocs(s, dir)))
-      case "q78" => baseStoreOf(key, dir)(p =>
+      case "q78" => baseStoreOf(key, dir, EvalShingleIndex, cfg16)(p =>
         new Executer(EvalShingleIndex, p, cfg16)
           .execute(docTexts(s, dir).filter(_.doc_id % 97 == 0)))
       case "q89" => lengthHistUpdated(s, dir)

@@ -99,7 +99,15 @@ object IndexQueries {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), Any]
 
-  private def cachedIndex[A](key: String, dir: String, s: SparkSession)(
+  /** The StoreCache `extra` key for a store built by `task` under `cfg`:
+    * folds the task's identity and the layout config into the cache
+    * entry so either changing invalidates it without a manual version
+    * bump (VERDICT r10 #6). */
+  private def cacheKeyOf(task: MapReduceTask[_, _], cfg: ExecuterConfig): String =
+    s"${task.getClass.getName}:fanIn=${cfg.fanIn}:finalParts=${cfg.finalParts}"
+
+  private def cachedIndex[A](key: String, dir: String, s: SparkSession,
+      extra: String = "")(
       buildAt: String => Long)(openAt: String => A): (A, Long) = {
     val (path, v) = Memo.memo(storePaths, (key, dir)) {
       // Phase line per one-time build — same diagnosability doctrine
@@ -109,7 +117,7 @@ object IndexQueries {
         // Cross-RUN disk cache (Bench only — StoreCache is disabled in
         // Verify so the correctness gate always runs the real builder):
         // these stores are deterministic derivations of static testdata.
-        val (meta, _) = StoreCache.orBuild(key.toLowerCase, dir, p)(buildAt)
+        val (meta, _) = StoreCache.orBuild(key.toLowerCase, dir, p, extra)(buildAt)
         (p, meta)
       }
     }
@@ -128,6 +136,7 @@ object IndexQueries {
       case "OrdersMultiTag" => ordersMultiTagIndex(s, dir)
       case "OrdersByPriorityUpdated" => ordersByPriorityUpdated(s, dir)
       case "CdcBands" => cdcBandIndex(s, dir)
+      case "CdcBandsRecompute" => cdcBandIndexRecompute(s, dir)
       case other => throw new IllegalArgumentException(s"no store build: $other")
     }
     ()
@@ -139,12 +148,12 @@ object IndexQueries {
     import s.implicits._
     def docs = t(s, dir, "customer")
       .select($"c_custkey", $"c_nationkey", $"c_acctbal").as[CustDoc]
-    cachedIndex("CustByNation", dir, s) { p =>
-      new Executer(CustByNation, p,
-        ExecuterConfig(fanIn = 16, finalParts = 8)).execute(docs)
+    val cfg = ExecuterConfig(fanIn = 16, finalParts = 8)
+    cachedIndex("CustByNation", dir, s, cacheKeyOf(CustByNation, cfg)) { p =>
+      new Executer(CustByNation, p, cfg).execute(docs)
       -1L
     } { p =>
-      new Executer(CustByNation, p, ExecuterConfig(fanIn = 16, finalParts = 8))
+      new Executer(CustByNation, p, cfg)
     }._1
   }
 
@@ -155,12 +164,12 @@ object IndexQueries {
     def orders = t(s, dir, "orders")
       .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus", $"o_totalprice")
       .as[OrderDoc2]
-    cachedIndex("OrdersMultiTag", dir, s) { p =>
-      new Executer(OrdersMultiTag, p,
-        ExecuterConfig(fanIn = 64, finalParts = 16)).execute(orders)
+    val cfg = ExecuterConfig(fanIn = 64, finalParts = 16)
+    cachedIndex("OrdersMultiTag", dir, s, cacheKeyOf(OrdersMultiTag, cfg)) { p =>
+      new Executer(OrdersMultiTag, p, cfg).execute(orders)
       -1L
     } { p =>
-      new Executer(OrdersMultiTag, p, ExecuterConfig(fanIn = 64, finalParts = 16))
+      new Executer(OrdersMultiTag, p, cfg)
     }._1
   }
 
@@ -242,12 +251,42 @@ object IndexQueries {
     // [[cdcBandIndex]]): the downstream band rollup is synced from the
     // upstream priority index via snapshot + changedKeysSince +
     // queryKeys, and must equal a from-scratch two-stage recompute over
-    // the post-update documents.
+    // the post-update documents. The gated payload is INTEGER-EXACT
+    // cents (VERDICT r10 #2, the q60/q83/q91 "no float hazard"
+    // doctrine): sums are DECIMAL(·,2) end-to-end, so ×100 is exactly
+    // integral on both engine and oracle sides — a driver-gate mismatch
+    // on BIGINTs names real state divergence, never a rounding layer.
     "q106_cdc_pipeline" -> { (s, dir) =>
       import s.implicits._
       cdcBandIndex(s, dir).queryAll()
         .select($"reduce_key", $"npriorities", $"cnt",
-          toDouble($"total") as "total")
+          ($"total".cast("decimal(28,2)") * 100).cast("long") as "total_cents")
+    },
+
+    // Gate-side bisection #1 (VERDICT r10 #1): q106's chain with a
+    // RECOMPUTE-ONLY downstream — same protocol, same oracle SQL. Red
+    // q106 + green q106b at the gate ⇒ the downstream delta path; both
+    // red ⇒ the downstream Executer generally.
+    "q106b_cdc_pipeline_recompute" -> { (s, dir) =>
+      import s.implicits._
+      cdcBandIndexRecompute(s, dir).queryAll()
+        .select($"reduce_key", $"npriorities", $"cnt",
+          ($"total".cast("decimal(28,2)") * 100).cast("long") as "total_cents")
+    },
+
+    // Gate-side bisection #2: the band rollup computed DIRECTLY from the
+    // upstream store's current rows as a plain DataFrame — no downstream
+    // store at all. Red here too ⇒ the upstream read/rollup layer, not
+    // the chained Executer. Same oracle SQL as q106.
+    "q106c_cdc_rollup_direct" -> { (s, dir) =>
+      import s.implicits._
+      val (up, _) = ordersByPriorityUpdated(s, dir)
+      up.queryAll()
+        .groupBy(when($"reduce_key".isin("1-URGENT", "2-HIGH"), "expedite")
+          .otherwise("standard") as "reduce_key")
+        .agg(count(lit(1)) as "npriorities", sum($"cnt") as "cnt",
+          (sum($"total".cast("decimal(28,2)")) * 100).cast("long")
+            as "total_cents")
     },
 
     // The CDC surface with BEFORE/AFTER IMAGES (`Executer.diffSince`):
@@ -277,7 +316,9 @@ object IndexQueries {
     import s.implicits._
     def orders = t(s, dir, "orders")
       .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").as[OrderDoc]
-    cachedIndex("OrdersByPriorityUpdated", dir, s) { p =>
+    val obpCfg = ExecuterConfig(fanIn = 64, finalParts = 16)
+    cachedIndex("OrdersByPriorityUpdated", dir, s,
+        cacheKeyOf(OrdersByPriority, obpCfg)) { p =>
       val ex = new Executer(OrdersByPriority, p,
         ExecuterConfig(fanIn = 64, finalParts = 16))
       ex.execute(orders)
@@ -300,7 +341,13 @@ object IndexQueries {
   case class BandAgg(band: String, npriorities: Long, cnt: Long,
       total: BigDecimal)
 
-  object PriorityBands extends MapReduceTask[PriorityAgg, BandAgg] {
+  /** Parameterized over the maintenance strategy so q106's gate-side
+    * bisection (VERDICT r10 #1) can run the IDENTICAL chain with the
+    * delta path on (q106, [[PriorityBands]]) and off (q106b,
+    * [[PriorityBandsRecompute]]): if only q106 goes red at the driver
+    * gate, the downstream delta path is the faulty stage by elimination. */
+  sealed class BandRollupTask(delta: Boolean)
+      extends MapReduceTask[PriorityAgg, BandAgg] {
     private def bandOf(p: String): String =
       if (p == "1-URGENT" || p == "2-HIGH") "expedite" else "standard"
     def map(docs: Iterator[PriorityAgg]): Iterator[(String, BandAgg)] =
@@ -313,12 +360,14 @@ object IndexQueries {
     def reduceKey(e: BandAgg): String = e.band
     override def singleOutput: Boolean = true
     def documentId(d: PriorityAgg): String = d.priority
-    override def deltaReducible: Boolean = true
+    override def deltaReducible: Boolean = delta
     override def negate(e: BandAgg): BandAgg =
       BandAgg(e.band, -e.npriorities, -e.cnt, -e.total)
     override def isZero(e: BandAgg): Boolean =
       e.npriorities == 0L && e.cnt == 0L && e.total.signum == 0
   }
+  object PriorityBands extends BandRollupTask(true)
+  object PriorityBandsRecompute extends BandRollupTask(false)
 
   /** The PIPELINE-OF-INDEXES loop closed end-to-end (VERDICT r8 #8): a
     * downstream maintained index whose source is an UPSTREAM maintained
@@ -342,63 +391,85 @@ object IndexQueries {
     * from the post-update documents in DuckDB) — incremental ≡ batch
     * across a two-stage index chain, not just one store. */
   private def cdcBandIndex(
-      s: SparkSession, dir: String): Executer[PriorityAgg, BandAgg] = {
+      s: SparkSession, dir: String): Executer[PriorityAgg, BandAgg] =
+    cdcBandIndexWith(s, dir, "CdcBands", PriorityBands, "q106")
+
+  /** q106b: the IDENTICAL chain with the downstream delta path OFF —
+    * every sync recomputes the touched bands from stored map output
+    * instead of merging group deltas. Shares q106's oracle SQL verbatim
+    * (VERDICT r10 #1's gate-side bisection). */
+  private def cdcBandIndexRecompute(
+      s: SparkSession, dir: String): Executer[PriorityAgg, BandAgg] =
+    cdcBandIndexWith(s, dir, "CdcBandsRecompute", PriorityBandsRecompute, "q106b")
+
+  private def cdcBandIndexWith(s: SparkSession, dir: String, storeKey: String,
+      bandTask: BandRollupTask, tag: String): Executer[PriorityAgg, BandAgg] = {
     implicit val spark: SparkSession = s
     import s.implicits._
     // Resolve the upstream OUTSIDE the memo body: its own build +
     // q41-update pipeline is a separate (prereq) build entry.
     val (up, v0) = ordersByPriorityUpdated(s, dir)
     val cfg = ExecuterConfig(fanIn = 4, finalParts = 2)
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.select($"priority", $"cnt", $"total").as[PriorityAgg]
-    cachedIndex("CdcBands", dir, s) { p =>
-      val down = new Executer(PriorityBands, p, cfg)
-      Phases.timed("q106", "cdc_initial_sync") {
-        down.execute(rows(up.queryAllAt(v0)))
-      }
-      // The O(churn) driver-side key list is the quantity the CDC
-      // surface exists to keep small (same bound as q104b). Sorted:
-      // the sync batch is then byte-identical across runs — collect
-      // partition order must never influence a correctness-gated
+    cachedIndex(storeKey, dir, s, cacheKeyOf(bandTask, cfg)) { p =>
+      // ONE spelling of the sync protocol (VERDICT r10 #3): the gated
+      // chain runs the exact code the streaming consumer runs —
+      // bootstrap pinned to the pre-update generation v0 (reproducible
+      // time-travel read), then one steady-state poll that applies the
+      // changedKeysSince(v0) churn. The O(churn) driver-side collects
+      // inside syncOnce are the quantity the CDC surface exists to keep
+      // small (same bound as q104b), and its sync batches are sorted —
+      // collect partition order never influences a correctness-gated
       // store's construction.
-      val changed = up.changedKeysSince(v0).as[String].collect().toSeq.sorted
-      if (changed.nonEmpty) {
-        val live = rows(up.queryKeys(changed)).collect().toSeq
-          .sortBy(_.priority)
-        Phases.timedUpdate("q106", down)(
-          down.execute(spark.createDataset(live)))
-        val liveKeys = live.map(_.priority).toSet
-        val vanished = changed.filterNot(liveKeys)
-        if (vanished.nonEmpty) down.deleteDocuments(vanished)
+      val consumer = new graft.streaming.CdcConsumer(up, bandTask, p, cfg)
+      Phases.timed(tag, "cdc_initial_sync") {
+        consumer.syncOnce(bootstrapAt = Some(v0))
       }
-      // Divergence probe (VERDICT r9 #1: one driver-gate hash mismatch
-      // here that six local full-sweep reproductions and 125 stress
-      // iterations never reproduced): compare the maintained downstream
-      // against a direct rollup of the upstream's CURRENT rows and
-      // REPORT — never repair — any mismatch to stderr, so if the
-      // divergence ever recurs at the gate, the artifact says which
-      // band and which component drifted. Cost: one tiny driver-side
-      // compare of ≤|bands| rows at build time, zero at query time.
-      locally {
-        val expect = rows(up.queryAll()).collect()
-          .groupBy(r => if (r.priority == "1-URGENT" || r.priority == "2-HIGH")
-            "expedite" else "standard")
-          .map { case (b, rs) => b ->
-            ((rs.length.toLong, rs.map(_.cnt).sum, rs.map(_.total).sum)) }
-        val got = down.queryAll()
-          .select($"reduce_key", $"npriorities", $"cnt", $"total")
-          .as[(String, Long, Long, BigDecimal)].collect()
-          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-        val diverged = got.keySet != expect.keySet || expect.exists {
-          case (k, e) => val g = got(k)
-            g._1 != e._1 || g._2 != e._2 || (g._3 compare e._3) != 0
-        }
-        if (diverged) System.err.println(
-          s"[graft][q106-DIVERGENCE] maintained=$got expected=$expect " +
-            s"changed=$changed")
+      Phases.timedUpdate(tag, consumer.executer) { consumer.syncOnce() }
+      val down = consumer.executer
+      // Divergence probe (VERDICT r9 #1 / r10 #1: a driver-gate hash
+      // mismatch here that ten local full sweeps, 375 stress iterations,
+      // and a judge-run gate mirror never reproduced): compare the
+      // maintained downstream against a rollup derived from the
+      // DOCUMENTS (the oracle's own ground truth — NOT up.queryAll(),
+      // whose drift would make the old probe silently agree), and
+      // REPORT — never repair — any mismatch to stderr. Cost: one small
+      // aggregation job at build time, zero at query time.
+      val expect = t(s, dir, "orders")
+        .select(
+          when($"o_orderkey" % 97 === 0, lit("1-URGENT"))
+            .otherwise($"o_orderpriority") as "pri",
+          when($"o_orderkey" % 97 === 0, $"o_totalprice" * 2)
+            .otherwise($"o_totalprice").cast("decimal(18,2)") as "price")
+        .groupBy(when($"pri".isin("1-URGENT", "2-HIGH"), "expedite")
+          .otherwise("standard") as "band")
+        .agg(countDistinct($"pri") as "npriorities",
+          count(lit(1)) as "cnt", sum($"price") as "total")
+        .as[(String, Long, Long, BigDecimal)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val got = down.queryAll()
+        .select($"reduce_key", $"npriorities", $"cnt", $"total")
+        .as[(String, Long, Long, BigDecimal)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // Unconditional value dump (VERDICT r10 #1): every gated build
+      // prints the exact rows — full-precision decimals AND the double
+      // bits of the cast the old gate contract hashed — so ANY captured
+      // driver log shows the drifted value even when the divergence
+      // only manifests at the driver's gate process.
+      got.toSeq.sortBy(_._1).foreach { case (b, (np, c, tot)) =>
+        val d = tot.toDouble
+        System.err.println(s"[graft][$tag-rows] band=$b npriorities=$np " +
+          s"cnt=$c total=${tot.bigDecimal.toPlainString} " +
+          s"cents=${(tot * 100).toBigIntExact.getOrElse(BigInt(-1))} " +
+          s"doubleBits=${java.lang.Double.doubleToLongBits(d)}")
       }
+      val diverged = got.keySet != expect.keySet || expect.exists {
+        case (k, e) => val g = got(k)
+          g._1 != e._1 || g._2 != e._2 || (g._3 compare e._3) != 0
+      }
+      if (diverged) System.err.println(
+        s"[graft][$tag-DIVERGENCE] maintained=$got documentsExpected=$expect")
       -1L
-    } { p => new Executer(PriorityBands, p, cfg) }._1
+    } { p => new Executer(bandTask, p, cfg) }._1
   }
 
   case class LineitemDoc(l_orderkey: Long, l_linenumber: Int,
@@ -534,6 +605,19 @@ object IndexQueries {
         .select($"reduce_key", $"cnt", toDouble($"acctbal") as "acctbal")
     })
 
+  private lazy val cdcPipelineOracle: String =
+    s"""WITH p AS (
+       |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
+       |              ELSE o_orderpriority END AS pri,
+       |    count(*) AS cnt,
+       |    sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS total
+       |  FROM orders GROUP BY 1)
+       |SELECT CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'expedite'
+       |            ELSE 'standard' END AS reduce_key,
+       |  count(*) AS npriorities, sum(cnt) AS cnt,
+       |  CAST(sum(total) * 100 AS BIGINT) AS total_cents
+       |FROM p GROUP BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q45_mr_contributors" ->
       """SELECT 'CUSTOMER-' || CAST(c_custkey AS VARCHAR) AS doc_id
@@ -591,18 +675,12 @@ object IndexQueries {
     // The two-stage recompute: per-priority aggregate over the
     // POST-update orders (q41's %97 churn), rolled up into bands —
     // what the chained downstream store must equal after its CDC sync.
-    "q106_cdc_pipeline" ->
-      s"""WITH p AS (
-         |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
-         |              ELSE o_orderpriority END AS pri,
-         |    count(*) AS cnt,
-         |    sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS total
-         |  FROM orders GROUP BY 1)
-         |SELECT CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'expedite'
-         |            ELSE 'standard' END AS reduce_key,
-         |  count(*) AS npriorities, sum(cnt) AS cnt,
-         |  CAST(sum(total) AS DOUBLE) AS total
-         |FROM p GROUP BY 1""".stripMargin,
+    // Integer-exact cents (VERDICT r10 #2); q106b (recompute-only
+    // downstream) and q106c (direct rollup, no downstream store) share
+    // this SQL verbatim so a red row names the faulty stage.
+    "q106_cdc_pipeline" -> cdcPipelineOracle,
+    "q106b_cdc_pipeline_recompute" -> cdcPipelineOracle,
+    "q106c_cdc_rollup_direct" -> cdcPipelineOracle,
     // The PRE-update aggregation: the store has already applied q41's
     // mutation when q41b reads generation v — time travel must
     // reproduce the original documents' answer exactly.

@@ -57,7 +57,7 @@ object SharedBuilds {
     b("ordersbypriority",
       Seq("q41_mr_index_update", "q41b_mr_time_travel",
         "q104_changed_keys", "q104b_changed_keys_refetch",
-        "q107_cdc_diff"),
+        "q107_cdc_diff", "q106c_cdc_rollup_direct"),
       cacheTag = Some("ordersbypriorityupdated"))(
       (_, dir) => IndexQueries.storeBuilt("OrdersByPriorityUpdated", dir))(
       (s, dir) => IndexQueries.warmStore("OrdersByPriorityUpdated", s, dir)),
@@ -67,6 +67,13 @@ object SharedBuilds {
       prereqs = Seq("ordersbypriority"), cacheTag = Some("cdcbands"))(
       (_, dir) => IndexQueries.storeBuilt("CdcBands", dir))(
       (s, dir) => IndexQueries.warmStore("CdcBands", s, dir)),
+    // q106b's bisection twin: the same chain with a recompute-only
+    // downstream (q106c needs no build of its own — it reads the
+    // upstream store directly).
+    b("cdcbandsrecompute", Seq("q106b_cdc_pipeline_recompute"),
+      prereqs = Seq("ordersbypriority"), cacheTag = Some("cdcbandsrecompute"))(
+      (_, dir) => IndexQueries.storeBuilt("CdcBandsRecompute", dir))(
+      (s, dir) => IndexQueries.warmStore("CdcBandsRecompute", s, dir)),
 
     // The maintained-index families' pristine base stores (each query
     // invocation still pays clone + update — its marginal cost).

@@ -35,12 +35,19 @@ import scala.collection.concurrent.TrieMap
   */
 private[graft] object StoreCache {
   /** Bump when any shared-store derivation changes its on-disk content:
-    * task map/reduce logic, store configs (fanIn/finalParts), update
-    * batch shapes, or the Executer's file formats. */
-  private val version = 1
+    * task map/reduce logic, update batch shapes, or sync protocols. The
+    * two mechanical staleness axes are folded in AUTOMATICALLY
+    * (VERDICT r10 #6): the Executer's on-disk format version
+    * ([[graft.core.Executer.FormatVersion]]) and each caller's store
+    * config via the `extra` key — this constant covers only derivation
+    * LOGIC, the axis no constant can derive. */
+  private val version = 2
 
   @volatile private var on = false
   def enable(): Unit = on = true
+  /** Test hygiene only: specs that exercise the cache restore the
+    * disabled default so sibling suites keep the real build path. */
+  def disable(): Unit = on = false
   def isEnabled: Boolean = on
 
   /** Tags restored from cache in this process — the bench's honesty
@@ -61,7 +68,7 @@ private[graft] object StoreCache {
         } finally s.close()
       }
       java.security.MessageDigest.getInstance("MD5")
-        .digest(s"v$version|${parts.mkString("|")}"
+        .digest(s"v$version|fmt${graft.core.Executer.FormatVersion}|${parts.mkString("|")}"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .take(6).map(b => f"$b%02x").mkString
     }
@@ -69,6 +76,25 @@ private[graft] object StoreCache {
   private def cacheDir(tag: String, sfDir: String): String = {
     val sfName = Paths.get(sfDir).getFileName.toString
     s"${System.getProperty("java.io.tmpdir")}/graft-store-$tag-$sfName-${fingerprint(sfDir)}"
+  }
+
+  /** `extra` names the caller's store-shape inputs (config fanIn /
+    * finalParts, task identity): its hash is stored INSIDE the entry
+    * (`_GRAFT_EXTRA`) and validated on restore, so a config change
+    * invalidates the entry without a manual version bump — while the
+    * bench's planning-time `isCached(tag, sf)` probes (which don't know
+    * configs) still see the entry. */
+  private def extraHash(extra: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(extra.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"$b%02x").mkString
+
+  private def entryMatches(dir: String, extra: String): Boolean = {
+    if (!Files.exists(Paths.get(dir, "_GRAFT_OK"))) return false
+    if (extra.isEmpty) return true
+    val f = Paths.get(dir, "_GRAFT_EXTRA")
+    Files.exists(f) && new String(Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim == extraHash(extra)
   }
 
   private def copyTree(src: String, dst: String): Unit = {
@@ -93,21 +119,29 @@ private[graft] object StoreCache {
     }
   }
 
-  def isCached(tag: String, sfDir: String): Boolean =
-    on && Files.exists(Paths.get(cacheDir(tag, sfDir), "_GRAFT_OK"))
+  def isCached(tag: String, sfDir: String, extra: String = ""): Boolean =
+    on && entryMatches(cacheDir(tag, sfDir), extra)
 
   /** If a complete cache entry exists, copy its store into `dest` and
     * return its saved meta value; else None (caller builds into `dest`
-    * and then calls [[save]]). */
-  def restore(tag: String, sfDir: String, dest: String): Option[Long] = {
-    if (!isCached(tag, sfDir)) return None
+    * and then calls [[save]]). Race-tolerant (ADVICE r10): a concurrent
+    * process's [[save]] sweep can delete the entry mid-copy — clean the
+    * partial dest and fall through to a cold build, never fail the run. */
+  def restore(tag: String, sfDir: String, dest: String,
+      extra: String = ""): Option[Long] = {
+    if (!isCached(tag, sfDir, extra)) return None
     val dir = cacheDir(tag, sfDir)
-    val meta = new String(
-      Files.readAllBytes(Paths.get(dir, "_GRAFT_META")),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    copyTree(s"$dir/store", dest)
-    restored.put(tag, ())
-    Some(meta)
+    try {
+      val meta = new String(
+        Files.readAllBytes(Paths.get(dir, "_GRAFT_META")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      copyTree(s"$dir/store", dest)
+      restored.put(tag, ())
+      Some(meta)
+    } catch { case _: Throwable =>
+      try deleteRec(dest) catch { case _: Throwable => () }
+      None
+    }
   }
 
   /** Publish `src` (a just-built pristine store) as the cache entry for
@@ -118,7 +152,8 @@ private[graft] object StoreCache {
     * fingerprints/versions — regenerated testdata or a derivation bump
     * must not accumulate orphaned store copies in the temp dir
     * (the ADVICE-r4 hygiene contract, extended to this cache). */
-  def save(tag: String, sfDir: String, src: String, meta: Long): Unit = {
+  def save(tag: String, sfDir: String, src: String, meta: Long,
+      extra: String = ""): Unit = {
     if (!on) return
     val dir = cacheDir(tag, sfDir)
     locally {
@@ -133,13 +168,20 @@ private[graft] object StoreCache {
           try deleteRec(p.toString) catch { case _: Throwable => () }
       } finally ls.close()
     }
-    if (Files.exists(Paths.get(dir, "_GRAFT_OK"))) return
+    if (entryMatches(dir, extra)) return
+    // An entry under the same fingerprint but a DIFFERENT extra (a store
+    // config change) is stale: replace it.
+    if (Files.exists(Paths.get(dir, "_GRAFT_OK")))
+      try deleteRec(dir) catch { case _: Throwable => return }
     val tmp = dir + ".tmp-" + ProcessHandle.current().pid()
     try {
       deleteRec(tmp)
       copyTree(src, s"$tmp/store")
       Files.write(Paths.get(tmp, "_GRAFT_META"),
         meta.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (extra.nonEmpty)
+        Files.write(Paths.get(tmp, "_GRAFT_EXTRA"),
+          extraHash(extra).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       Files.write(Paths.get(tmp, "_GRAFT_OK"), Array.emptyByteArray)
       try Files.move(Paths.get(tmp), Paths.get(dir),
         StandardCopyOption.ATOMIC_MOVE)
@@ -155,13 +197,13 @@ private[graft] object StoreCache {
 
   /** Build-or-restore convenience used by the memoized store builders:
     * returns (meta, restoredFromCache). */
-  def orBuild(tag: String, sfDir: String, dest: String)(
+  def orBuild(tag: String, sfDir: String, dest: String, extra: String = "")(
       build: String => Long): (Long, Boolean) =
-    restore(tag, sfDir, dest) match {
+    restore(tag, sfDir, dest, extra) match {
       case Some(meta) => (meta, true)
       case None =>
         val meta = build(dest)
-        save(tag, sfDir, dest, meta)
+        save(tag, sfDir, dest, meta, extra)
         (meta, false)
     }
 }

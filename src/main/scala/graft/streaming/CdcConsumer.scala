@@ -76,26 +76,80 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
   }
 
   /** One consumer poll. Bootstrap (no cursor yet): sync the full
-    * upstream snapshot at its current generation — an immutable
-    * time-travel read, so the sync is reproducible even while new
-    * upstream mutations land. Steady state: refetch exactly the keys
-    * `changedKeysSince(cursor)` reports, delete the vanished ones.
+    * upstream snapshot at `bootstrapAt` (default: the upstream's current
+    * generation) — an immutable time-travel read, so the sync is
+    * reproducible even while new upstream mutations land. A re-bootstrap
+    * onto a PRE-EXISTING downstream store (crash after the bootstrap
+    * execute but before the cursor write, with upstream deletes in
+    * between) first deletes downstream documents the snapshot no longer
+    * covers — the snapshot upsert alone would leave them stale forever
+    * (ADVICE r10). Steady state: refetch exactly the keys
+    * `changedKeysSince(cursor)` reports, delete the vanished ones; with
+    * `viaDiff=true` the poll instead consumes the before/after feed
+    * (`Executer.diffSince`) — ONE upstream read supplies the new images
+    * AND the in-band delete verdicts, no `queryKeys` refetch job.
     * Returns the new cursor. Synchronized: polls are serial per
     * consumer (micro-batches of one streaming query already are). */
-  def syncOnce(): Long = synchronized {
+  def syncOnce(bootstrapAt: Option[Long] = None,
+      viaDiff: Boolean = false): Long = synchronized {
+    import org.apache.spark.sql.functions.{col, lit, struct, upper, when}
     val since = cursor
     val now = up.snapshotVersion()
     require(now >= 0, "CdcConsumer needs a manifest upstream store with " +
       "at least one published generation (changedKeysSince is the " +
       "manifest layer's surface)")
     if (since < 0) {
-      val snap = up.queryAllAt(now)
+      val at = bootstrapAt.getOrElse(now)
+      require(at >= 0 && at <= now,
+        s"bootstrapAt must name a published upstream generation in [0, $now], got $at")
+      val snap = up.queryAllAt(at)
         .select(fields.head, fields.tail: _*).as[RU]
+      // Stale-downstream sweep: ids present downstream but absent from
+      // the snapshot's key set. `upper()` is the same UTF8String
+      // normalization the engine applies to document ids, so the
+      // anti-join compares post-normalization on both sides. The collect
+      // is bounded by the stale count — zero on the normal fresh
+      // bootstrap, O(deleted keys) on a replay.
+      val stale = executer.documentIds()
+        .join(up.queryAllAt(at).select(upper(col("reduce_key")) as "doc_id"),
+          Seq("doc_id"), "left_anti")
+        .collect().map(_.getString(0)).sorted.toSeq
+      if (stale.nonEmpty) executer.deleteDocuments(stale)
       executer.execute(snap)
+      writeCursor(at)
+      return at
+    }
+    require(bootstrapAt.isEmpty,
+      s"bootstrapAt is a bootstrap-only parameter; this consumer already has cursor $since")
+    if (now == since) return since // no upstream generation landed
+    if (viaDiff) {
+      // Diff mode: the feed's new images ARE the refetched downstream
+      // documents, and change_type='delete' IS the vanished-key signal —
+      // the consumer the before/after surface was built for. One bounded
+      // collect, sorted by key for a byte-identical sync batch. The
+      // engine's delete-and-reinsert update path applies the retraction
+      // from its own stored contributions, so the old images need no
+      // separate apply step.
+      implicit val encKV: Encoder[(String, String, RU)] = Encoders.tuple(
+        Encoders.STRING, Encoders.STRING, encRU)
+      val diff = up.diffSince(since)
+      // A delete row's new_* fields are all NULL: null the payload
+      // struct as a whole so the product decoder never sees null
+      // primitives (the row is filtered out before use anyway).
+      val feed = diff
+        .select(diff.col("reduce_key"), diff.col("change_type"),
+          when(diff.col("change_type") === "delete", lit(null))
+            .otherwise(struct(fields.map(f => diff.col(s"new_$f") as f): _*))
+            as "payload")
+        .as[(String, String, RU)]
+        .collect().sortBy(_._1).toSeq
+      val live = feed.filter(_._2 != "delete").map(_._3)
+      if (live.nonEmpty) executer.execute(spark.createDataset(live))
+      val vanished = feed.filter(_._2 == "delete").map(_._1)
+      if (vanished.nonEmpty) executer.deleteDocuments(vanished)
       writeCursor(now)
       return now
     }
-    if (now == since) return since // no upstream generation landed
     val changed = up.changedKeysSince(since)
       .collect().map(_.getString(0)).sorted.toSeq
     if (changed.nonEmpty) {

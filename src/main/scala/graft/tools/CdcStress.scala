@@ -5,17 +5,20 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 
 import graft.core.{Executer, ExecuterConfig}
-import graft.ops.IndexQueries.{OrderDoc, OrdersByPriority, PriorityAgg, PriorityBands}
+import graft.ops.IndexQueries.{OrderDoc, OrdersByPriority, PriorityBands}
+import graft.streaming.CdcConsumer
 
 /** Repro harness for the q106 driver-gate hash mismatch (VERDICT r9 #1):
   * runs the EXACT production CDC chain — OrdersByPriority build + %97
-  * update, then the PriorityBands downstream synced via
-  * snapshot/changedKeysSince/queryKeys — in a loop with fresh stores per
+  * update, then the PriorityBands downstream synced through
+  * [[CdcConsumer.syncOnce]] (since r11 the ONE spelling of the protocol,
+  * the same code q106 gates) — in a loop with fresh stores per
   * iteration, comparing the downstream state to a from-scratch two-stage
-  * recompute. The divergence was driver-only (both judge reproductions
-  * passed), so this hammers the one suspect path (the downstream's
-  * deltaReducible 5-doc driver-local update) many times per JVM, at
-  * whatever thread count / heap the caller sets, to surface a rare race.
+  * recompute. Odd iterations poll via the refetch path, even ones via
+  * the diffSince feed, so both consumer modes get hammered. The
+  * divergence was driver-only (judge reproductions passed), so this
+  * stresses the suspect path (the downstream's deltaReducible 5-doc
+  * driver-local update) many times per JVM to surface a rare race.
   *
   * Usage: tools/run.sh graft.tools.CdcStress [iters] [sfDir]
   */
@@ -67,19 +70,11 @@ object CdcStress {
           .map(o => OrderDoc(o.o_orderkey, "1-URGENT", o.o_totalprice * 2))
         up.execute(updates)
 
-        val down = new Executer(PriorityBands, downDir,
+        val consumer = new CdcConsumer(up, PriorityBands, downDir,
           ExecuterConfig(fanIn = 4, finalParts = 2))
-        def rows(df: org.apache.spark.sql.DataFrame) =
-          df.select($"priority", $"cnt", $"total").as[PriorityAgg]
-        down.execute(rows(up.queryAllAt(v0)))
-        val changed = up.changedKeysSince(v0).as[String].collect().toSeq
-        if (changed.nonEmpty) {
-          val live = rows(up.queryKeys(changed)).collect().toSeq
-          down.execute(spark.createDataset(live))
-          val liveKeys = live.map(_.priority).toSet
-          val vanished = changed.filterNot(liveKeys)
-          if (vanished.nonEmpty) down.deleteDocuments(vanished)
-        }
+        consumer.syncOnce(bootstrapAt = Some(v0))
+        consumer.syncOnce(viaDiff = i % 2 == 0)
+        val down = consumer.executer
 
         val got = down.queryAll()
           .select($"reduce_key", $"npriorities", $"cnt", $"total")

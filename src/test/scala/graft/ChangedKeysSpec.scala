@@ -57,7 +57,9 @@ class ChangedKeysSpec extends AnyFunSuite {
   test("diffSince delivers before/after images with the right " +
       "change_type for insert, update, and delete") {
     val store = TestTmp.dir("graft-chg-diff")
-    val ex = new Executer(PeopleCountByState, store, cfg)
+    // diffSince requires singleOutput (the by-key image join is only
+    // unambiguous with one output row per key).
+    val ex = new Executer(PeopleCountSingle, store, cfg)
     ex.execute(spark.createDataset(Seq(
       Person("a", "CA"), Person("b", "CA"), Person("c", "TX"),
       Person("d", "WA"))))
@@ -90,6 +92,19 @@ class ChangedKeysSpec extends AnyFunSuite {
     assert(ex.diffSince(v0).where($"reduce_key" === "CA")
       .select($"change_type").as[String].collect().toSeq == Seq("delete"))
     assert(ex.diffSince(ex.snapshotVersion()).count() == 0L)
+  }
+
+  test("diffSince refuses multi-output tasks: by-key images would pair " +
+      "old and new rows arbitrarily") {
+    val store = TestTmp.dir("graft-chg-diff-multi")
+    // PeopleCountByState does not declare singleOutput — a legal task
+    // shape for which the feed's full_outer join on reduce_key is
+    // ill-defined. It must fail loudly, not return wrong images.
+    val ex = new Executer(PeopleCountByState, store, cfg)
+    ex.execute(spark.createDataset(Seq(Person("a", "CA"))))
+    val v0 = ex.snapshotVersion()
+    ex.execute(spark.createDataset(Seq(Person("a", "TX"))))
+    intercept[IllegalArgumentException] { ex.diffSince(v0) }
   }
 
   test("a compact-only generation contributes no invalidations") {

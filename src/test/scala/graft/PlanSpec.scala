@@ -121,7 +121,10 @@ class PlanSpec extends AnyFunSuite {
     implicit val s: SparkSession = spark
     import s.implicits._
     val store = TestTmp.dir("graft-planspec")
-    val ex = new graft.core.Executer(PeopleCountByState, store)
+    // singleOutput: diffSince (exercised below) requires the one-row-
+    // per-key contract; the read-path pruning under test is identical
+    // for both task shapes.
+    val ex = new graft.core.Executer(PeopleCountSingle, store)
     ex.execute(spark.createDataset(Seq(
       Person("a", "CA"), Person("b", "CA"), Person("c", "TX"))))
     val p = ex.query("CA").queryExecution.executedPlan.toString

@@ -111,4 +111,76 @@ class StreamingCdcSpec extends AnyFunSuite {
     consumer2.syncOnce() // ...and the first one catches up on ITS poll
     assert(bands(consumer2) == model(up))
   }
+
+  test("a diff-driven consumer (viaDiff) syncs purely from the " +
+      "before/after feed — no refetch — and matches the refetch-based " +
+      "consumer under churn") {
+    val upStore = TestTmp.dir("graft-dcdc-up")
+    val up = new Executer(PeopleCountSingle, upStore, cfg)
+    up.execute(spark.createDataset(Seq(
+      Person("p1", "AA"), Person("p2", "AB"), Person("p3", "BA"),
+      Person("p4", "CC"))))
+
+    val byFetch = new CdcConsumer(up, StateBandCountsDelta,
+      TestTmp.dir("graft-dcdc-fetch"), cfg)
+    val byDiff = new CdcConsumer(up, StateBandCountsDelta,
+      TestTmp.dir("graft-dcdc-diff"), cfg)
+    byFetch.syncOnce()
+    byDiff.syncOnce()
+    assert(bands(byDiff) == model(up))
+
+    def churnAndPoll(mut: => Unit): Unit = {
+      mut
+      byFetch.syncOnce()
+      byDiff.syncOnce(viaDiff = true)
+      assert(bands(byDiff) == model(up), "diff-driven consumer diverged")
+      assert(bands(byDiff) == bands(byFetch),
+        "diff- and refetch-driven consumers must converge identically")
+    }
+
+    // Value change + vanishing key (CC's only contributor re-keys).
+    churnAndPoll { up.execute(spark.createDataset(Seq(Person("p4", "BA")))) }
+    assert(!bands(byDiff).contains("C"),
+      "the feed's in-band delete verdict must reach the diff consumer")
+    // Brand-new key, then TWO accumulated generations in one poll.
+    churnAndPoll {
+      up.execute(spark.createDataset(Seq(Person("p5", "DD"))))
+      up.execute(spark.createDataset(Seq(Person("p6", "AB"))))
+    }
+    // Full-key delete upstream.
+    churnAndPoll { up.delete("AB") }
+    // No-churn poll is a no-op.
+    churnAndPoll { () }
+  }
+
+  test("re-bootstrap onto a pre-existing downstream store deletes " +
+      "documents the snapshot no longer covers") {
+    val upStore = TestTmp.dir("graft-rbcdc-up")
+    val downStore = TestTmp.dir("graft-rbcdc-down")
+    val up = new Executer(PeopleCountSingle, upStore, cfg)
+    up.execute(spark.createDataset(Seq(
+      Person("p1", "AA"), Person("p2", "BB"))))
+
+    // First bootstrap lands... and the crash window hits AFTER the
+    // downstream mutation but BEFORE the cursor write (the documented
+    // at-least-once replay window): simulate by deleting the cursor.
+    val c1 = new CdcConsumer(up, StateBandCountsDelta, downStore, cfg)
+    c1.syncOnce()
+    assert(bands(c1) == model(up))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(downStore, "_cdc_cursor"))
+
+    // While the consumer is down, BB's only contributor re-keys away —
+    // the key is GONE from every later snapshot, so the re-bootstrap's
+    // upsert alone would never delete the downstream's B-band document.
+    up.execute(spark.createDataset(Seq(Person("p2", "AA"))))
+
+    val c2 = new CdcConsumer(up, StateBandCountsDelta, downStore, cfg)
+    assert(c2.cursor < 0)
+    c2.syncOnce()
+    assert(bands(c2) == model(up),
+      "re-bootstrap must converge to the upstream's current state")
+    assert(!bands(c2).contains("B"),
+      "stale downstream document (deleted upstream key) must be swept")
+  }
 }
