@@ -137,6 +137,7 @@ object IndexQueries {
       case "OrdersByPriorityUpdated" => ordersByPriorityUpdated(s, dir)
       case "CdcBands" => cdcBandIndex(s, dir)
       case "CdcBandsRecompute" => cdcBandIndexRecompute(s, dir)
+      case "CdcBandsDiff" => cdcBandIndexDiff(s, dir)
       case other => throw new IllegalArgumentException(s"no store build: $other")
     }
     ()
@@ -274,6 +275,16 @@ object IndexQueries {
           ($"total".cast("decimal(28,2)") * 100).cast("long") as "total_cents")
     },
 
+    // The diff-driven consumer chain (CdcConsumer viaDiff): the
+    // steady-state poll applies Executer.diffSince's new images and
+    // in-band delete verdicts — no refetch job. Same oracle SQL as q106.
+    "q106d_cdc_pipeline_diff" -> { (s, dir) =>
+      import s.implicits._
+      cdcBandIndexDiff(s, dir).queryAll()
+        .select($"reduce_key", $"npriorities", $"cnt",
+          ($"total".cast("decimal(28,2)") * 100).cast("long") as "total_cents")
+    },
+
     // Gate-side bisection #2: the band rollup computed DIRECTLY from the
     // upstream store's current rows as a plain DataFrame — no downstream
     // store at all. Red here too ⇒ the upstream read/rollup layer, not
@@ -402,8 +413,21 @@ object IndexQueries {
       s: SparkSession, dir: String): Executer[PriorityAgg, BandAgg] =
     cdcBandIndexWith(s, dir, "CdcBandsRecompute", PriorityBandsRecompute, "q106b")
 
+  /** q106d: the IDENTICAL chain with the steady-state poll consuming the
+    * before/after DIFF feed (`Executer.diffSince` via
+    * `CdcConsumer.syncOnce(viaDiff)`) instead of the changed-keys +
+    * refetch protocol — the consumer q107's surface was built for, gated
+    * on the same oracle SQL. Bisection value: q106 red + q106d green
+    * isolates the refetch read path; both red points at the downstream
+    * store itself. */
+  private def cdcBandIndexDiff(
+      s: SparkSession, dir: String): Executer[PriorityAgg, BandAgg] =
+    cdcBandIndexWith(s, dir, "CdcBandsDiff", PriorityBands, "q106d",
+      viaDiff = true)
+
   private def cdcBandIndexWith(s: SparkSession, dir: String, storeKey: String,
-      bandTask: BandRollupTask, tag: String): Executer[PriorityAgg, BandAgg] = {
+      bandTask: BandRollupTask, tag: String,
+      viaDiff: Boolean = false): Executer[PriorityAgg, BandAgg] = {
     implicit val spark: SparkSession = s
     import s.implicits._
     // Resolve the upstream OUTSIDE the memo body: its own build +
@@ -424,7 +448,9 @@ object IndexQueries {
       Phases.timed(tag, "cdc_initial_sync") {
         consumer.syncOnce(bootstrapAt = Some(v0))
       }
-      Phases.timedUpdate(tag, consumer.executer) { consumer.syncOnce() }
+      Phases.timedUpdate(tag, consumer.executer) {
+        consumer.syncOnce(viaDiff = viaDiff)
+      }
       val down = consumer.executer
       // Divergence probe (VERDICT r9 #1 / r10 #1: a driver-gate hash
       // mismatch here that ten local full sweeps, 375 stress iterations,
@@ -681,6 +707,7 @@ object IndexQueries {
     "q106_cdc_pipeline" -> cdcPipelineOracle,
     "q106b_cdc_pipeline_recompute" -> cdcPipelineOracle,
     "q106c_cdc_rollup_direct" -> cdcPipelineOracle,
+    "q106d_cdc_pipeline_diff" -> cdcPipelineOracle,
     // The PRE-update aggregation: the store has already applied q41's
     // mutation when q41b reads generation v — time travel must
     // reproduce the original documents' answer exactly.

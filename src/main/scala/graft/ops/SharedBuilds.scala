@@ -74,6 +74,12 @@ object SharedBuilds {
       prereqs = Seq("ordersbypriority"), cacheTag = Some("cdcbandsrecompute"))(
       (_, dir) => IndexQueries.storeBuilt("CdcBandsRecompute", dir))(
       (s, dir) => IndexQueries.warmStore("CdcBandsRecompute", s, dir)),
+    // q106d's diff-driven twin: the steady-state sync consumes
+    // diffSince's feed instead of the refetch protocol.
+    b("cdcbandsdiff", Seq("q106d_cdc_pipeline_diff"),
+      prereqs = Seq("ordersbypriority"), cacheTag = Some("cdcbandsdiff"))(
+      (_, dir) => IndexQueries.storeBuilt("CdcBandsDiff", dir))(
+      (s, dir) => IndexQueries.warmStore("CdcBandsDiff", s, dir)),
 
     // The maintained-index families' pristine base stores (each query
     // invocation still pays clone + update — its marginal cost).

@@ -56,10 +56,13 @@ class StoreCacheSpec extends AnyFunSuite {
       val (sf, store) = fixtures("race")
       StoreCache.save("spec-race", sf, store, 1L)
       // Simulate a concurrent process's save() sweep landing mid-restore:
-      // the entry passes isCached, then its payload vanishes.
+      // the entry passes isCached, then its payload vanishes. Match THIS
+      // run's sf-dir name exactly — a previous run's gutted entry under
+      // the same tag (different temp sf name) must not be picked up.
+      val sfName = Paths.get(sf).getFileName.toString
       val parent = Paths.get(System.getProperty("java.io.tmpdir"))
       val entry = Files.list(parent).toArray.map(_.toString)
-        .filter(_.contains("graft-store-spec-race-")).head
+        .filter(_.contains(s"graft-store-spec-race-$sfName-")).head
       Files.delete(Paths.get(entry, "_GRAFT_META"))
       val dest = s"${TestTmp.dir("graft-sc-race-parent")}/dest"
       assert(StoreCache.restore("spec-race", sf, dest).isEmpty)
