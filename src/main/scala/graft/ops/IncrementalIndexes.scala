@@ -594,6 +594,14 @@ object IncrementalIndexes {
         .select($"doc_id".cast("long") as "doc_id", $"text")
         .repartition(cpuWidth(s)).as[DocText]
       val store = clonedBase("q77", s, dir)
+      // Measured (round 11, do NOT retry): raising driverDirtyLimit to
+      // 65536 so this update's ~25k dirty (shingle, parent) pairs take
+      // the driver isin-pushdown path made the update 2× SLOWER (19-21s
+      // vs ~9s quiet) — at that cardinality the pushed-down InSet
+      // filters evaluate per-row over every scan with no row-group
+      // pruning (random md5 min/max spans everything), while the
+      // distributed join path shuffles once and prunes properly. The
+      // 4096 default is the right cliff for this shape.
       val ex = new Executer(ShingleFreqIndex, store,
         ExecuterConfig(fanIn = 16, finalParts = 8))
       // % 59 (~1.7% of the corpus; was % 29, before that the siblings'
