@@ -1714,6 +1714,18 @@ class Executer[D, R <: Product: TypeTag](
     changedKeysIn(sinceVersion, cur)
   }
 
+  /** The oldest base generation [[changedKeysSince]]/[[diffSince]] can
+    * still answer from: records for generations BELOW this have been
+    * pruned by `compact()` (asking throws, by contract). −1 on a
+    * never-compacted store. A CDC consumer whose cursor fell below this
+    * must full-resync ([[graft.streaming.CdcConsumer]]'s documented
+    * fallback) — this accessor is what lets it decide BEFORE the loud
+    * failure. */
+  def changedHorizonVersion(): Long = {
+    configChecked
+    changedHorizon()
+  }
+
   /** [[changedKeysSince]] with the upper generation PINNED by the caller
     * — so a read path that snapshots the store at entry ([[diffSince]])
     * derives its key set from exactly the generations its images cover,

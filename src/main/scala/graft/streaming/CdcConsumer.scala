@@ -90,9 +90,35 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
     * AND the in-band delete verdicts, no `queryKeys` refetch job.
     * Returns the new cursor. Synchronized: polls are serial per
     * consumer (micro-batches of one streaming query already are). */
+  /** Full (re)sync from the upstream snapshot at generation `at`:
+    * sweep downstream documents the snapshot no longer covers, upsert
+    * the snapshot, land the cursor. Serves the bootstrap AND the
+    * past-the-horizon fallback — both are "my incremental trail is
+    * unusable, converge from a full snapshot read" (idempotent:
+    * delete + delete-and-reinsert per doc id). */
+  private def resync(at: Long): Long = {
+    import org.apache.spark.sql.functions.{col, upper}
+    val snap = up.queryAllAt(at)
+      .select(fields.head, fields.tail: _*).as[RU]
+    // Stale-downstream sweep: ids present downstream but absent from
+    // the snapshot's key set. `upper()` is the same UTF8String
+    // normalization the engine applies to document ids, so the
+    // anti-join compares post-normalization on both sides. The collect
+    // is bounded by the stale count — zero on the normal fresh
+    // bootstrap, O(deleted keys) on a replay or horizon fallback.
+    val stale = executer.documentIds()
+      .join(up.queryAllAt(at).select(upper(col("reduce_key")) as "doc_id"),
+        Seq("doc_id"), "left_anti")
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (stale.nonEmpty) executer.deleteDocuments(stale)
+    executer.execute(snap)
+    writeCursor(at)
+    at
+  }
+
   def syncOnce(bootstrapAt: Option[Long] = None,
       viaDiff: Boolean = false): Long = synchronized {
-    import org.apache.spark.sql.functions.{col, lit, struct, upper, when}
+    import org.apache.spark.sql.functions.{lit, struct, when}
     val since = cursor
     val now = up.snapshotVersion()
     require(now >= 0, "CdcConsumer needs a manifest upstream store with " +
@@ -102,26 +128,18 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
       val at = bootstrapAt.getOrElse(now)
       require(at >= 0 && at <= now,
         s"bootstrapAt must name a published upstream generation in [0, $now], got $at")
-      val snap = up.queryAllAt(at)
-        .select(fields.head, fields.tail: _*).as[RU]
-      // Stale-downstream sweep: ids present downstream but absent from
-      // the snapshot's key set. `upper()` is the same UTF8String
-      // normalization the engine applies to document ids, so the
-      // anti-join compares post-normalization on both sides. The collect
-      // is bounded by the stale count — zero on the normal fresh
-      // bootstrap, O(deleted keys) on a replay.
-      val stale = executer.documentIds()
-        .join(up.queryAllAt(at).select(upper(col("reduce_key")) as "doc_id"),
-          Seq("doc_id"), "left_anti")
-        .collect().map(_.getString(0)).sorted.toSeq
-      if (stale.nonEmpty) executer.deleteDocuments(stale)
-      executer.execute(snap)
-      writeCursor(at)
-      return at
+      return resync(at)
     }
     require(bootstrapAt.isEmpty,
       s"bootstrapAt is a bootstrap-only parameter; this consumer already has cursor $since")
     if (now == since) return since // no upstream generation landed
+    // Past the pruning horizon (the consumer was down across an
+    // upstream compact()): the incremental trail is gone — the engine
+    // fails loudly by contract, and the consumer's documented recovery
+    // is a full resync. Converges identically (the sweep handles keys
+    // deleted while blind); costs one snapshot read instead of a poll,
+    // exactly the "refetch everything" the horizon error prescribes.
+    if (since < up.changedHorizonVersion()) return resync(now)
     if (viaDiff) {
       // Diff mode: the feed's new images ARE the refetched downstream
       // documents, and change_type='delete' IS the vanished-key signal —
@@ -179,16 +197,19 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
   /** Run one [[syncOnce]] per micro-batch of `ticks` — the streaming
     * spelling of the poll loop. Any stream works as the tick source
     * (`rate` in production, MemoryStream in tests); tick VALUES are
-    * ignored, only trigger cadence matters. */
+    * ignored, only trigger cadence matters. `viaDiff` selects the
+    * steady-state protocol for every poll (the bootstrap poll is
+    * protocol-independent either way). */
   def attach(
       ticks: Dataset[_],
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      viaDiff: Boolean = false): StreamingQuery =
     ticks.toDF().writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
-        syncOnce(); ()
+        syncOnce(viaDiff = viaDiff); ()
       }
       .start()
 

@@ -153,6 +153,44 @@ class StreamingCdcSpec extends AnyFunSuite {
     churnAndPoll { () }
   }
 
+  test("a consumer whose cursor fell past the compact() pruning horizon " +
+      "recovers by full resync instead of failing its poll") {
+    val upStore = TestTmp.dir("graft-hzcdc-up")
+    val downStore = TestTmp.dir("graft-hzcdc-down")
+    // Aggressive retention so one compact() prunes the changed-keys
+    // trail right up to the current generation.
+    val up = new Executer(PeopleCountSingle, upStore,
+      cfg.copy(manifestRetention = 1, manifestGraceMs = 0L))
+    up.execute(spark.createDataset(Seq(
+      Person("p1", "AA"), Person("p2", "BB"), Person("p3", "CC"))))
+
+    val c = new CdcConsumer(up, StateBandCountsDelta, downStore, cfg)
+    c.syncOnce()
+    assert(bands(c) == model(up))
+    val cursorBefore = c.cursor
+
+    // While the consumer is down: churn (including a vanishing key the
+    // resync's sweep must handle), then compact() prunes the trail.
+    up.execute(spark.createDataset(Seq(Person("p2", "AA")))) // BB vanishes
+    up.execute(spark.createDataset(Seq(Person("p4", "DD"))))
+    up.compact()
+    assert(cursorBefore < up.changedHorizonVersion(),
+      "precondition: the cursor must be past the horizon")
+    // The raw surface fails loudly by contract...
+    intercept[IllegalStateException] { up.changedKeysSince(cursorBefore) }
+
+    // ...but the consumer's poll recovers: full resync, exact state.
+    c.syncOnce()
+    assert(bands(c) == model(up))
+    assert(!bands(c).contains("B"),
+      "key deleted while the consumer was blind must be swept by the resync")
+    assert(c.cursor == up.snapshotVersion())
+    // Steady state resumes incrementally after the recovery.
+    up.execute(spark.createDataset(Seq(Person("p5", "EE"))))
+    c.syncOnce()
+    assert(bands(c) == model(up))
+  }
+
   test("re-bootstrap onto a pre-existing downstream store deletes " +
       "documents the snapshot no longer covers") {
     val upStore = TestTmp.dir("graft-rbcdc-up")
