@@ -486,14 +486,16 @@ object Bench {
       // cold build (populating the cache) but never serves from it —
       // the caller wants a measured build this run.
       // Store-shape inputs folded into the cache entry (VERDICT r10 #6):
-      // a config or task change invalidates without a version bump.
-      val cacheExtra = s"${IndexQueries.LineitemByFlagStatus.getClass.getName}" +
-        ":fanIn=64:finalParts=16:driverDirtyLimit=16384"
+      // a config or task change invalidates without a version bump. The
+      // key derives from the ACTUAL config object handed to the Executer
+      // — never a hand-spelled twin string (code-review r11).
+      val ivmCfg = ExecuterConfig(fanIn = 64, finalParts = 16,
+        driverDirtyLimit = 16384)
+      val cacheExtra =
+        graft.ops.StoreCache.keyOf(IndexQueries.LineitemByFlagStatus, ivmCfg)
       val restored = restoreOk && cacheTag.exists(tag =>
         graft.ops.StoreCache.restore(tag, sfDir, store, cacheExtra).isDefined)
-      val ex = new Executer(IndexQueries.LineitemByFlagStatus, store,
-        ExecuterConfig(fanIn = 64, finalParts = 16,
-          driverDirtyLimit = 16384))
+      val ex = new Executer(IndexQueries.LineitemByFlagStatus, store, ivmCfg)
       val build =
         if (restored) 0.0
         else {

@@ -1915,6 +1915,14 @@ class Executer[D, R <: Product: TypeTag](
     }
   }
 
+  /** True while the store has no persisted map state (nothing ever
+    * ingested) — the cheap existence probe consumers use to skip work
+    * that is provably empty on a fresh store. */
+  def isEmptyStore: Boolean = {
+    configChecked
+    !exists(mapResultsPath)
+  }
+
   /** Every LIVE document id in the store (distinct, post-normalization,
     * tombstoned docs excluded) — the inventory a CDC consumer needs on a
     * re-bootstrap to find downstream documents the new snapshot no

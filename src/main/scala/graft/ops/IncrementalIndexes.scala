@@ -388,8 +388,7 @@ object IncrementalIndexes {
       // so the cross-RUN cache (Bench only) serves the post-update store
       // plus its pre-update snapshot version as one entry.
       val (preV, _) = StoreCache.orBuild("q89", dir, store,
-          s"${LengthHistIndex.getClass.getName}:fanIn=${cfg.fanIn}" +
-            s":finalParts=${cfg.finalParts}") { st =>
+          StoreCache.keyOf(LengthHistIndex, cfg)) { st =>
         // Built directly into the updated store's directory: the base
         // was only ever cloned into this pipeline (nothing else reads
         // it), so the former build-then-clone paid a full store copy
@@ -448,8 +447,7 @@ object IncrementalIndexes {
         // Task identity + layout config fold into the entry so either
         // changing invalidates it without a version bump (VERDICT r10 #6).
         StoreCache.orBuild(s"base-$key", dir, p,
-          s"${task.getClass.getName}:fanIn=${taskCfg.fanIn}" +
-            s":finalParts=${taskCfg.finalParts}")(d => { build(d); 0L })
+          StoreCache.keyOf(task, taskCfg))(d => { build(d); 0L })
         p
       }
     }

@@ -99,12 +99,13 @@ object IndexQueries {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), Any]
 
-  /** The StoreCache `extra` key for a store built by `task` under `cfg`:
-    * folds the task's identity and the layout config into the cache
-    * entry so either changing invalidates it without a manual version
-    * bump (VERDICT r10 #6). */
+  /** The StoreCache `extra` key for a store built by `task` under `cfg`
+    * (canonical spelling lives in [[StoreCache.keyOf]]): folds the
+    * task's identity and the layout config into the cache entry so
+    * either changing invalidates it without a manual version bump
+    * (VERDICT r10 #6). */
   private def cacheKeyOf(task: MapReduceTask[_, _], cfg: ExecuterConfig): String =
-    s"${task.getClass.getName}:fanIn=${cfg.fanIn}:finalParts=${cfg.finalParts}"
+    StoreCache.keyOf(task, cfg)
 
   private def cachedIndex[A](key: String, dir: String, s: SparkSession,
       extra: String = "")(
@@ -330,8 +331,7 @@ object IndexQueries {
     val obpCfg = ExecuterConfig(fanIn = 64, finalParts = 16)
     cachedIndex("OrdersByPriorityUpdated", dir, s,
         cacheKeyOf(OrdersByPriority, obpCfg)) { p =>
-      val ex = new Executer(OrdersByPriority, p,
-        ExecuterConfig(fanIn = 64, finalParts = 16))
+      val ex = new Executer(OrdersByPriority, p, obpCfg)
       ex.execute(orders)
       val v = ex.snapshotVersion()
       // The update: every order with orderkey % 97 == 0 doubles its price
@@ -341,8 +341,7 @@ object IndexQueries {
       Phases.timedUpdate("q41", ex)(ex.execute(updates))
       v
     } { p =>
-      new Executer(OrdersByPriority, p,
-        ExecuterConfig(fanIn = 64, finalParts = 16))
+      new Executer(OrdersByPriority, p, obpCfg)
     }
   }
 

@@ -43,6 +43,15 @@ private[graft] object StoreCache {
     * LOGIC, the axis no constant can derive. */
   private val version = 2
 
+  /** The canonical `extra` key for an Executer-built store: task
+    * identity + the config fields that shape on-disk content. Always
+    * derive it from the ACTUAL objects handed to the Executer — a
+    * hand-spelled twin string beside the config literal recreates
+    * exactly the silent-staleness class this key exists to kill. */
+  def keyOf(task: AnyRef, cfg: graft.core.ExecuterConfig): String =
+    s"${task.getClass.getName}:fanIn=${cfg.fanIn}" +
+      s":finalParts=${cfg.finalParts}:driverDirtyLimit=${cfg.driverDirtyLimit}"
+
   @volatile private var on = false
   def enable(): Unit = on = true
   /** Test hygiene only: specs that exercise the cache restore the
@@ -138,8 +147,10 @@ private[graft] object StoreCache {
       copyTree(s"$dir/store", dest)
       restored.put(tag, ())
       Some(meta)
-    } catch { case _: Throwable =>
-      try deleteRec(dest) catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) =>
+      // IO-shaped failures only: an OOM or interrupt must propagate,
+      // not silently convert into a full cold rebuild.
+      try deleteRec(dest) catch { case scala.util.control.NonFatal(_) => () }
       None
     }
   }
@@ -165,14 +176,16 @@ private[graft] object StoreCache {
       try ls.forEach { p =>
         val n = p.getFileName.toString
         if (n.startsWith(prefix) && n != me && !n.contains(".tmp-"))
-          try deleteRec(p.toString) catch { case _: Throwable => () }
+          try deleteRec(p.toString)
+          catch { case scala.util.control.NonFatal(_) => () }
       } finally ls.close()
     }
     if (entryMatches(dir, extra)) return
     // An entry under the same fingerprint but a DIFFERENT extra (a store
     // config change) is stale: replace it.
     if (Files.exists(Paths.get(dir, "_GRAFT_OK")))
-      try deleteRec(dir) catch { case _: Throwable => return }
+      try deleteRec(dir)
+      catch { case scala.util.control.NonFatal(_) => return }
     val tmp = dir + ".tmp-" + ProcessHandle.current().pid()
     try {
       deleteRec(tmp)
@@ -188,9 +201,10 @@ private[graft] object StoreCache {
       catch { case _: java.nio.file.FileSystemException =>
         deleteRec(tmp) // lost a concurrent race; winner's entry is live
       }
-    } catch { case _: Throwable =>
+    } catch { case scala.util.control.NonFatal(_) =>
       // Cache population is best-effort: a full disk or permission
-      // error must never fail the build that just succeeded.
+      // error must never fail the build that just succeeded. (Fatals —
+      // OOM, interrupts — still propagate.)
       deleteRec(tmp)
     }
   }

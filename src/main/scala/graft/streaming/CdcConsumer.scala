@@ -104,13 +104,18 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
     // the snapshot's key set. `upper()` is the same UTF8String
     // normalization the engine applies to document ids, so the
     // anti-join compares post-normalization on both sides. The collect
-    // is bounded by the stale count — zero on the normal fresh
-    // bootstrap, O(deleted keys) on a replay or horizon fallback.
-    val stale = executer.documentIds()
-      .join(up.queryAllAt(at).select(upper(col("reduce_key")) as "doc_id"),
-        Seq("doc_id"), "left_anti")
-      .collect().map(_.getString(0)).sorted.toSeq
-    if (stale.nonEmpty) executer.deleteDocuments(stale)
+    // is bounded by the stale count — O(deleted keys) on a replay or
+    // horizon fallback. Skipped entirely on a FRESH store (the common
+    // bootstrap): an empty downstream provably holds nothing stale, and
+    // the anti-join would otherwise scan the whole snapshot a second
+    // time just to prove it.
+    if (!executer.isEmptyStore) {
+      val stale = executer.documentIds()
+        .join(snap.toDF().select(upper(col(fields.head)) as "doc_id"),
+          Seq("doc_id"), "left_anti")
+        .collect().map(_.getString(0)).sorted.toSeq
+      if (stale.nonEmpty) executer.deleteDocuments(stale)
+    }
     executer.execute(snap)
     writeCursor(at)
     at
@@ -118,7 +123,6 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
 
   def syncOnce(bootstrapAt: Option[Long] = None,
       viaDiff: Boolean = false): Long = synchronized {
-    import org.apache.spark.sql.functions.{lit, struct, when}
     val since = cursor
     val now = up.snapshotVersion()
     require(now >= 0, "CdcConsumer needs a manifest upstream store with " +
@@ -140,6 +144,32 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
     // deleted while blind); costs one snapshot read instead of a poll,
     // exactly the "refetch everything" the horizon error prescribes.
     if (since < up.changedHorizonVersion()) return resync(now)
+    try incrementalPoll(since, now, viaDiff)
+    catch { case scala.util.control.NonFatal(e) =>
+      // The incremental trail can be unusable even when the horizon
+      // pre-check passed: a compact() racing this poll, or — diff mode
+      // only — the cursor generation's time-travel files GC'd by
+      // ordinary manifest retention (no compact involved, so the
+      // horizon never moved). Without this fallback the cursor never
+      // advances and the poll crash-loops forever on a recovery the
+      // consumer knows how to perform. Logged loudly — a resync storm
+      // in a consumer's logs is a retention-vs-poll-cadence
+      // misconfiguration the operator must see; and a systemic failure
+      // (bad store, broken upstream) fails the resync's own snapshot
+      // read, so it still surfaces rather than being masked.
+      System.err.println(s"[graft][cdc] incremental poll since=$since " +
+        s"now=$now failed (${e.getClass.getSimpleName}: " +
+        s"${String.valueOf(e.getMessage).take(200)}); falling back to " +
+        "full resync")
+      resync(now)
+    }
+  }
+
+  /** The steady-state body of [[syncOnce]]: apply generations
+    * `(since, now]` through the selected protocol and land the cursor. */
+  private def incrementalPoll(since: Long, now: Long,
+      viaDiff: Boolean): Long = {
+    import org.apache.spark.sql.functions.{lit, struct, when}
     if (viaDiff) {
       // Diff mode: the feed's new images ARE the refetched downstream
       // documents, and change_type='delete' IS the vanished-key signal —
