@@ -191,6 +191,48 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(bands(c) == model(up))
   }
 
+  test("a diff-mode consumer whose cursor generation was GC'd by " +
+      "ordinary retention (no compact) recovers by resync instead of " +
+      "crash-looping") {
+    val upStore = TestTmp.dir("graft-gccdc-up")
+    val downStore = TestTmp.dir("graft-gccdc-down")
+    // Ordinary retention GC with zero grace: each publish deletes data
+    // files retired more than one generation ago — the changed-keys
+    // horizon never moves (no compact), so the consumer's pre-check
+    // passes while diffSince's before-side time travel is broken.
+    val up = new Executer(PeopleCountSingle, upStore,
+      cfg.copy(manifestRetention = 1, manifestGraceMs = 0L))
+    up.execute(spark.createDataset(Seq(
+      Person("p1", "AA"), Person("p2", "BB"))))
+
+    val c = new CdcConsumer(up, StateBandCountsDelta, downStore, cfg)
+    c.syncOnce()
+    val cursorBefore = c.cursor
+
+    // Churn across several generations so the cursor generation's
+    // files are GC'd (value moves + a vanishing key while blind).
+    up.execute(spark.createDataset(Seq(Person("p2", "AA")))) // BB vanishes
+    up.execute(spark.createDataset(Seq(Person("p3", "CC"))))
+    up.execute(spark.createDataset(Seq(Person("p3", "CA"))))
+    up.execute(spark.createDataset(Seq(Person("p4", "DD"))))
+    assert(cursorBefore >= up.changedHorizonVersion(),
+      "precondition: the horizon pre-check must NOT fire (no compact ran)")
+    // Precondition: the raw diff surface is actually broken for this
+    // cursor (the before-side snapshot's files are gone).
+    intercept[Throwable] { up.diffSince(cursorBefore).collect() }
+
+    // The poll must still converge — fallback resync, cursor landed.
+    c.syncOnce(viaDiff = true)
+    assert(bands(c) == model(up))
+    assert(!bands(c).contains("B"),
+      "key deleted while the consumer was blind must be swept")
+    assert(c.cursor == up.snapshotVersion())
+    // And incremental diff polling resumes cleanly afterwards.
+    up.execute(spark.createDataset(Seq(Person("p5", "EE"))))
+    c.syncOnce(viaDiff = true)
+    assert(bands(c) == model(up))
+  }
+
   test("re-bootstrap onto a pre-existing downstream store deletes " +
       "documents the snapshot no longer covers") {
     val upStore = TestTmp.dir("graft-rbcdc-up")
