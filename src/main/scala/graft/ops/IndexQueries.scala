@@ -139,6 +139,7 @@ object IndexQueries {
       case "CdcBands" => cdcBandIndex(s, dir)
       case "CdcBandsRecompute" => cdcBandIndexRecompute(s, dir)
       case "CdcBandsDiff" => cdcBandIndexDiff(s, dir)
+      case "CdcTotals" => cdcTotalsIndex(s, dir)
       case other => throw new IllegalArgumentException(s"no store build: $other")
     }
     ()
@@ -286,6 +287,18 @@ object IndexQueries {
           ($"total".cast("decimal(28,2)") * 100).cast("long") as "total_cents")
     },
 
+    // THREE maintained indexes deep (see [[cdcTotalsIndex]]): the
+    // grand-total store is a CDC consumer OF a CDC consumer — stage 3
+    // bootstraps from stage 2's pre-churn generation and then consumes
+    // the churn stage 2's own sync applied. The oracle recomputes all
+    // three stages from the post-update documents.
+    "q108_cdc_pipeline_3stage" -> { (s, dir) =>
+      import s.implicits._
+      cdcTotalsIndex(s, dir).queryAll()
+        .select($"reduce_key", $"nbands", $"cnt",
+          ($"total".cast("decimal(28,2)") * 100).cast("long") as "total_cents")
+    },
+
     // Gate-side bisection #2: the band rollup computed DIRECTLY from the
     // upstream store's current rows as a plain DataFrame — no downstream
     // store at all. Red here too ⇒ the upstream read/rollup layer, not
@@ -402,6 +415,14 @@ object IndexQueries {
     * across a two-stage index chain, not just one store. */
   private def cdcBandIndex(
       s: SparkSession, dir: String): Executer[PriorityAgg, BandAgg] =
+    cdcBandIndexPair(s, dir)._1
+
+  /** The q106 store PLUS its post-bootstrap generation — what a
+    * third-stage consumer ([[cdcTotalsIndex]], q108) bootstraps from so
+    * its steady-state poll then consumes the mid-stage's churn through
+    * the CDC surface, never a rescan. */
+  private def cdcBandIndexPair(
+      s: SparkSession, dir: String): (Executer[PriorityAgg, BandAgg], Long) =
     cdcBandIndexWith(s, dir, "CdcBands", PriorityBands, "q106")
 
   /** q106b: the IDENTICAL chain with the downstream delta path OFF —
@@ -410,7 +431,8 @@ object IndexQueries {
     * (VERDICT r10 #1's gate-side bisection). */
   private def cdcBandIndexRecompute(
       s: SparkSession, dir: String): Executer[PriorityAgg, BandAgg] =
-    cdcBandIndexWith(s, dir, "CdcBandsRecompute", PriorityBandsRecompute, "q106b")
+    cdcBandIndexWith(s, dir, "CdcBandsRecompute", PriorityBandsRecompute,
+      "q106b")._1
 
   /** q106d: the IDENTICAL chain with the steady-state poll consuming the
     * before/after DIFF feed (`Executer.diffSince` via
@@ -422,11 +444,11 @@ object IndexQueries {
   private def cdcBandIndexDiff(
       s: SparkSession, dir: String): Executer[PriorityAgg, BandAgg] =
     cdcBandIndexWith(s, dir, "CdcBandsDiff", PriorityBands, "q106d",
-      viaDiff = true)
+      viaDiff = true)._1
 
   private def cdcBandIndexWith(s: SparkSession, dir: String, storeKey: String,
       bandTask: BandRollupTask, tag: String,
-      viaDiff: Boolean = false): Executer[PriorityAgg, BandAgg] = {
+      viaDiff: Boolean = false): (Executer[PriorityAgg, BandAgg], Long) = {
     implicit val spark: SparkSession = s
     import s.implicits._
     // Resolve the upstream OUTSIDE the memo body: its own build +
@@ -447,6 +469,10 @@ object IndexQueries {
       Phases.timed(tag, "cdc_initial_sync") {
         consumer.syncOnce(bootstrapAt = Some(v0))
       }
+      // This store's OWN generation once it reflects the upstream's
+      // pre-churn state — what a third-stage consumer bootstraps from
+      // (returned as the memo/cache meta).
+      val v1 = consumer.executer.snapshotVersion()
       Phases.timedUpdate(tag, consumer.executer) {
         consumer.syncOnce(viaDiff = viaDiff)
       }
@@ -493,8 +519,53 @@ object IndexQueries {
       }
       if (diverged) System.err.println(
         s"[graft][$tag-DIVERGENCE] maintained=$got documentsExpected=$expect")
+      v1
+    } { p => new Executer(bandTask, p, cfg) }
+  }
+
+  /** THIRD stage of the pipeline (q108): a grand-total index whose
+    * documents are the BAND store's reduce rows — a consumer of a
+    * consumer, synchronized through the same one CDC protocol. Proves
+    * the chain composes transitively: stage 3 bootstraps from stage 2's
+    * pre-churn generation, then its poll consumes exactly the churn
+    * stage 2's own CDC sync applied — three maintained indexes deep,
+    * O(churn) moved at every hop, and the gate recomputes all three
+    * stages from the documents in DuckDB. */
+  case class TotalAgg(scope: String, nbands: Long, cnt: Long,
+      total: BigDecimal)
+
+  object BandTotals extends MapReduceTask[BandAgg, TotalAgg] {
+    def map(docs: Iterator[BandAgg]): Iterator[(String, TotalAgg)] =
+      docs.map(b => (b.band, TotalAgg("all", 1L, b.cnt, b.total)))
+    def reduce(entries: Iterator[TotalAgg]): Iterator[TotalAgg] =
+      entries.toSeq.groupBy(_.scope).map { case (sc, es) =>
+        TotalAgg(sc, es.map(_.nbands).sum, es.map(_.cnt).sum,
+          es.map(_.total).sum)
+      }.iterator
+    def reduceKey(e: TotalAgg): String = e.scope
+    override def singleOutput: Boolean = true
+    // Chain contract: the doc id IS the upstream (stage-2) reduce key.
+    def documentId(d: BandAgg): String = d.band
+    override def deltaReducible: Boolean = true
+    override def negate(e: TotalAgg): TotalAgg =
+      TotalAgg(e.scope, -e.nbands, -e.cnt, -e.total)
+    override def isZero(e: TotalAgg): Boolean =
+      e.nbands == 0L && e.cnt == 0L && e.total.signum == 0
+  }
+
+  private def cdcTotalsIndex(
+      s: SparkSession, dir: String): Executer[BandAgg, TotalAgg] = {
+    implicit val spark: SparkSession = s
+    val (mid, v1) = cdcBandIndexPair(s, dir)
+    val cfg3 = ExecuterConfig(fanIn = 2, finalParts = 1)
+    cachedIndex("CdcTotals", dir, s, cacheKeyOf(BandTotals, cfg3)) { p =>
+      val c = new graft.streaming.CdcConsumer(mid, BandTotals, p, cfg3)
+      Phases.timed("q108", "cdc_initial_sync") {
+        c.syncOnce(bootstrapAt = Some(v1))
+      }
+      Phases.timedUpdate("q108", c.executer) { c.syncOnce() }
       -1L
-    } { p => new Executer(bandTask, p, cfg) }._1
+    } { p => new Executer(BandTotals, p, cfg3) }._1
   }
 
   case class LineitemDoc(l_orderkey: Long, l_linenumber: Int,
@@ -707,6 +778,24 @@ object IndexQueries {
     "q106b_cdc_pipeline_recompute" -> cdcPipelineOracle,
     "q106c_cdc_rollup_direct" -> cdcPipelineOracle,
     "q106d_cdc_pipeline_diff" -> cdcPipelineOracle,
+    // The three-stage recompute: priorities -> bands -> one grand-total
+    // row, all from the post-update documents.
+    "q108_cdc_pipeline_3stage" ->
+      s"""WITH p AS (
+         |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
+         |              ELSE o_orderpriority END AS pri,
+         |    count(*) AS cnt,
+         |    sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS total
+         |  FROM orders GROUP BY 1),
+         |b AS (
+         |  SELECT CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'expedite'
+         |              ELSE 'standard' END AS band,
+         |    sum(cnt) AS cnt, sum(total) AS total
+         |  FROM p GROUP BY 1)
+         |SELECT 'all' AS reduce_key, count(*) AS nbands,
+         |  CAST(sum(cnt) AS BIGINT) AS cnt,
+         |  CAST(sum(total) * 100 AS BIGINT) AS total_cents
+         |FROM b""".stripMargin,
     // The PRE-update aggregation: the store has already applied q41's
     // mutation when q41b reads generation v — time travel must
     // reproduce the original documents' answer exactly.

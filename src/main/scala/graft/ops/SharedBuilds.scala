@@ -80,6 +80,12 @@ object SharedBuilds {
       prereqs = Seq("ordersbypriority"), cacheTag = Some("cdcbandsdiff"))(
       (_, dir) => IndexQueries.storeBuilt("CdcBandsDiff", dir))(
       (s, dir) => IndexQueries.warmStore("CdcBandsDiff", s, dir)),
+    // The third pipeline stage (q108): a CDC consumer of the q106
+    // store, so the band chain is its prereq link.
+    b("cdctotals", Seq("q108_cdc_pipeline_3stage"),
+      prereqs = Seq("cdcbands"), cacheTag = Some("cdctotals"))(
+      (_, dir) => IndexQueries.storeBuilt("CdcTotals", dir))(
+      (s, dir) => IndexQueries.warmStore("CdcTotals", s, dir)),
 
     // The maintained-index families' pristine base stores (each query
     // invocation still pays clone + update — its marginal cost).

@@ -41,7 +41,7 @@ private[graft] object StoreCache {
     * ([[graft.core.Executer.FormatVersion]]) and each caller's store
     * config via the `extra` key — this constant covers only derivation
     * LOGIC, the axis no constant can derive. */
-  private val version = 2
+  private val version = 3 // r11: cdcbands meta is now the post-bootstrap generation
 
   /** The canonical `extra` key for an Executer-built store: task
     * identity + the config fields that shape on-disk content. Always
