@@ -12,13 +12,24 @@ import graft.core.{Executer, ExecuterConfig, MapReduceTask}
 /** The PIPELINE-OF-INDEXES consumer as a streaming micro-batch job
   * (VERDICT r8 #8 / r9 next #8): a DOWNSTREAM maintained index whose
   * documents are an UPSTREAM maintained index's reduce rows, kept in
-  * sync through the CDC surface — `changedKeysSince` (the O(churn)
-  * invalidation set the upstream records as a byproduct of its own
-  * dirty tracking) plus point-pruned `queryKeys` refetch — never a
-  * rescan of upstream state. `graft.ops.IndexQueries.cdcBandIndex`
-  * (q106) is the one-shot spelling of this protocol; this class is the
-  * CONTINUOUS spelling: each poll (one micro-batch via [[attach]], or a
-  * direct [[syncOnce]] call) advances a durable cursor.
+  * sync through the CDC surface, never a rescan of upstream state.
+  * Since r11 this class is the ONE spelling of the sync protocol —
+  * the gated q106 family builds its chains through it — with two
+  * steady-state modes: `changedKeysSince` (the O(churn) invalidation
+  * set the upstream records as a byproduct of its own dirty tracking)
+  * plus point-pruned `queryKeys` refetch (default), or `viaDiff` —
+  * the `diffSince` before/after feed, where ONE upstream read carries
+  * the new images AND the in-band delete verdicts. Each poll (one
+  * micro-batch via [[attach]], or a direct [[syncOnce]] call) advances
+  * a durable cursor.
+  *
+  * Resilience: an incremental poll whose trail is unusable — the
+  * cursor fell past the compact() pruning horizon (detected up front
+  * via `changedHorizonVersion`), a compact raced the poll, or (diff
+  * mode) ordinary retention GC'd the cursor generation's time-travel
+  * files — recovers with a FULL RESYNC: sweep downstream documents the
+  * current snapshot no longer covers, upsert the snapshot, land the
+  * cursor. Loudly logged; incremental polling resumes next generation.
   *
   * Chain contract: the downstream task's `documentId(ru)` must equal
   * the UPSTREAM's reduce key of `ru` — that is what makes an upstream
