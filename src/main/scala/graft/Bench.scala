@@ -907,9 +907,12 @@ object Bench {
       else runQuery(name, fn)
     for ((name, fn) <- sweepQueries if groupOf(name) == 0) {
       val est = math.min(estOf(name, 0.4), 10.0)
+      // No direct est-skip branch here: deferring is strictly more
+      // permissive than skipping for genericEstTotal >= 0, and a
+      // deferred entry gets an est-aware skipOrRun on its retry anyway
+      // (ADVICE r11: the skip arm was unreachable).
       if (elapsed + est > budgetSec - genericEstTotal)
         deferred += ((name, fn)) // the generic reserve wins; retry later
-      else if (elapsed + est > budgetSec) skippedQueries += name
       else runQuery(name, fn)
     }
     for ((name, fn) <- sweepQueries if groupOf(name) == 1) skipOrRun(name, fn)

@@ -465,7 +465,11 @@ object IndexQueries {
       // small (same bound as q104b), and its sync batches are sorted —
       // collect partition order never influences a correctness-gated
       // store's construction.
-      val consumer = new graft.streaming.CdcConsumer(up, bandTask, p, cfg)
+      // strict: a gated build must FAIL on an incremental-path bug, not
+      // be silently converged by the resilient resync fallback (ADVICE
+      // r11) — these builds exist to prove the incremental protocol.
+      val consumer = new graft.streaming.CdcConsumer(up, bandTask, p, cfg,
+        strict = true)
       Phases.timed(tag, "cdc_initial_sync") {
         consumer.syncOnce(bootstrapAt = Some(v0))
       }
@@ -559,7 +563,8 @@ object IndexQueries {
     val (mid, v1) = cdcBandIndexPair(s, dir)
     val cfg3 = ExecuterConfig(fanIn = 2, finalParts = 1)
     cachedIndex("CdcTotals", dir, s, cacheKeyOf(BandTotals, cfg3)) { p =>
-      val c = new graft.streaming.CdcConsumer(mid, BandTotals, p, cfg3)
+      val c = new graft.streaming.CdcConsumer(mid, BandTotals, p, cfg3,
+        strict = true)
       Phases.timed("q108", "cdc_initial_sync") {
         c.syncOnce(bootstrapAt = Some(v1))
       }
@@ -701,6 +706,11 @@ object IndexQueries {
         .select($"reduce_key", $"cnt", toDouble($"acctbal") as "acctbal")
     })
 
+  // DuckDB types sum(BIGINT) as HUGEINT, which the driver's fetch path
+  // stringifies as a float ("8930.0") while Spark's long prints "8930" —
+  // a guaranteed hash mismatch with rows/schema green (the r9–r11 "q106
+  // ghost", VERDICT r11 #1). Every integer aggregate an oracle PROJECTS
+  // must be CAST to BIGINT; tools/check_oracles.py lints for this.
   private lazy val cdcPipelineOracle: String =
     s"""WITH p AS (
        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
@@ -710,7 +720,7 @@ object IndexQueries {
        |  FROM orders GROUP BY 1)
        |SELECT CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'expedite'
        |            ELSE 'standard' END AS reduce_key,
-       |  count(*) AS npriorities, sum(cnt) AS cnt,
+       |  count(*) AS npriorities, CAST(sum(cnt) AS BIGINT) AS cnt,
        |  CAST(sum(total) * 100 AS BIGINT) AS total_cents
        |FROM p GROUP BY 1""".stripMargin
 

@@ -9,6 +9,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.core.{Executer, ExecuterConfig, MapReduceTask}
 
+/** One consumer's operational health (VERDICT r11 #5) — the queryable
+  * counterpart of the stderr resync log line, for fleets that scrape
+  * lag/recovery metrics instead of logs. See [[CdcConsumer.health]] for
+  * field semantics. */
+case class CdcHealth(
+    cursor: Long,
+    upstreamVersion: Long,
+    lag: Long,
+    resyncCount: Long,
+    fallbackResyncCount: Long,
+    lastPollChurn: Long)
+
 /** The PIPELINE-OF-INDEXES consumer as a streaming micro-batch job
   * (VERDICT r8 #8 / r9 next #8): a DOWNSTREAM maintained index whose
   * documents are an UPSTREAM maintained index's reduce rows, kept in
@@ -30,6 +42,11 @@ import graft.core.{Executer, ExecuterConfig, MapReduceTask}
   * files — recovers with a FULL RESYNC: sweep downstream documents the
   * current snapshot no longer covers, upsert the snapshot, land the
   * cursor. Loudly logged; incremental polling resumes next generation.
+  * `strict = true` disables the poll-FAILURE half of that fallback
+  * (the horizon pre-check recovery stays): correctness-gated paths run
+  * strict so an incremental-protocol regression throws instead of
+  * being silently converged by a resync. [[health]] exposes lag,
+  * resync/fallback counters, and last-poll churn for fleet monitoring.
   *
   * Chain contract: the downstream task's `documentId(ru)` must equal
   * the UPSTREAM's reduce key of `ru` — that is what makes an upstream
@@ -60,7 +77,8 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
     up: Executer[_, RU],
     task: MapReduceTask[RU, RD],
     storePath: String,
-    config: ExecuterConfig = ExecuterConfig())(implicit spark: SparkSession) {
+    config: ExecuterConfig = ExecuterConfig(),
+    strict: Boolean = false)(implicit spark: SparkSession) {
 
   val executer = new Executer[RU, RD](task, storePath, config)
 
@@ -68,6 +86,34 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
   private val fields = encRU.schema.fieldNames.toSeq
 
   private val cursorFile = Paths.get(storePath, "_cdc_cursor")
+
+  // Health counters (VERDICT r11 #5): in-memory per consumer INSTANCE —
+  // a fleet scrapes them per process; they deliberately reset on restart
+  // (a restarted consumer's resync history is the previous process's).
+  @volatile private var _resyncCount = 0L
+  @volatile private var _fallbackResyncCount = 0L
+  @volatile private var _lastPollChurn = -1L
+
+  /** Operational health: `lag` = upstream generations not yet applied
+    * (0 = caught up; pre-bootstrap counts every published generation),
+    * `resyncCount` = ALL full-snapshot syncs this instance performed
+    * (bootstrap + horizon recovery + fallback), `fallbackResyncCount` =
+    * only those triggered by an incremental-poll FAILURE (the
+    * NonFatal→resync recovery — nonzero in steady state means the
+    * retention window is shorter than the poll cadence, the resync-storm
+    * misconfiguration an operator must see), `lastPollChurn` = rows the
+    * last poll moved (−1 = the last poll was a full-snapshot sync). */
+  def health: CdcHealth = {
+    val c = cursor
+    val now = up.snapshotVersion()
+    CdcHealth(
+      cursor = c,
+      upstreamVersion = now,
+      lag = now - c,
+      resyncCount = _resyncCount,
+      fallbackResyncCount = _fallbackResyncCount,
+      lastPollChurn = _lastPollChurn)
+  }
 
   /** The last upstream generation this consumer has fully applied;
     * −1 before the bootstrap sync. */
@@ -109,26 +155,35 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
     * delete + delete-and-reinsert per doc id). */
   private def resync(at: Long): Long = {
     import org.apache.spark.sql.functions.{col, upper}
-    val snap = up.queryAllAt(at)
-      .select(fields.head, fields.tail: _*).as[RU]
+    // queryAllAt returns `reduce_key` + RU's payload fields, in that
+    // order; the positional rename keeps the key addressable even if RU
+    // itself has a `reduce_key` field.
+    val snapAll = up.queryAllAt(at).toDF(("__graft_reduce_key" +: fields): _*)
+    val snap = snapAll.select(fields.head, fields.tail: _*).as[RU]
     // Stale-downstream sweep: ids present downstream but absent from
-    // the snapshot's key set. `upper()` is the same UTF8String
-    // normalization the engine applies to document ids, so the
-    // anti-join compares post-normalization on both sides. The collect
-    // is bounded by the stale count — O(deleted keys) on a replay or
-    // horizon fallback. Skipped entirely on a FRESH store (the common
-    // bootstrap): an empty downstream provably holds nothing stale, and
-    // the anti-join would otherwise scan the whole snapshot a second
-    // time just to prove it.
+    // the snapshot's key set. The chain contract makes a downstream doc
+    // id the UPSTREAM REDUCE KEY of its row — not necessarily RU's
+    // first payload field (ADVICE r11) — so the snapshot side of the
+    // anti-join is the reduce_key column queryAllAt itself returns,
+    // exactly how the refetch and diff paths derive downstream doc ids.
+    // `upper()` is the same UTF8String normalization the engine applies
+    // to document ids, so the anti-join compares post-normalization on
+    // both sides. The collect is bounded by the stale count — O(deleted
+    // keys) on a replay or horizon fallback. Skipped entirely on a
+    // FRESH store (the common bootstrap): an empty downstream provably
+    // holds nothing stale, and the anti-join would otherwise scan the
+    // whole snapshot a second time just to prove it.
     if (!executer.isEmptyStore) {
       val stale = executer.documentIds()
-        .join(snap.toDF().select(upper(col(fields.head)) as "doc_id"),
+        .join(snapAll.select(upper(col("__graft_reduce_key")) as "doc_id"),
           Seq("doc_id"), "left_anti")
         .collect().map(_.getString(0)).sorted.toSeq
       if (stale.nonEmpty) executer.deleteDocuments(stale)
     }
     executer.execute(snap)
     writeCursor(at)
+    _resyncCount += 1
+    _lastPollChurn = -1L
     at
   }
 
@@ -147,7 +202,7 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
     }
     require(bootstrapAt.isEmpty,
       s"bootstrapAt is a bootstrap-only parameter; this consumer already has cursor $since")
-    if (now == since) return since // no upstream generation landed
+    if (now == since) { _lastPollChurn = 0L; return since } // no upstream generation landed
     // Past the pruning horizon (the consumer was down across an
     // upstream compact()): the incremental trail is gone — the engine
     // fails loudly by contract, and the consumer's documented recovery
@@ -156,7 +211,7 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
     // exactly the "refetch everything" the horizon error prescribes.
     if (since < up.changedHorizonVersion()) return resync(now)
     try incrementalPoll(since, now, viaDiff)
-    catch { case scala.util.control.NonFatal(e) =>
+    catch { case scala.util.control.NonFatal(e) if !strict =>
       // The incremental trail can be unusable even when the horizon
       // pre-check passed: a compact() racing this poll, or — diff mode
       // only — the cursor generation's time-travel files GC'd by
@@ -168,10 +223,16 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
       // misconfiguration the operator must see; and a systemic failure
       // (bad store, broken upstream) fails the resync's own snapshot
       // read, so it still surfaces rather than being masked.
+      // `strict=true` (ADVICE r11) disables the fallback and rethrows:
+      // correctness-GATED paths (the q106/q108 bench builds, the specs,
+      // CdcStress) run strict so an incremental-path regression fails
+      // the gate instead of being silently converged away by a resync;
+      // production polling keeps the default resilient mode.
       System.err.println(s"[graft][cdc] incremental poll since=$since " +
         s"now=$now failed (${e.getClass.getSimpleName}: " +
         s"${String.valueOf(e.getMessage).take(200)}); falling back to " +
         "full resync")
+      _fallbackResyncCount += 1
       resync(now)
     }
   }
@@ -207,6 +268,7 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
       val vanished = feed.filter(_._2 == "delete").map(_._1)
       if (vanished.nonEmpty) executer.deleteDocuments(vanished)
       writeCursor(now)
+      _lastPollChurn = feed.length.toLong
       return now
     }
     val changed = up.changedKeysSince(since)
@@ -232,6 +294,7 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
       if (vanished.nonEmpty) executer.deleteDocuments(vanished)
     }
     writeCursor(now)
+    _lastPollChurn = changed.length.toLong
     now
   }
 

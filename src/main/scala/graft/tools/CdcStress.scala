@@ -70,11 +70,16 @@ object CdcStress {
           .map(o => OrderDoc(o.o_orderkey, "1-URGENT", o.o_totalprice * 2))
         up.execute(updates)
 
+        // strict: an incremental-path regression must FAIL the iteration,
+        // not be converged away by the resilient resync fallback.
         val consumer = new CdcConsumer(up, PriorityBands, downDir,
-          ExecuterConfig(fanIn = 4, finalParts = 2))
+          ExecuterConfig(fanIn = 4, finalParts = 2), strict = true)
         consumer.syncOnce(bootstrapAt = Some(v0))
         consumer.syncOnce(viaDiff = i % 2 == 0)
         val down = consumer.executer
+        val h = consumer.health
+        require(h.fallbackResyncCount == 0 && h.resyncCount == 1 && h.lag == 0,
+          s"ITER $i: unexpected consumer health $h (want bootstrap-only resync, zero fallbacks, caught up)")
 
         val got = down.queryAll()
           .select($"reduce_key", $"npriorities", $"cnt", $"total")

@@ -121,23 +121,31 @@ object CdcChainProps extends Properties("CdcChain") {
         model.filterInPlace((_, st) => st != states(s))
         up.delete(states(s))
         Prop.passed
+      // All consumers run strict (ADVICE r11): these properties prove
+      // the INCREMENTAL protocol over arbitrary histories, so a poll
+      // failure must fail the property rather than be converged away
+      // by the resilient resync fallback.
       case PollFetch =>
         if (fetchC == null)
-          fetchC = new CdcConsumer(up, StateBandCountsDelta, fetchStore, cfg)
+          fetchC = new CdcConsumer(up, StateBandCountsDelta, fetchStore, cfg,
+            strict = true)
         fetchC.syncOnce()
         checkAfterPoll("refetch", fetchC)
       case PollDiff =>
         if (diffC == null)
-          diffC = new CdcConsumer(up, StateBandCountsDelta, diffStore, cfg)
+          diffC = new CdcConsumer(up, StateBandCountsDelta, diffStore, cfg,
+            strict = true)
         diffC.syncOnce(viaDiff = true)
         checkAfterPoll("diff", diffC)
       case RestartFetch =>
         if (fetchC != null)
-          fetchC = new CdcConsumer(up, StateBandCountsDelta, fetchStore, cfg)
+          fetchC = new CdcConsumer(up, StateBandCountsDelta, fetchStore, cfg,
+            strict = true)
         Prop.passed
       case RestartDiff =>
         if (diffC != null)
-          diffC = new CdcConsumer(up, StateBandCountsDelta, diffStore, cfg)
+          diffC = new CdcConsumer(up, StateBandCountsDelta, diffStore, cfg,
+            strict = true)
         Prop.passed
     }
   }

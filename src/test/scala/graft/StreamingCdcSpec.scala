@@ -42,7 +42,11 @@ class StreamingCdcSpec extends AnyFunSuite {
       Person("p1", "AA"), Person("p2", "AB"), Person("p3", "BA"),
       Person("p4", "CC"))))
 
-    val consumer = new CdcConsumer(up, StateBandCountsDelta, downStore, cfg)
+    // strict: this spec exercises the INCREMENTAL protocol — a poll
+    // failure converged by the resilient fallback would be a silent
+    // regression (ADVICE r11), so it must throw instead.
+    val consumer = new CdcConsumer(up, StateBandCountsDelta, downStore, cfg,
+      strict = true)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ticks = MemoryStream[Int]
     // ProcessingTime(0), not AvailableNow: the consumer is a LONG-LIVED
@@ -56,19 +60,30 @@ class StreamingCdcSpec extends AnyFunSuite {
       q.processAllAvailable()
     }
 
-    // Bootstrap poll: full snapshot sync.
+    // Bootstrap poll: full snapshot sync — health shows exactly one
+    // (non-fallback) resync, caught up, full-snapshot churn marker.
     poll()
     assert(bands(consumer) == model(up))
+    val h0 = consumer.health
+    assert(h0.resyncCount == 1 && h0.fallbackResyncCount == 0 &&
+      h0.lag == 0 && h0.lastPollChurn == -1L,
+      s"bootstrap health: $h0")
 
     // Continuous churn: value changes, a vanishing key, a brand-new
     // key, and a full-key delete — one poll after each mutation, plus
     // one poll covering TWO accumulated generations (the consumer was
     // "behind"; changedKeysSince spans the gap).
     up.execute(spark.createDataset(Seq(Person("p4", "BA")))) // CC vanishes
+    assert(consumer.health.lag == 1,
+      "an unapplied upstream generation must show as lag")
     poll()
     assert(bands(consumer) == model(up))
     assert(!bands(consumer).contains("C"),
       "vanished upstream key must arrive as a downstream delete")
+    val h1 = consumer.health
+    assert(h1.resyncCount == 1 && h1.lag == 0 && h1.lastPollChurn == 2L,
+      s"incremental poll over {CC vanished, BA changed} must report " +
+        s"churn 2 and no new resync: $h1")
 
     up.execute(spark.createDataset(Seq(Person("p5", "DD"))))
     up.execute(spark.createDataset(Seq(Person("p6", "AB")))) // 2 gens, 1 poll
@@ -79,10 +94,13 @@ class StreamingCdcSpec extends AnyFunSuite {
     poll()
     assert(bands(consumer) == model(up))
 
-    // A tick with no upstream churn is a no-op.
+    // A tick with no upstream churn is a no-op (churn 0, no resync).
     val before = bands(consumer)
     poll()
     assert(bands(consumer) == before)
+    val h2 = consumer.health
+    assert(h2.lastPollChurn == 0L && h2.resyncCount == 1 &&
+      h2.fallbackResyncCount == 0, s"no-op poll health: $h2")
     q.stop()
 
     // RESTART: a fresh consumer over the same store resumes from the
@@ -164,7 +182,10 @@ class StreamingCdcSpec extends AnyFunSuite {
     up.execute(spark.createDataset(Seq(
       Person("p1", "AA"), Person("p2", "BB"), Person("p3", "CC"))))
 
-    val c = new CdcConsumer(up, StateBandCountsDelta, downStore, cfg)
+    // strict is SAFE here: the horizon recovery is the deliberate
+    // pre-check resync, not the NonFatal fallback strict disables.
+    val c = new CdcConsumer(up, StateBandCountsDelta, downStore, cfg,
+      strict = true)
     c.syncOnce()
     assert(bands(c) == model(up))
     val cursorBefore = c.cursor
@@ -180,11 +201,16 @@ class StreamingCdcSpec extends AnyFunSuite {
     intercept[IllegalStateException] { up.changedKeysSince(cursorBefore) }
 
     // ...but the consumer's poll recovers: full resync, exact state.
+    // The recovery is counted as a resync but NOT a fallback (it came
+    // from the horizon pre-check, available even in strict mode).
     c.syncOnce()
     assert(bands(c) == model(up))
     assert(!bands(c).contains("B"),
       "key deleted while the consumer was blind must be swept by the resync")
     assert(c.cursor == up.snapshotVersion())
+    val hr = c.health
+    assert(hr.resyncCount == 2 && hr.fallbackResyncCount == 0 &&
+      hr.lastPollChurn == -1L, s"horizon-recovery health: $hr")
     // Steady state resumes incrementally after the recovery.
     up.execute(spark.createDataset(Seq(Person("p5", "EE"))))
     c.syncOnce()
@@ -221,16 +247,49 @@ class StreamingCdcSpec extends AnyFunSuite {
     // cursor (the before-side snapshot's files are gone).
     intercept[Throwable] { up.diffSince(cursorBefore).collect() }
 
-    // The poll must still converge — fallback resync, cursor landed.
+    // A STRICT consumer over the same broken trail must FAIL its poll
+    // loudly instead of being converged by the fallback — that is the
+    // whole point of the mode (ADVICE r11). Same store+cursor state:
+    // build it on a copy of the downstream store directory.
+    val strictDown = TestTmp.dir("graft-gccdc-strict")
+    copyDir(downStore, strictDown)
+    val cs = new CdcConsumer(up, StateBandCountsDelta, strictDown, cfg,
+      strict = true)
+    intercept[Throwable] { cs.syncOnce(viaDiff = true) }
+    assert(cs.health.fallbackResyncCount == 0 && cs.cursor == cursorBefore,
+      "a strict consumer must neither resync nor advance its cursor on " +
+        "a failed incremental poll")
+
+    // The (default, resilient) poll must still converge — fallback
+    // resync, cursor landed, and the recovery is COUNTED.
     c.syncOnce(viaDiff = true)
     assert(bands(c) == model(up))
     assert(!bands(c).contains("B"),
       "key deleted while the consumer was blind must be swept")
     assert(c.cursor == up.snapshotVersion())
-    // And incremental diff polling resumes cleanly afterwards.
+    val hf = c.health
+    assert(hf.fallbackResyncCount == 1 && hf.resyncCount == 2 &&
+      hf.lastPollChurn == -1L, s"fallback-recovery health: $hf")
+    // And incremental diff polling resumes cleanly afterwards — the
+    // fallback counter must NOT move again.
     up.execute(spark.createDataset(Seq(Person("p5", "EE"))))
     c.syncOnce(viaDiff = true)
     assert(bands(c) == model(up))
+    assert(c.health.fallbackResyncCount == 1 && c.health.lastPollChurn == 1L,
+      s"post-recovery incremental health: ${c.health}")
+  }
+
+  private def copyDir(from: String, to: String): Unit = {
+    val src = java.nio.file.Paths.get(from)
+    val dst = java.nio.file.Paths.get(to)
+    val s = java.nio.file.Files.walk(src)
+    try s.forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally s.close()
   }
 
   test("re-bootstrap onto a pre-existing downstream store deletes " +

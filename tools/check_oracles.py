@@ -37,6 +37,86 @@ def canon(rows, cols):
     return [cols[i] for i in order], out
 
 
+# DuckDB output types whose stringification DIVERGES between the local
+# mirror's fetchall() (python int -> "8930") and the driver's pandas/arrow
+# fetch path (float64 -> "8930.0"). An oracle projecting one of these can
+# pass this mirror yet hash-mismatch at the driver gate with rows/schema
+# green -- the r9-r11 "q106 ghost" (VERDICT r11 #1: uncast sum(BIGINT) is
+# HUGEINT). DECIMAL is in the class because pandas renders it via float.
+BANNED_TYPE_PREFIXES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def type_class(t):
+    """Collapse a DuckDB type name to the class the driver's hash compare
+    actually stringifies by (long vs double vs string vs ...)."""
+    t = t.upper()
+    if t in INT_TYPES:
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL") or t.startswith("DECIMAL"):
+        return "float"
+    if t in ("VARCHAR", "TEXT", "STRING", "UUID"):
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "DATE":
+        return "date"
+    return t.lower()
+
+
+def lint_oracle_types(con, oracle):
+    """DESCRIBE every oracle and fail on output column types the driver's
+    pandas/arrow fetch path stringifies differently from this mirror's
+    fetchall(). Returns (list of offending strings, {name: [(col, type)]})."""
+    bad, types = [], {}
+    for name in sorted(oracle):
+        try:
+            rows = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+        except Exception as e:
+            bad.append(f"{name}: DESCRIBE failed: {e}")
+            continue
+        types[name] = [(r[0], str(r[1]).upper()) for r in rows]
+        for col, typ in types[name]:
+            if typ.startswith(BANNED_TYPE_PREFIXES):
+                bad.append(f"{name}.{col}: {typ}")
+    return bad, types
+
+
+def lint_null_ints(name, cols, rows):
+    """A NULL in an integer column makes pandas promote the whole column
+    to float64 on the driver's fetch path (same "8930.0" hazard); the
+    mirror's fetchall() renders python ints and can't see it. Flag any
+    integer-typed oracle column that actually contains a NULL."""
+    bad = []
+    by_col = {c: i for i, (c, _) in enumerate(cols)}
+    for c, t in cols:
+        i = by_col[c]
+        if t in INT_TYPES and any(r[i] is None for r in rows):
+            bad.append(f"{name}.{c}: NULL in {t} column")
+    return bad
+
+
+def lint_type_classes(name, con, res_glob, oracle_types):
+    """The Spark result parquet and the oracle must agree on each column's
+    stringification CLASS (long vs double vs string ...) -- a value-equal
+    pair like 8930 (long) vs 8930.0 (double) hashes differently at the
+    driver even though fetchall() canonicalization may mask it here."""
+    try:
+        rows = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{res_glob}')").fetchall()
+    except Exception as e:
+        return [f"{name}: result DESCRIBE failed: {e}"]
+    got = sorted((r[0], type_class(str(r[1]))) for r in rows)
+    exp = sorted((c, type_class(t)) for c, t in oracle_types)
+    if [g[0] for g in got] != [e[0] for e in exp]:
+        return []  # column-name mismatch is reported by the main compare
+    return [f"{name}.{g[0]}: spark {g[1]} vs oracle {e[1]}"
+            for g, e in zip(got, exp) if g[1] != e[1]]
+
+
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
@@ -44,6 +124,10 @@ def main(sfdir, outdir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    type_bad, oracle_types = lint_oracle_types(con, oracle)
+    for b in type_bad:
+        print(f"FAIL type-lint {b}")
+    n_fail += len(type_bad)
     for name in sorted(oracle):
         res_glob = os.path.join(outdir, name, "*.parquet")
         files = glob.glob(res_glob)
@@ -63,6 +147,15 @@ def main(sfdir, outdir):
             continue
         exp_cols = [d[0] for d in exp.description]
         exp_rows = exp.fetchall()
+        lint = []
+        if name in oracle_types:
+            lint += lint_null_ints(name, oracle_types[name], exp_rows)
+            lint += lint_type_classes(name, con, res_glob, oracle_types[name])
+        if lint:
+            for b in lint:
+                print(f"FAIL type-lint {b}")
+            n_fail += 1
+            continue
         gc, gr = canon(got_rows, got_cols)
         ec, er = canon(exp_rows, exp_cols)
         if gc != ec:
