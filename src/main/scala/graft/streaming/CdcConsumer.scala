@@ -66,6 +66,19 @@ case class CdcHealth(
   * restarted consumer resumes where the store's state actually is —
   * the streaming checkpoint pattern, one long instead of offsets.
   *
+  * Cross-store snapshot pinning (VERDICT r11 #6): each store in a chain
+  * is individually consistent, but a reader joining ACROSS stores while
+  * writers race sees stage N's current generation beside a stage N−1
+  * that has already moved on. The recipe for a consistent multi-stage
+  * read: pick one completed sync from the DOWNSTREAM consumer's
+  * [[syncLog]] — a `(downGen, upCursor)` pair — and read
+  * `executer.queryAllAt(downGen)` beside `up.queryAllAt(upCursor)`.
+  * This composes transitively: for a 3-stage chain, stage 3's pair
+  * names a stage-2 generation, and [[cursorAsOf]] on stage 2's consumer
+  * maps THAT generation to the stage-1 generation it reflects — every
+  * hop pinned, immutable time-travel reads throughout, no coordination
+  * with the writers (same retention contract as any `queryAllAt`).
+  *
   * At 100 TB: each poll moves O(churn) keys — collected on the driver
   * exactly like the engine's own driver-small update path, bounded by
   * one batch's churn, the quantity the CDC surface exists to keep
@@ -123,6 +136,8 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
         java.nio.charset.StandardCharsets.UTF_8).trim.toLong
     else -1L
 
+  private val cursorLogFile = Paths.get(storePath, "_cdc_cursor_log")
+
   private def writeCursor(v: Long): Unit = {
     val tmp = Paths.get(s"$cursorFile.tmp-${ProcessHandle.current().pid()}")
     Files.write(tmp, v.toString.getBytes(
@@ -130,7 +145,45 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
     Files.move(tmp, cursorFile,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // Sync ledger: the (downstream generation, upstream cursor) pair this
+    // sync produced — what makes CROSS-STORE SNAPSHOT PINNING possible
+    // (see the class doc). Append-only; a replayed sync (at-least-once)
+    // appends a duplicate pair, which cursorAsOf tolerates.
+    Files.write(cursorLogFile,
+      s"${executer.snapshotVersion()} $v\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
   }
+
+  /** The sync ledger: every completed sync's (downstream generation,
+    * upstream cursor) pair, oldest first. Malformed trailing lines (a
+    * crash mid-append) are ignored — the cursor file, written first, is
+    * the source of truth for resuming; the ledger only serves pinned
+    * cross-store reads. */
+  def syncLog: Seq[(Long, Long)] =
+    if (!Files.exists(cursorLogFile)) Seq.empty
+    else new String(Files.readAllBytes(cursorLogFile),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.flatMap { line =>
+        line.split(' ') match {
+          case Array(g, c) =>
+            try Some((g.toLong, c.toLong)) catch {
+              case _: NumberFormatException => None
+            }
+          case _ => None
+        }
+      }.toSeq
+
+  /** The upstream cursor in effect at downstream generation `downGen` —
+    * the upstream generation whose `queryAllAt` read is CONSISTENT with
+    * `executer.queryAllAt(downGen)`. −1 if `downGen` predates this
+    * consumer's first completed sync. Meaningful at the downstream
+    * generations the ledger records (sync completions); a generation
+    * between two ledger entries is a half-applied sync batch, matching
+    * neither endpoint — readers pin BOTH sides from one ledger row. */
+  def cursorAsOf(downGen: Long): Long =
+    syncLog.filter(_._1 <= downGen).map(_._2).maxOption.getOrElse(-1L)
 
   /** One consumer poll. Bootstrap (no cursor yet): sync the full
     * upstream snapshot at `bootstrapAt` (default: the upstream's current

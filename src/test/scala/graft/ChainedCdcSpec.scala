@@ -164,4 +164,87 @@ class ChainedCdcSpec extends AnyFunSuite {
       assert(bands(down) == model(up), s"after poll $i")
     }
   }
+
+  test("cross-store snapshot pinning: a 3-stage chain read mid-churn is " +
+      "consistent at every hop when pinned through the sync ledger, " +
+      "while naive current-generation reads disagree") {
+    import graft.streaming.CdcConsumer
+    val up = new Executer(PeopleCountByState,
+      TestTmp.dir("graft-pin-up"), cfg)
+    up.execute(spark.createDataset(Seq(
+      Person("p1", "AA"), Person("p2", "AB"), Person("p3", "BA"),
+      Person("p4", "CC"))))
+    val mid = new CdcConsumer(up, StateBandCountsDelta,
+      TestTmp.dir("graft-pin-mid"), cfg, strict = true)
+    mid.syncOnce()
+    val top = new CdcConsumer(mid.executer, GrandTotals,
+      TestTmp.dir("graft-pin-top"), cfg, strict = true)
+    top.syncOnce()
+
+    // Mid-churn: the upstream moves on and the MIDDLE stage applies it,
+    // but the top consumer does not poll; then the upstream churns
+    // again with NOBODY polling. Every store is now at a different
+    // point of the same logical history.
+    up.execute(spark.createDataset(Seq(Person("p5", "DD")))) // new band D
+    mid.syncOnce()
+    up.execute(spark.createDataset(Seq(Person("p6", "EE")))) // mid behind too
+
+    def asBands(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      df.as[(String, String, Long, Long)].collect()
+        .map { case (_, b, s, p) => b -> ((s, p)) }.toMap
+    def rollupStates(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      df.as[(String, String, Long)].collect()
+        .groupBy(_._2.take(1))
+        .map { case (b, rows) => b -> ((rows.length.toLong, rows.map(_._3).sum)) }
+    def asTotals(df: org.apache.spark.sql.DataFrame): (Long, Long) =
+      df.as[(String, String, Long, Long)].collect()
+        .map { case (_, _, nb, p) => (nb, p) }.head
+    def rollupBands(m: Map[String, (Long, Long)]): (Long, Long) =
+      (m.size.toLong, m.values.map(_._2).sum)
+
+    // Naive cross-store reads mid-churn DISAGREE: mid's current state
+    // includes band D, which top has never applied.
+    assert(rollupBands(asBands(mid.queryAll())) != asTotals(top.queryAll()),
+      "precondition: the chain must actually be mid-churn for this test")
+
+    // The pinned read: ONE ledger row of the top consumer names the
+    // (top generation, mid generation) pair of its last completed sync;
+    // cursorAsOf maps that mid generation to the upstream generation it
+    // reflects. All three reads are immutable time travel.
+    val (gTop, cMid) = top.syncLog.last
+    val topView = asTotals(top.executer.queryAllAt(gTop))
+    val midView = asBands(mid.executer.queryAllAt(cMid))
+    val upView = rollupStates(up.queryAllAt(mid.cursorAsOf(cMid)))
+    assert(upView == midView,
+      "pinned stage-1 view must roll up to the pinned stage-2 view")
+    assert(rollupBands(midView) == topView,
+      "pinned stage-2 view must roll up to the pinned stage-3 view")
+
+    // Once both consumers catch up, the pinned recipe holds at the NEW
+    // head too — and now agrees with naive current reads.
+    mid.syncOnce()
+    top.syncOnce()
+    val (gTop2, cMid2) = top.syncLog.last
+    assert(asBands(mid.executer.queryAllAt(cMid2)) == asBands(mid.queryAll()))
+    assert(rollupStates(up.queryAllAt(mid.cursorAsOf(cMid2))) ==
+      asBands(mid.queryAll()))
+    assert(asTotals(top.executer.queryAllAt(gTop2)) ==
+      rollupBands(asBands(mid.queryAll())))
+  }
 }
+
+/** Stage 3 of the pinning spec's chain: one grand-total row over the
+  * band index's rows (doc id = the band — the chain contract). */
+object GrandTotals extends MapReduceTask[BandPop, TotalPop] {
+  def map(docs: Iterator[BandPop]): Iterator[(String, TotalPop)] =
+    docs.map(b => ("all", TotalPop("all", 1L, b.people)))
+  def reduce(entries: Iterator[TotalPop]): Iterator[TotalPop] =
+    entries.toSeq.groupBy(_.scope).map { case (sc, es) =>
+      TotalPop(sc, es.map(_.bands).sum, es.map(_.people).sum)
+    }.iterator
+  def reduceKey(e: TotalPop): String = e.scope
+  def documentId(d: BandPop): String = d.band
+  override def singleOutput: Boolean = true
+}
+
+case class TotalPop(scope: String, bands: Long, people: Long)
