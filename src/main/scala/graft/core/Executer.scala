@@ -819,6 +819,29 @@ class Executer[D, R <: Product: TypeTag](
         throw new IllegalArgumentException(
           s"batch contains multiple documents with id '$id': submit one " +
             "version per document per batch (dedupe last-wins upstream)")
+      // Map-output CONTRACT GUARD (VERDICT r12 #2): a task's map must emit
+      // `(documentId(doc), entry)` pairs (`MapReduceTask.scala:9`; the
+      // reference emits `person.Id`, `PeopleCountByState.cs:11-16`). The
+      // engine persists map rows under the EMITTED id but invalidates by
+      // `documentId(doc)` (deliberately — zero-emit docs must still
+      // invalidate), so an id outside the batch silently corrupts the
+      // store: new-doc updates lose prior contributions, existing-doc
+      // updates double-count. Reject it LOUDLY instead. Local batches
+      // check the exact batch id set on the driver (free); distributed
+      // batches check inside the map pipeline itself — emitted id ∈ the
+      // partition's consumed-so-far ids — which is job-free, throws in
+      // the FIRST action that materializes the map output (before any
+      // mutation lands on the update path), and is sound for any
+      // physically-realizable task (an id can only be known by reading
+      // its document). Both sides compare post-normalization (the same
+      // UTF8String upper-casing the engine stores under).
+      def contractError(id: String): Nothing =
+        throw new IllegalArgumentException(
+          s"map output emitted document id '$id' which is not the " +
+            "documentId of any document in this batch: MapReduceTask.map " +
+            "must emit (documentId(doc), entry) pairs — any other id " +
+            "corrupts delete-and-invalidate (rows persist under the " +
+            "emitted id, invalidation keys on documentId)")
       localDocRows.foreach { ds =>
         val ids = ds.map(d => org.apache.spark.unsafe.types.UTF8String
           .fromString(t.documentId(d)).toUpperCase.toString)
@@ -826,16 +849,42 @@ class Executer[D, R <: Product: TypeTag](
         ids.foreach(id => if (!seen.add(id)) dupIdError(id))
       }
       val localMapped: Option[Seq[(String, String, R)]] = localDocRows.map { ds =>
+        val batchIds = ds.iterator.map(d => org.apache.spark.unsafe.types
+          .UTF8String.fromString(t.documentId(d)).toUpperCase.toString).toSet
         t.map(ds.iterator).map { case (id, r) =>
-          (org.apache.spark.unsafe.types.UTF8String.fromString(id)
-            .toUpperCase.toString, t.reduceKey(r), r)
+          val norm = org.apache.spark.unsafe.types.UTF8String.fromString(id)
+            .toUpperCase.toString
+          if (!batchIds.contains(norm)) contractError(id)
+          (norm, t.reduceKey(r), r)
         }.toSeq
       }
       val mappedBase: DataFrame = localMapped match {
         case Some(rows) =>
           spark.createDataset(rows)(encKR).toDF("doc_id", "reduce_key", "payload")
         case None => docsP
-          .mapPartitions { it => t.map(it).map { case (id, r) => (id, t.reduceKey(r), r) } }
+          .mapPartitions { it =>
+            // Streaming guard: record each consumed doc's id, check each
+            // emitted id against the recorded set at emit time. Memory is
+            // O(partition's doc ids) — the same order as the engine's own
+            // per-partition bookkeeping, ids only, never payloads.
+            val seen = new java.util.HashSet[String]()
+            val recorded = it.map { d =>
+              seen.add(org.apache.spark.unsafe.types.UTF8String
+                .fromString(t.documentId(d)).toUpperCase.toString)
+              d
+            }
+            t.map(recorded).map { case (id, r) =>
+              if (!seen.contains(org.apache.spark.unsafe.types.UTF8String
+                  .fromString(id).toUpperCase.toString))
+                throw new IllegalArgumentException(
+                  s"map output emitted document id '$id' which is not the " +
+                    "documentId of any document consumed in this " +
+                    "partition: MapReduceTask.map must emit " +
+                    "(documentId(doc), entry) pairs — any other id " +
+                    "corrupts delete-and-invalidate")
+              (id, t.reduceKey(r), r)
+            }
+          }
           .toDF("doc_id", "reduce_key", "payload")
       }
       val mapped: DataFrame = mappedBase

@@ -237,7 +237,7 @@ class ChainedCdcSpec extends AnyFunSuite {
   * band index's rows (doc id = the band — the chain contract). */
 object GrandTotals extends MapReduceTask[BandPop, TotalPop] {
   def map(docs: Iterator[BandPop]): Iterator[(String, TotalPop)] =
-    docs.map(b => ("all", TotalPop("all", 1L, b.people)))
+    docs.map(b => (b.band, TotalPop("all", 1L, b.people)))
   def reduce(entries: Iterator[TotalPop]): Iterator[TotalPop] =
     entries.toSeq.groupBy(_.scope).map { case (sc, es) =>
       TotalPop(sc, es.map(_.bands).sum, es.map(_.people).sum)
