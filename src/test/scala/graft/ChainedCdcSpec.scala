@@ -231,6 +231,79 @@ class ChainedCdcSpec extends AnyFunSuite {
     assert(asTotals(top.executer.queryAllAt(gTop2)) ==
       rollupBands(asBands(mid.queryAll())))
   }
+
+  test("sync ledger durability: exact-hit cursorAsOf fails loudly on " +
+      "half-applied generations, tolerates duplicate pairs and torn " +
+      "tails, and stays bounded under unbounded polling") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.CdcConsumer
+    val up = new Executer(PeopleCountByState,
+      TestTmp.dir("graft-ledger-up"), cfg)
+    up.execute(spark.createDataset(Seq(
+      Person("p1", "AA"), Person("p2", "AB"), Person("p3", "BA"),
+      Person("p4", "CC"))))
+    val midStore = TestTmp.dir("graft-ledger-mid")
+    val ledger = Paths.get(midStore, "_cdc_cursor_log")
+    val mid = new CdcConsumer(up, StateBandCountsDelta, midStore, cfg,
+      strict = true)
+    mid.syncOnce()
+    val (g1, c1) = mid.syncLog.last
+
+    // Exact hit resolves; a generation BEFORE the retained history is
+    // the documented −1; a generation past the last completed sync (or
+    // between a sync's execute and delete) throws instead of returning
+    // a plausible wrong cursor (ADVICE r12).
+    assert(mid.cursorAsOf(g1) == c1)
+    assert(mid.cursorAsOf(-1L) == -1L)
+    intercept[IllegalArgumentException] { mid.cursorAsOf(g1 + 1000) }
+
+    // A churn whose sync publishes TWO downstream generations (execute
+    // for the changed keys, deleteDocuments for the vanished one — p4
+    // was CC's only contributor): the ledger records only the sync
+    // COMPLETION, and the half-applied generation between them throws.
+    up.execute(spark.createDataset(Seq(Person("p4", "AA"))))
+    mid.syncOnce()
+    val (g2, c2) = mid.syncLog.last
+    assert(g2 >= g1 + 2, "churn with a vanished key must publish " +
+      "execute + delete generations for this test to bite")
+    assert(mid.cursorAsOf(g2) == c2)
+    intercept[IllegalArgumentException] { mid.cursorAsOf(g2 - 1) }
+
+    // Duplicate pair (an at-least-once replay's signature): tolerated.
+    Files.write(ledger, s"\n$g2 $c2".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(mid.cursorAsOf(g2) == c2)
+
+    // Torn tail (crash mid-append leaves a partial record, no trailing
+    // newline): the next sync's newline-prefixed append isolates it —
+    // the torn line loses only itself, prior rows and the new row parse.
+    Files.write(ledger, "\n99".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    up.execute(spark.createDataset(Seq(Person("p5", "DD"))))
+    mid.syncOnce()
+    val log = mid.syncLog
+    assert(log.take(2) == Seq((g1, c1), (g2, c2)))
+    assert(!log.map(_._1).contains(99L), "torn tail must not parse")
+    assert(log.last._1 > g2 && log.last._2 == up.snapshotVersion())
+
+    // Boundedness (VERDICT r12 #5): plant months of poll history, then
+    // one more sync — the write-side compaction caps the file and the
+    // newest rows (the only ones manifest retention can still serve)
+    // still resolve.
+    val old = new String(Files.readAllBytes(ledger), "UTF-8")
+    val fake = Array.fill(40000)("0 0\n").mkString
+    Files.write(ledger, (fake + old.dropWhile(_ == '\n')).getBytes("UTF-8"))
+    up.execute(spark.createDataset(Seq(Person("p6", "EE"))))
+    mid.syncOnce()
+    val (g4, c4) = mid.syncLog.last
+    assert(Files.size(ledger) <= CdcConsumer.MaxLedgerBytes,
+      "ledger must be compacted back under the threshold")
+    assert(mid.syncLog.length == CdcConsumer.KeptLedgerRows)
+    assert(mid.cursorAsOf(g4) == c4)
+    assert(c4 == up.snapshotVersion())
+    // And the downstream still equals the model after all of it.
+    assert(bands(mid.executer) == model(up))
+  }
 }
 
 /** Stage 3 of the pinning spec's chain: one grand-total row over the

@@ -127,8 +127,16 @@ def main(sfdir, outdir):
     type_bad, oracle_types = lint_oracle_types(con, oracle)
     for b in type_bad:
         print(f"FAIL type-lint {b}")
-    n_fail += len(type_bad)
+    # One failure per flagged QUERY, and skip its row compare entirely:
+    # this mirror's fetchall() canonicalization masks the driver-side
+    # divergence the lint exists to catch, so running the compare could
+    # print a misleading PASS beside the FAIL type-lint line and make
+    # n_pass + n_fail exceed the oracle count (ADVICE r12).
+    lint_flagged = {b.split(":")[0].split(".")[0] for b in type_bad}
+    n_fail += len(lint_flagged)
     for name in sorted(oracle):
+        if name in lint_flagged:
+            continue
         res_glob = os.path.join(outdir, name, "*.parquet")
         files = glob.glob(res_glob)
         if not files:
