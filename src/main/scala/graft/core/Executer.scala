@@ -864,24 +864,38 @@ class Executer[D, R <: Product: TypeTag](
         case None => docsP
           .mapPartitions { it =>
             // Streaming guard: record each consumed doc's id, check each
-            // emitted id against the recorded set at emit time. Memory is
-            // O(partition's doc ids) — the same order as the engine's own
-            // per-partition bookkeeping, ids only, never payloads.
-            val seen = new java.util.HashSet[String]()
-            val recorded = it.map { d =>
-              seen.add(org.apache.spark.unsafe.types.UTF8String
-                .fromString(t.documentId(d)).toUpperCase.toString)
-              d
+            // emitted id against the recorded set at emit time. The set
+            // holds 64-bit composite hashes in a primitive open table,
+            // not strings — 8–16 bytes per document instead of ~100, so
+            // a dense 128 MB scan partition costs a couple of MB. The
+            // error is ONE-SIDED: a legal emit's own hash is always
+            // present (same string, same hash), so conforming tasks are
+            // never flagged; a violating id escapes only on a 64-bit
+            // collision with some consumed id (~n·2⁻⁶⁴ per emit).
+            def h64(s: String): Long = {
+              val norm = org.apache.spark.unsafe.types.UTF8String
+                .fromString(s).toUpperCase.toString
+              (scala.util.hashing.MurmurHash3.stringHash(norm).toLong << 32) |
+                (norm.hashCode.toLong & 0xffffffffL)
             }
+            val seen = new org.apache.spark.util.collection.OpenHashSet[Long]()
+            val recorded = it.map { d => seen.add(h64(t.documentId(d))); d }
+            // Memoize the last verified id: tasks emit their rows in
+            // per-document runs (a shingle index emits hundreds per doc),
+            // so the steady-state guard cost is one string equals, not a
+            // normalize+hash per emitted row.
+            var lastOk: String = null
             t.map(recorded).map { case (id, r) =>
-              if (!seen.contains(org.apache.spark.unsafe.types.UTF8String
-                  .fromString(id).toUpperCase.toString))
-                throw new IllegalArgumentException(
-                  s"map output emitted document id '$id' which is not the " +
-                    "documentId of any document consumed in this " +
-                    "partition: MapReduceTask.map must emit " +
-                    "(documentId(doc), entry) pairs — any other id " +
-                    "corrupts delete-and-invalidate")
+              if (id != lastOk) {
+                if (!seen.contains(h64(id)))
+                  throw new IllegalArgumentException(
+                    s"map output emitted document id '$id' which is not " +
+                      "the documentId of any document consumed in this " +
+                      "partition: MapReduceTask.map must emit " +
+                      "(documentId(doc), entry) pairs — any other id " +
+                      "corrupts delete-and-invalidate")
+                lastOk = id
+              }
               (id, t.reduceKey(r), r)
             }
           }
