@@ -75,6 +75,48 @@ object TextOps {
       : Seq[org.apache.spark.sql.DataFrame] =
     winnowCache.collect { case ((o, _), v) if o eq s => v }.toSeq
 
+  /** Sliding-window chunking parameters (q109/q110): 32-token windows
+    * every 24 tokens — an 8-token overlap so no span straddles a chunk
+    * boundary unseen. The values are small because the synthetic docs
+    * average ~54 tokens; the operator shape is size-independent. */
+  private val ChunkWin = 32
+  private val ChunkStride = 24
+
+  /** The chunk table (q109's output), ONE definition consumed by both
+    * q109 and q110's chunk-level dedup — the same same-definition
+    * discipline as [[winnowFpTable]]. Chunking is a narrow per-row
+    * transform (split → posexplode over the start offsets → slice):
+    * zero shuffles, stays a scan-side pipeline at any corpus size. */
+  private def chunkTable(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", split($"text", "[ \\t\\n\\f\\r]+") as "w")
+      .select($"doc_id", $"w",
+        posexplode(sequence(lit(0), size($"w") - 1, lit(ChunkStride)))
+          .as(Seq("chunk_idx", "start")))
+      .select($"doc_id",
+        $"chunk_idx".cast("int") as "chunk_idx",
+        size(slice($"w", $"start" + 1, lit(ChunkWin))).cast("int") as "n_toks",
+        md5(concat_ws(" ", slice($"w", $"start" + 1, lit(ChunkWin)))) as "chunk_hash")
+  }
+
+  /** The q109 pipeline as a DuckDB CTE ending in
+    * `chunks(doc_id, chunk_idx, n_toks, chunk_hash)` — shared by the
+    * q109 and q110 oracles (mirrors [[WinnowFpCte]]'s no-drift rule). */
+  private val ChunkCte: String =
+    s"""chunks AS (
+       |  SELECT doc_id,
+       |    CAST(st // $ChunkStride AS INT) AS chunk_idx,
+       |    CAST(len(w[st+1:st+$ChunkWin]) AS INT) AS n_toks,
+       |    md5(array_to_string(w[st+1:st+$ChunkWin], ' ')) AS chunk_hash
+       |  FROM (
+       |    SELECT doc_id, w,
+       |      unnest(generate_series(0, len(w) - 1, $ChunkStride)) AS st
+       |    FROM (
+       |      SELECT doc_id, string_split_regex(text, '[ \\t\\n\\f\\r]+') AS w
+       |      FROM documents)))""".stripMargin
+
   /** The q53 pipeline as a DuckDB CTE chain ending in
     * `f(doc_id, fp)` — shared by the q53 and q94 oracles so the two
     * can never drift apart. */
@@ -340,6 +382,33 @@ object TextOps {
           (pred === $"lang") as "agrees")
     },
 
+    // Sliding-window chunking with overlap — the RAG/embedding-prep
+    // primitive (split each document into fixed-token windows every
+    // `stride` tokens so retrieval spans never straddle a boundary
+    // unseen). Start offsets 0, 24, 48, … < n_tokens, so every doc
+    // yields ≥1 chunk and tail chunks are short but never empty.
+    // Output carries the chunk's content hash (what an embedding cache
+    // or chunk-level dedup keys on). Narrow per-row transform: no
+    // shuffle, no UDF — split/posexplode/slice/md5 are all built-ins.
+    "q109_chunk_overlap" -> { (s, dir) => chunkTable(s, dir) },
+
+    // Chunk-level exact dedup across documents: which chunk contents
+    // recur in ≥2 distinct docs (shared boilerplate / quoted spans at
+    // chunk granularity — finer than q21's whole-doc dedup, coarser
+    // than q100's span windows). One hash aggregation on chunk_hash
+    // (map-side partial agg); output is bounded by the number of
+    // genuinely shared chunks, not the corpus.
+    "q110_chunk_dedup" -> { (s, dir) =>
+      import s.implicits._
+      chunkTable(s, dir)
+        .groupBy($"chunk_hash")
+        .agg(
+          countDistinct($"doc_id") as "n_docs",
+          count(lit(1)) as "occurrences",
+          min($"doc_id") as "first_doc")
+        .where($"n_docs" >= 2)
+    },
+
     // N-gram (3-shingle) Jaccard-style profile: distinct word-trigram
     // count per doc — the shingle table that near-dup Jaccard builds on.
     "q25_shingles" -> { (s, dir) =>
@@ -421,6 +490,16 @@ object TextOps {
         |  CAST(max(toks) AS INT) AS max_tokens
         |FROM kept WHERE toks >= 20 AND stops * 100 >= toks
         |GROUP BY lang""".stripMargin,
+    "q109_chunk_overlap" ->
+      s"WITH $ChunkCte\nSELECT doc_id, chunk_idx, n_toks, chunk_hash FROM chunks",
+    "q110_chunk_dedup" ->
+      s"""WITH $ChunkCte
+         |SELECT chunk_hash,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  count(*) AS occurrences,
+         |  min(doc_id) AS first_doc
+         |FROM chunks GROUP BY chunk_hash
+         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "q53_winnow_fingerprints" ->
       s"WITH $WinnowFpCte\nSELECT doc_id, fp FROM f",
     "q94_winnow_matches" ->
