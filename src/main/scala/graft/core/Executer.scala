@@ -1926,6 +1926,100 @@ class Executer[D, R <: Product: TypeTag](
   def registerStoreAt(name: String, version: Long): Unit =
     queryAllAt(version).createOrReplaceTempView(name)
 
+  /** Roll the store back to published generation `targetVersion` — the
+    * manifest layer's time travel made WRITABLE. The restored state
+    * lands as a NEW forward generation (never a history rewrite): a new
+    * manifest is published whose live file list and tombstone pointer
+    * are the target generation's, files the current generation added
+    * are retired on the normal GC schedule, and files the target holds
+    * live leave the retired list (they are referenced again). No data
+    * file is copied, moved, or rewritten — the whole operation is one
+    * changed-keys record plus one manifest write, O(manifest), at any
+    * store size.
+    *
+    * Because generations only move FORWARD, every concurrent-read and
+    * CDC contract survives unchanged: pinned [[queryAllAt]] reads of
+    * intermediate generations stay valid until ordinary GC retention,
+    * and a [[changedKeysSince]]/[[diffSince]] consumer at any cursor
+    * converges through the rollback — the new generation's invalidation
+    * record is exactly the keys touched in `(targetVersion, current]`,
+    * a superset of the keys whose value changes back for every possible
+    * cursor position (superset invalidation is always safe; equal
+    * old/new images are the documented no-op 'update' shape).
+    *
+    * Fails loudly, mutating nothing, when the rollback cannot be
+    * answered exactly: the target manifest or any of its data files
+    * already GC'd (same retention contract as [[queryAllAt]]), the
+    * changed-keys records for `(targetVersion, current]` pruned by
+    * `compact()` (same horizon contract as [[changedKeysSince]]), an
+    * unrecovered WAL from an interrupted batch (call [[recover]] first
+    * — flipping the layout under a pending replay would apply the
+    * replay to the wrong generation), or a legacy (non-manifest) store.
+    *
+    * Crash contract: the changed-keys record is written BEFORE the
+    * manifest flip (the same order every mutation uses — the record
+    * belongs to the generation the publish is about to land). A crash
+    * between the two leaves an orphan record for a never-published
+    * generation; the next successful mutation overwrites it, or — if it
+    * records distributed while the orphan was local (or vice versa) —
+    * the union is read, which can only over-invalidate, never miss.
+    *
+    * Returns the new current generation (`current + 1`); rolling back
+    * to the current generation is a published no-op returning
+    * `current`. */
+  def rollbackTo(targetVersion: Long): Long = withLease {
+    configChecked
+    if (pending == null) throw new UnsupportedOperationException(
+      "rollbackTo: not a manifest store (no published generations)")
+    val cur = pending.version
+    require(targetVersion >= 0 && targetVersion <= cur,
+      s"rollbackTo: target must be a published generation in [0, $cur], " +
+        s"got $targetVersion")
+    if (targetVersion == cur) cur
+    else {
+      if (exists(dirtyLocalPath) || exists(dirtyPath))
+        throw new IllegalStateException(
+          "rollbackTo: an interrupted batch's WAL is pending — call " +
+            "recover() first, then roll back")
+      val target = manifestAt(targetVersion) // loud if the manifest was GC'd
+      val targetRels =
+        target.live.valuesIterator.flatten.toVector ++ target.tombLocal
+      val missing = targetRels.filterNot(rel => exists(s"$storePath/$rel"))
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"rollbackTo: generation $targetVersion is past GC retention — " +
+          s"${missing.size} of its data files no longer exist " +
+          s"(first: ${missing.head})")
+      // The invalidation record: every key touched between the target
+      // and now — computed BEFORE the flip, from the same records a CDC
+      // consumer reads (throws past the compact() horizon).
+      val changed = changedKeysIn(targetVersion, cur)
+      val newV = cur + 1
+      val keysProbe = changed.limit(DriverDirtyLimit + 1).collect()
+        .map(_.getString(0))
+      if (keysProbe.length <= DriverDirtyLimit)
+        writeLocalAtomic(changedLocalPath(newV)) { out =>
+          out.writeInt(keysProbe.length)
+          keysProbe.foreach(writeStr(out, _))
+        }
+      else changed.write.mode("overwrite").parquet(changedDistPath(newV))
+      // Flip the layout model; publishPending (withLease's epilogue)
+      // lands m<newV> and the `_current` pointer atomically.
+      val targetLiveSet = targetRels.toSet
+      val nowMs = System.currentTimeMillis()
+      val reRetired =
+        (pending.live.valuesIterator.flatten.toVector ++ pending.tombLocal)
+          .filterNot(targetLiveSet)
+          .map(Retired(_, newV, nowMs))
+      pending = pending.copy(
+        live = target.live,
+        tombLocal = target.tombLocal,
+        retired = pending.retired.filterNot(r => targetLiveSet(r.path)) ++
+          reRetired)
+      pendingRev += 1; pendingDirty = true
+      newV
+    }
+  }
+
   /** The whole index as a DataFrame — strictly more capable than the
     * reference's point read: range scans, joins, further aggregation. */
   def queryAll(): DataFrame = consistentRead {

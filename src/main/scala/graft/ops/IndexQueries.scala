@@ -136,6 +136,7 @@ object IndexQueries {
       case "CustByNation" => custByNationIndex(s, dir)
       case "OrdersMultiTag" => ordersMultiTagIndex(s, dir)
       case "OrdersByPriorityUpdated" => ordersByPriorityUpdated(s, dir)
+      case "OrdersRolledBack" => ordersRolledBack(s, dir)
       case "CdcBands" => cdcBandIndex(s, dir)
       case "CdcBandsRecompute" => cdcBandIndexRecompute(s, dir)
       case "CdcBandsDiff" => cdcBandIndexDiff(s, dir)
@@ -204,6 +205,24 @@ object IndexQueries {
       import s.implicits._
       val (ex, v) = ordersByPriorityUpdated(s, dir)
       ex.queryAllAt(v)
+        .select($"reduce_key", $"cnt", toDouble($"total") as "total")
+    },
+
+    // Rollback as a first-class pipeline operation (`Executer
+    // .rollbackTo`, SURVEY §21.5): a bad batch lands (the %97
+    // re-prioritization), the store rolls back to the pre-batch
+    // generation — one manifest write, no data movement, generations
+    // still moving FORWARD — and the corrected batch (%89 → '5-LOW')
+    // lands on the restored state. The oracle recomputes from scratch
+    // over the corpus with ONLY the corrected batch applied, so a green
+    // row proves the rollback erased every effect of the bad batch
+    // (counts, sums, and the keys it created) while the maintained
+    // index kept updating normally afterwards. This is the
+    // training-data-pipeline story for a poisoned ingest batch: undo
+    // it in O(manifest), not O(corpus).
+    "q111_rollback_update" -> { (s, dir) =>
+      import s.implicits._
+      ordersRolledBack(s, dir)._1.queryAll()
         .select($"reduce_key", $"cnt", toDouble($"total") as "total")
     },
 
@@ -353,6 +372,38 @@ object IndexQueries {
         .map(o => OrderDoc(o.o_orderkey, "1-URGENT", o.o_totalprice * 2))
       Phases.timedUpdate("q41", ex)(ex.execute(updates))
       v
+    } { p =>
+      new Executer(OrdersByPriority, p, obpCfg)
+    }
+  }
+
+  /** The q111 store: built, hit by a bad batch, rolled back, then
+    * updated with the corrected batch — all inside the one-time cached
+    * build, so the query body only reads. Returns (executer, the
+    * rollback's target generation). */
+  private def ordersRolledBack(
+      s: SparkSession, dir: String): (Executer[OrderDoc, PriorityAgg], Long) = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    def orders = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").as[OrderDoc]
+    val obpCfg = ExecuterConfig(fanIn = 64, finalParts = 16)
+    cachedIndex("OrdersRolledBack", dir, s,
+        cacheKeyOf(OrdersByPriority, obpCfg)) { p =>
+      val ex = new Executer(OrdersByPriority, p, obpCfg)
+      ex.execute(orders)
+      val v0 = ex.snapshotVersion()
+      // The bad batch: q41's %97 re-prioritization, applied verbatim…
+      val bad = orders.filter(_.o_orderkey % 97 == 0)
+        .map(o => OrderDoc(o.o_orderkey, "1-URGENT", o.o_totalprice * 2))
+      ex.execute(bad)
+      // …then undone: one manifest write restores generation v0.
+      Phases.timed("q111", "rollback")(ex.rollbackTo(v0))
+      // The corrected batch lands on the restored state.
+      val good = orders.filter(_.o_orderkey % 89 == 0)
+        .map(o => OrderDoc(o.o_orderkey, "5-LOW", o.o_totalprice * 2))
+      Phases.timedUpdate("q111", ex)(ex.execute(good))
+      v0
     } { p =>
       new Executer(OrdersByPriority, p, obpCfg)
     }
@@ -773,6 +824,14 @@ object IndexQueries {
          |            ELSE o_orderpriority END AS reduce_key,
          |count(*) AS cnt,
          |CAST(sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS total
+         |FROM orders GROUP BY 1""".stripMargin,
+    // No %97 term anywhere: the oracle sees ONLY the corrected batch —
+    // a green row proves the rollback erased the bad batch completely.
+    "q111_rollback_update" ->
+      s"""SELECT CASE WHEN o_orderkey % 89 = 0 THEN '5-LOW'
+         |            ELSE o_orderpriority END AS reduce_key,
+         |count(*) AS cnt,
+         |CAST(sum(${decSql("CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS total
          |FROM orders GROUP BY 1""".stripMargin,
     "q99_sql_view_read" ->
       s"""SELECT CAST(c_nationkey AS VARCHAR) AS reduce_key, count(*) AS cnt,

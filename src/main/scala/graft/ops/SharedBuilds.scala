@@ -61,6 +61,12 @@ object SharedBuilds {
       cacheTag = Some("ordersbypriorityupdated"))(
       (_, dir) => IndexQueries.storeBuilt("OrdersByPriorityUpdated", dir))(
       (s, dir) => IndexQueries.warmStore("OrdersByPriorityUpdated", s, dir)),
+    // q111's store: built, hit by a bad batch, rolled back, corrected —
+    // the mutation cycle runs once here; the query body only reads.
+    b("ordersrolledback", Seq("q111_rollback_update"),
+      cacheTag = Some("ordersrolledback"))(
+      (_, dir) => IndexQueries.storeBuilt("OrdersRolledBack", dir))(
+      (s, dir) => IndexQueries.warmStore("OrdersRolledBack", s, dir)),
     // The chained downstream stage (q106): its build IS a CDC sync off
     // the upstream store, so the upstream is a prereq link.
     b("cdcbands", Seq("q106_cdc_pipeline"),

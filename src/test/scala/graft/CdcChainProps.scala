@@ -7,7 +7,8 @@ import graft.streaming.CdcConsumer
 
 /** Adversarial churn property for the PIPELINE-OF-INDEXES chain (the
   * q106 shape, VERDICT r10 #1): random interleavings of every upstream
-  * mutation kind — insert/update mixes, doc purges, full-key deletes —
+  * mutation kind — insert/update mixes, doc purges, full-key deletes,
+  * and upstream ROLLBACKS to random recorded generations (r13) —
   * against ONE long-lived upstream store, with TWO independent
   * downstream consumers (one polling the changed-keys + refetch
   * protocol, one consuming the `diffSince` before/after feed) that poll
@@ -39,6 +40,7 @@ object CdcChainProps extends Properties("CdcChain") {
   private case object PollDiff extends Op
   private case object RestartFetch extends Op
   private case object RestartDiff extends Op
+  private case object RollbackUp extends Op
 
   private val genOp: Gen[Op] = Gen.frequency(
     6 -> (for {
@@ -54,7 +56,8 @@ object CdcChainProps extends Properties("CdcChain") {
     3 -> Gen.const(PollFetch),
     3 -> Gen.const(PollDiff),
     1 -> Gen.const(RestartFetch),
-    1 -> Gen.const(RestartDiff))
+    1 -> Gen.const(RestartDiff),
+    1 -> Gen.const(RollbackUp))
 
   private val genSchedule: Gen[List[Op]] =
     Gen.chooseNum(2, 5).flatMap(n => Gen.listOfN(n, genOp))
@@ -76,6 +79,12 @@ object CdcChainProps extends Properties("CdcChain") {
   private var diffC: CdcConsumer[StatePop, BandPop] = null
 
   private val model = collection.mutable.Map[String, String]() // id -> state
+  // Published upstream (generation → model state) pairs — RollbackUp's
+  // targets. This property's retention is effectively infinite, so every
+  // recorded generation stays answerable and a rollback always SUCCEEDS;
+  // the consumers (strict — no resync fallback) must then converge
+  // through it incrementally, at whatever cursor lag the schedule dealt.
+  private var history = Vector.empty[(Long, Map[String, String])]
 
   private def docId(i: Int) = s"doc-$i"
 
@@ -147,6 +156,13 @@ object CdcChainProps extends Properties("CdcChain") {
           diffC = new CdcConsumer(up, StateBandCountsDelta, diffStore, cfg,
             strict = true)
         Prop.passed
+      case RollbackUp =>
+        if (history.nonEmpty) {
+          val (v, snap) = history(scala.util.Random.nextInt(history.length))
+          up.rollbackTo(v)
+          model.clear(); model ++= snap
+        }
+        Prop.passed
     }
   }
 
@@ -169,7 +185,12 @@ object CdcChainProps extends Properties("CdcChain") {
       "through both sync protocols, across lagging polls and restarts") =
     Prop.forAllNoShrink(genSchedule) { ops =>
       seeded
-      val results = ops.map(run)
+      val results = ops.map { op =>
+        val p = run(op)
+        val v = up.snapshotVersion()
+        if (v >= 0) history = (history :+ (v -> model.toMap)).takeRight(8)
+        p
+      }
       // Schedule end: both consumers poll and must converge — even if
       // the generated ops never polled them (multi-generation catch-up).
       val tail = Seq(run(PollFetch), run(PollDiff))

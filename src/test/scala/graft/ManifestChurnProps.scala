@@ -28,6 +28,7 @@ object ManifestChurnProps extends Properties("ManifestChurn") {
   private case object Compact extends Op
   private case object CrashRecover extends Op
   private case object Reshape extends Op
+  private case object Rollback extends Op
 
   private val genOp: Gen[Op] = Gen.frequency(
     6 -> (for {
@@ -42,6 +43,7 @@ object ManifestChurnProps extends Properties("ManifestChurn") {
     1 -> Gen.chooseNum(0, states.size - 1).map(DeleteKey),
     1 -> Gen.const(Compact),
     1 -> Gen.const(Reshape),
+    1 -> Gen.const(Rollback),
     2 -> Gen.const(CrashRecover))
 
   private val genSchedule: Gen[List[Op]] =
@@ -62,6 +64,10 @@ object ManifestChurnProps extends Properties("ManifestChurn") {
   private var reshapes = 0
   private var orphanSeq = 0
   private val model = collection.mutable.Map[String, String]() // id -> state
+  // Published (generation → model state) pairs, the rollback targets.
+  // Bounded; cleared on reshape (the destination store numbers its
+  // generations from scratch).
+  private var history = Vector.empty[(Long, Map[String, String])]
 
   private def docId(i: Int) = s"doc-$i"
 
@@ -89,6 +95,25 @@ object ManifestChurnProps extends Properties("ManifestChurn") {
           val dst = TestTmp.dir("graft-mchurn-rs") + "/s"
           exOpt = Some(ex.reshapeTo(dst, if (reshapes % 2 == 1) cfgB else cfgA))
           store = dst
+          history = Vector.empty
+        }
+      case Rollback =>
+        // Hop to any recorded generation. Under this config's aggressive
+        // GC (retention=1, grace=0) plus random compact()s, many targets
+        // are legitimately unanswerable — the documented refusal shapes
+        // (GC'd manifest/files, pruned changed records) must then leave
+        // the store BIT-UNCHANGED, which the schedule's final
+        // model-equality check proves either way: on success the model
+        // becomes the recorded state, on refusal it stays put.
+        if (history.nonEmpty) {
+          val (v, snap) = history(scala.util.Random.nextInt(history.length))
+          try {
+            ex.rollbackTo(v)
+            model.clear(); model ++= snap
+          } catch {
+            case _: IllegalStateException => ()
+            case _: java.io.FileNotFoundException => ()
+          }
         }
       case CrashRecover =>
         // A crashed manifest batch: surviving conservative WAL + orphan
@@ -124,7 +149,11 @@ object ManifestChurnProps extends Properties("ManifestChurn") {
 
   property("random op interleavings ≡ from-scratch recompute (manifest store)") =
     Prop.forAll(genSchedule) { sched =>
-      sched.foreach(run)
+      sched.foreach { op =>
+        run(op)
+        val v = ex.snapshotVersion()
+        if (v >= 0) history = (history :+ (v -> model.toMap)).takeRight(8)
+      }
       val got = ex.queryAll().collect()
         .map(r => (r.getString(0), r.getLong(2))).toMap
       val want = model.values.groupBy(identity)
