@@ -267,4 +267,30 @@ class PlanSpec extends AnyFunSuite {
       !p101.contains("BroadcastNestedLoop"),
       s"q101 degenerated:\n${p101.take(1200)}")
   }
+
+  test("chunking is a zero-shuffle narrow transform; chunk dedup is one " +
+      "distinct-agg chain") {
+    // q109: split → posexplode → slice/md5 is a per-row pipeline — any
+    // exchange here would shuffle the whole corpus for nothing.
+    val c = SparkEntry.queries("q109_chunk_overlap")(spark, dir)
+    c.collect()
+    assert(collectPlan(c.queryExecution.executedPlan) {
+      case s: ShuffleExchangeLike => s
+    }.isEmpty, "the chunk table must not shuffle")
+    // …and the scan reads only the two needed document columns.
+    val rs = c.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("text") && !rs.contains("lang"), s"unpruned scan: $rs")
+
+    // q110: COUNT(DISTINCT doc_id) plans as the two-phase distinct
+    // aggregation — at most its two exchanges, no join of any kind.
+    val d = SparkEntry.queries("q110_chunk_dedup")(spark, dir)
+    d.collect()
+    val pd = d.queryExecution.executedPlan
+    assert(collectPlan(pd) { case s: ShuffleExchangeLike => s }.size <= 2,
+      s"chunk dedup over-shuffles:\n${pd.toString.take(1200)}")
+    val ps = pd.toString
+    assert(ps.contains("HashAggregate") && !ps.contains("Join"),
+      s"chunk dedup must be a pure aggregation:\n${ps.take(1200)}")
+  }
 }
