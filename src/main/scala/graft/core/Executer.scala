@@ -2020,6 +2020,73 @@ class Executer[D, R <: Product: TypeTag](
     }
   }
 
+  /** Fork published generation `version` into a NEW independent store at
+    * `newStorePath` — the branching half of writable time travel
+    * ([[rollbackTo]] is the in-place half). The branch copies ONLY the
+    * generation's live files (not the source's full history), publishes
+    * them as its own generation 0 with a full-key-set invalidation
+    * record (the same record an initial build writes, so CDC consumers
+    * bootstrap off the branch exactly like off a fresh build), and
+    * inherits the source's batch-sequence floor so tombstone seqs in the
+    * copied map rows can never collide with the branch's future batches
+    * (the [[reshapeTo]] discipline). Source and branch share NOTHING on
+    * disk afterwards: either side's updates, GC, or compact() cannot
+    * touch the other.
+    *
+    * Cost is O(live bytes of one generation) — a data copy, not a
+    * recompute: the map pass never re-runs and the reduce tree is taken
+    * as-is. Same loud-failure contract as [[rollbackTo]] for a target
+    * past GC retention; the destination must not already hold a store.
+    * The SOURCE is not locked and not mutated — a published generation
+    * is immutable, so concurrent source writers are harmless (its files
+    * survive at least `manifestRetention`/`manifestGraceMs` past
+    * retirement; branch within that window, like any time-travel
+    * read). */
+  def branchAt(version: Long, newStorePath: String,
+      dstLease: Option[LeaseProvider] = None): Executer[D, R] = {
+    configChecked
+    require(version >= 0, s"snapshot generations are >= 0, got $version")
+    if (readCurrentVersion() < 0) throw new UnsupportedOperationException(
+      "branchAt: not a manifest store (no published generations)")
+    val target = manifestAt(version) // loud if the manifest was GC'd
+    val rels = target.live.valuesIterator.flatten.toVector ++ target.tombLocal
+    val missing = rels.filterNot(rel => exists(s"$storePath/$rel"))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"branchAt: generation $version is past GC retention — " +
+        s"${missing.size} of its data files no longer exist " +
+        s"(first: ${missing.head})")
+    val seqFloor = currentSeq
+    val dst = new Executer[D, R](task, newStorePath, config, dstLease)
+    dst.withLease {
+      dst.configChecked
+      require(!dst.exists(dst.mapResultsPath) &&
+        dst.readCurrentVersion() < 0,
+        s"branchAt destination $newStorePath already holds a store")
+      val conf = spark.sparkContext.hadoopConfiguration
+      rels.foreach { rel =>
+        val from = new Path(s"$storePath/$rel")
+        val to = new Path(s"$newStorePath/$rel")
+        dst.fs.mkdirs(to.getParent)
+        if (!org.apache.hadoop.fs.FileUtil.copy(fs, from, dst.fs, to,
+            false, conf))
+          throw new java.io.IOException(s"branchAt: copy failed for $rel")
+      }
+      if (seqFloor >= 0)
+        dst.writeLocalAtomic(dst.seqPath)(_.writeInt(seqFloor))
+      // Adopt the copied layout as the branch's generation 0, then
+      // derive its invalidation record from its OWN pending snapshot
+      // (the writer thread resolves `pending`, so readFinals sees the
+      // adopted files before the publish in withLease's epilogue).
+      dst.pending = dst.pending.copy(
+        live = target.live, tombLocal = target.tombLocal,
+        retired = Vector.empty)
+      dst.pendingRev += 1; dst.pendingDirty = true
+      dst.readFinals().select("reduce_key").distinct()
+        .write.mode("overwrite").parquet(dst.changedDistPath(0L))
+    }
+    dst
+  }
+
   /** The whole index as a DataFrame — strictly more capable than the
     * reference's point read: range scans, joins, further aggregation. */
   def queryAll(): DataFrame = consistentRead {

@@ -137,6 +137,7 @@ object IndexQueries {
       case "OrdersMultiTag" => ordersMultiTagIndex(s, dir)
       case "OrdersByPriorityUpdated" => ordersByPriorityUpdated(s, dir)
       case "OrdersRolledBack" => ordersRolledBack(s, dir)
+      case "OrdersBranch" => ordersBranch(s, dir)
       case "CdcBands" => cdcBandIndex(s, dir)
       case "CdcBandsRecompute" => cdcBandIndexRecompute(s, dir)
       case "CdcBandsDiff" => cdcBandIndexDiff(s, dir)
@@ -223,6 +224,23 @@ object IndexQueries {
     "q111_rollback_update" -> { (s, dir) =>
       import s.implicits._
       ordersRolledBack(s, dir)._1.queryAll()
+        .select($"reduce_key", $"cnt", toDouble($"total") as "total")
+    },
+
+    // The forking half of writable time travel (`Executer.branchAt`):
+    // fork the shared q41 store AT ITS PRE-UPDATE GENERATION into an
+    // independent store (a copy of that generation's live files — the
+    // source is only read), then land a THIRD batch (%83 → '3-MEDIUM')
+    // on the branch. The oracle sees the original corpus with only the
+    // branch batch applied — no %97 term — so a green row proves the
+    // branch pinned the pre-update state, not the source's current one,
+    // and that updates on the copied files behave exactly like on a
+    // built store (the inherited seq floor at work). The 100 TB story:
+    // blue/green index experiments fork one generation's files, never
+    // recompute the map pass.
+    "q112_branch_update" -> { (s, dir) =>
+      import s.implicits._
+      ordersBranch(s, dir).queryAll()
         .select($"reduce_key", $"cnt", toDouble($"total") as "total")
     },
 
@@ -407,6 +425,31 @@ object IndexQueries {
     } { p =>
       new Executer(OrdersByPriority, p, obpCfg)
     }
+  }
+
+  /** The q112 store: the shared q41 store forked at its pre-update
+    * generation, then updated with the %83 batch — the fork + mutation
+    * run once in the cached build; the query body only reads. The
+    * SOURCE store is never mutated (branchAt reads one immutable
+    * generation), so sharing it with the q41 family stays sound. */
+  private def ordersBranch(
+      s: SparkSession, dir: String): Executer[OrderDoc, PriorityAgg] = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    def orders = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").as[OrderDoc]
+    val obpCfg = ExecuterConfig(fanIn = 64, finalParts = 16)
+    cachedIndex("OrdersBranch", dir, s,
+        cacheKeyOf(OrdersByPriority, obpCfg)) { p =>
+      val (src, v0) = ordersByPriorityUpdated(s, dir)
+      val br = Phases.timed("q112", "branch")(src.branchAt(v0, s"$p/s"))
+      val batch = orders.filter(_.o_orderkey % 83 == 0)
+        .map(o => OrderDoc(o.o_orderkey, "3-MEDIUM", o.o_totalprice * 2))
+      Phases.timedUpdate("q112", br)(br.execute(batch))
+      -1L
+    } { p =>
+      new Executer(OrdersByPriority, s"$p/s", obpCfg)
+    }._1
   }
 
   /** Downstream stage of the CDC pipeline (q106): its DOCUMENTS are the
@@ -824,6 +867,14 @@ object IndexQueries {
          |            ELSE o_orderpriority END AS reduce_key,
          |count(*) AS cnt,
          |CAST(sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS total
+         |FROM orders GROUP BY 1""".stripMargin,
+    // No %97 term: the branch pinned the PRE-update generation, so only
+    // the branch's own %83 batch shows.
+    "q112_branch_update" ->
+      s"""SELECT CASE WHEN o_orderkey % 83 = 0 THEN '3-MEDIUM'
+         |            ELSE o_orderpriority END AS reduce_key,
+         |count(*) AS cnt,
+         |CAST(sum(${decSql("CASE WHEN o_orderkey % 83 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS total
          |FROM orders GROUP BY 1""".stripMargin,
     // No %97 term anywhere: the oracle sees ONLY the corrected batch —
     // a green row proves the rollback erased the bad batch completely.

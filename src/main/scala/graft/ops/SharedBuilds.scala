@@ -67,6 +67,13 @@ object SharedBuilds {
       cacheTag = Some("ordersrolledback"))(
       (_, dir) => IndexQueries.storeBuilt("OrdersRolledBack", dir))(
       (s, dir) => IndexQueries.warmStore("OrdersRolledBack", s, dir)),
+    // q112's store: the q41 store forked at its pre-update generation
+    // (a read of one immutable generation — the source is a prereq but
+    // is never mutated), then updated with the branch's own batch.
+    b("ordersbranch", Seq("q112_branch_update"),
+      prereqs = Seq("ordersbypriority"), cacheTag = Some("ordersbranch"))(
+      (_, dir) => IndexQueries.storeBuilt("OrdersBranch", dir))(
+      (s, dir) => IndexQueries.warmStore("OrdersBranch", s, dir)),
     // The chained downstream stage (q106): its build IS a CDC sync off
     // the upstream store, so the upstream is a prereq link.
     b("cdcbands", Seq("q106_cdc_pipeline"),
