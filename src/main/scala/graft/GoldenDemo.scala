@@ -62,6 +62,7 @@ object GoldenDemo {
     val total0 = (ca0 ++ tx0).map(_.count).sum
 
     // people-30 moves to TX (update = delete + insert).
+    val vPre = ex.snapshotVersion()
     ex.execute(spark.createDataset(Seq(Person("people-30", "TX"))))
     println(s"update stats: ${ex.lastStats.getOrElse("?")}")
     val ca1 = ex.query("CA").collect().toSeq
@@ -71,6 +72,19 @@ object GoldenDemo {
 
     println(s"total before=$total0 after=$total1 " +
       (if (total0 == total1 && total1 == 653) "INVARIANT HOLDS" else "INVARIANT BROKEN"))
+
+    // Writable time travel (round 13): roll back to the pre-update
+    // generation — one manifest write, generations still moving forward
+    // — then land the update again so the demo (and the re-open probe)
+    // ends at the canonical post-update state.
+    ex.rollbackTo(vPre)
+    println(s"after rollback($vPre): CA=${ex.query("CA").collect().toSeq} " +
+      s"TX=${ex.query("TX").collect().toSeq}")
+    val rbOk = ex.query("CA").collect().toSeq == ca0 &&
+      ex.query("TX").collect().toSeq == tx0
+    println(if (rbOk) "ROLLBACK RESTORED THE PRE-UPDATE GENERATION"
+            else "ROLLBACK DIVERGED")
+    ex.execute(spark.createDataset(Seq(Person("people-30", "TX"))))
     println("missing key query('ZZ') -> " + ex.query("ZZ").collect().toSeq)
     println(s"store stats:  ${ex.storeStats().toSeq.sorted.mkString(", ")}")
     println(s"contributors('TX') sample: " +
@@ -82,7 +96,7 @@ object GoldenDemo {
       "SELECT reduce_key, count FROM people_by_state ORDER BY reduce_key")
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" "))
     spark.stop()
-    if (!(total0 == total1 && total1 == 653 &&
+    if (!(total0 == total1 && total1 == 653 && rbOk &&
         ca1 == Seq(StatePop("CA", 396)) && tx1 == Seq(StatePop("TX", 257))))
       sys.exit(1)
   }
