@@ -233,6 +233,35 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
         "cross-store reads from a syncLog row's (downGen, upCursor) pair")
   }
 
+  /** Fork the WHOLE two-store pipeline at a consistent cut — the sync
+    * ledger's pinned pairs made writable (`Executer.branchAt` per
+    * store, SURVEY §21.5). `downGen` must be a recorded sync completion
+    * ([[cursorAsOf]] names its upstream cursor, throwing on
+    * half-applied generations): the upstream is branched at that
+    * cursor, the downstream at `downGen`, and the fork's consumer
+    * cursor is seeded at the up-branch's generation 0 — which IS the
+    * state the down-branch reflects, so the fork resumes INCREMENTAL
+    * polling with no bootstrap resync and no window where the pair is
+    * inconsistent. The fork's sync ledger is seeded with the (0, 0)
+    * pair for the same reason. Neither original store is locked or
+    * mutated (branching reads immutable generations); the fork shares
+    * nothing on disk with the original pipeline. Mutate the fork's
+    * upstream via a new `Executer` opened at `upBranchPath`. */
+  def forkAt(downGen: Long, upBranchPath: String,
+      downBranchPath: String): CdcConsumer[RU, RD] = {
+    val upCursor = cursorAsOf(downGen)
+    require(upCursor >= 0,
+      s"downstream generation $downGen predates the ledger's retained " +
+        "history — fork from a syncLog row instead")
+    val upBr = up.branchAt(upCursor, upBranchPath)
+    executer.branchAt(downGen, downBranchPath)
+    Files.write(Paths.get(downBranchPath, "_cdc_cursor"),
+      "0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(Paths.get(downBranchPath, "_cdc_cursor_log"),
+      "0 0\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    new CdcConsumer(upBr, task, downBranchPath, config, strict)
+  }
+
   /** One consumer poll. Bootstrap (no cursor yet): sync the full
     * upstream snapshot at `bootstrapAt` (default: the upstream's current
     * generation) — an immutable time-travel read, so the sync is
