@@ -253,13 +253,28 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
     require(upCursor >= 0,
       s"downstream generation $downGen predates the ledger's retained " +
         "history — fork from a syncLog row instead")
-    val upBr = up.branchAt(upCursor, upBranchPath)
+    forkOnto(downGen, up.branchAt(upCursor, upBranchPath), downBranchPath)
+  }
+
+  /** [[forkAt]] against a PRE-EXISTING upstream branch — the transitive
+    * hop for forking an N-stage chain bottom-up: stage k's `forkAt`
+    * produces the stage-(k−1) branch that stage (k+1)'s consumer forks
+    * ONTO. Contract: `upBranch`'s generation 0 must be the state
+    * [[cursorAsOf]]`(downGen)` names (true by construction when it came
+    * from the next-lower hop's fork at this consumer's recorded
+    * cursor); later generations on `upBranch` are fine — the fork's
+    * first poll applies them incrementally. */
+  def forkOnto(downGen: Long, upBranch: Executer[_, RU],
+      downBranchPath: String): CdcConsumer[RU, RD] = {
+    require(cursorAsOf(downGen) >= 0,
+      s"downstream generation $downGen predates the ledger's retained " +
+        "history — fork from a syncLog row instead")
     executer.branchAt(downGen, downBranchPath)
     Files.write(Paths.get(downBranchPath, "_cdc_cursor"),
       "0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.write(Paths.get(downBranchPath, "_cdc_cursor_log"),
       "0 0\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    new CdcConsumer(upBr, task, downBranchPath, config, strict)
+    new CdcConsumer(upBranch, task, downBranchPath, config, strict)
   }
 
   /** One consumer poll. Bootstrap (no cursor yet): sync the full

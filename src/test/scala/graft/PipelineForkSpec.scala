@@ -79,4 +79,61 @@ class PipelineForkSpec extends AnyFunSuite {
         TestTmp.dir("graft-fork-y") + "/s")
     }
   }
+
+  test("a 3-stage chain forks transitively, hop by hop, and the fork " +
+      "converges at every stage under its own churn") {
+    val up = new Executer(PeopleCountByState,
+      TestTmp.dir("graft-fork3-up"), cfg)
+    up.execute(spark.createDataset(Seq(
+      Person("p1", "AA"), Person("p2", "AB"), Person("p3", "BA"),
+      Person("p4", "CC"))))
+    val mid = new CdcConsumer(up, StateBandCountsDelta,
+      TestTmp.dir("graft-fork3-mid"), cfg, strict = true)
+    mid.syncOnce()
+    val top = new CdcConsumer(mid.executer, GrandTotals,
+      TestTmp.dir("graft-fork3-top"), cfg, strict = true)
+    top.syncOnce()
+    // Move the chain past the cut we'll fork at.
+    up.execute(spark.createDataset(Seq(Person("p5", "DD"))))
+    mid.syncOnce(); top.syncOnce()
+    up.execute(spark.createDataset(Seq(Person("p6", "EE"))))
+    mid.syncOnce() // top lags — the chain is mid-churn
+
+    def totals(c: CdcConsumer[BandPop, TotalPop]): (Long, Long) =
+      c.executer.queryAll().as[(String, String, Long, Long)].collect()
+        .map { case (_, _, nb, p) => (nb, p) }.head
+
+    // Bottom-up: stage 2's fork produces the stage-1 branch; stage 3
+    // forks ONTO stage 2's branch (the transitive hop).
+    val (gTop, cMid) = top.syncLog.head
+    val up1BrPath = TestTmp.dir("graft-fork3-up-br") + "/s"
+    val midFork = mid.forkAt(cMid, up1BrPath,
+      TestTmp.dir("graft-fork3-mid-br") + "/s")
+    val topFork = top.forkOnto(gTop, midFork.executer,
+      TestTmp.dir("graft-fork3-top-br") + "/s")
+
+    // Every hop of the fork is the pinned cut.
+    assert(totals(topFork) ==
+      top.executer.queryAllAt(gTop).as[(String, String, Long, Long)]
+        .collect().map { case (_, _, nb, p) => (nb, p) }.head)
+    assert(bands(midFork) ==
+      mid.executer.queryAllAt(cMid).as[(String, String, Long, Long)]
+        .collect().map { case (_, b, s, p) => b -> ((s, p)) }.toMap)
+
+    // Churn the FORK's stage 1; both fork consumers converge (strict —
+    // any resync would throw); the original chain never sees it.
+    val upBr = new Executer(PeopleCountByState, up1BrPath, cfg)
+    upBr.execute(spark.createDataset(Seq(Person("q1", "FF"))))
+    midFork.syncOnce(); topFork.syncOnce()
+    assert(bands(midFork) == rollup(upBr))
+    assert(totals(topFork) ==
+      ((bands(midFork).size.toLong, bands(midFork).values.map(_._2).sum)))
+    assert(!rollup(up).contains("F"), "the original never sees fork churn")
+
+    // …and the original chain keeps converging on its own history.
+    mid.syncOnce(); top.syncOnce()
+    assert(bands(mid) == rollup(up))
+    assert(totals(top) ==
+      ((bands(mid).size.toLong, bands(mid).values.map(_._2).sum)))
+  }
 }
