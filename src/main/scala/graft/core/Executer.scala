@@ -60,6 +60,24 @@ private[core] final case class Snapshot(
     retired: Vector[Retired])
 
 object Executer {
+  /** Task body of [[Executer.branchAt]]'s distributed file copy — a
+    * static function (no Executer capture: the instance holds a
+    * SparkSession and live FileSystems, none serializable). Each task
+    * opens its filesystems from the executor's own Hadoop config. */
+  private[core] def copyBranchFiles(srcRoot: String, dstRoot: String)
+      : Iterator[String] => Unit = { rels =>
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val srcFs = FileSystem.get(URI.create(srcRoot), conf)
+    val dstFs = FileSystem.get(URI.create(dstRoot), conf)
+    rels.foreach { rel =>
+      val to = new Path(s"$dstRoot/$rel")
+      dstFs.mkdirs(to.getParent)
+      if (!org.apache.hadoop.fs.FileUtil.copy(srcFs,
+          new Path(s"$srcRoot/$rel"), dstFs, to, false, conf))
+        throw new java.io.IOException(s"branchAt: copy failed for $rel")
+    }
+  }
+
   /** On-disk store format version. Bump when ANY persisted layout
     * changes: table schemas/partitioning, manifest or WAL encoding,
     * tombstone format, state-file layout. Folded into the cross-run
@@ -2062,14 +2080,28 @@ class Executer[D, R <: Product: TypeTag](
       require(!dst.exists(dst.mapResultsPath) &&
         dst.readCurrentVersion() < 0,
         s"branchAt destination $newStorePath already holds a store")
-      val conf = spark.sparkContext.hadoopConfiguration
-      rels.foreach { rel =>
-        val from = new Path(s"$storePath/$rel")
-        val to = new Path(s"$newStorePath/$rel")
-        dst.fs.mkdirs(to.getParent)
-        if (!org.apache.hadoop.fs.FileUtil.copy(fs, from, dst.fs, to,
-            false, conf))
-          throw new java.io.IOException(s"branchAt: copy failed for $rel")
+      // The copy is a DISTRIBUTED job, not a driver loop: one task per
+      // partition of the file list, each opening its filesystems from
+      // the executor's own Hadoop config — at 100 TB the branch copy is
+      // the operation's entire cost, and it parallelizes perfectly
+      // (immutable source files, disjoint destinations). A single-file
+      // store skips the job. Any task's failed copy fails the job and
+      // the branch is stillborn (no manifest was published).
+      val srcRoot = storePath; val dstRoot = newStorePath
+      if (rels.size <= 1) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        rels.foreach { rel =>
+          val to = new Path(s"$dstRoot/$rel")
+          dst.fs.mkdirs(to.getParent)
+          if (!org.apache.hadoop.fs.FileUtil.copy(fs,
+              new Path(s"$srcRoot/$rel"), dst.fs, to, false, conf))
+            throw new java.io.IOException(s"branchAt: copy failed for $rel")
+        }
+      } else {
+        val par = math.min(rels.size,
+          math.max(2, spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(rels, par)
+          .foreachPartition(Executer.copyBranchFiles(srcRoot, dstRoot))
       }
       if (seqFloor >= 0)
         dst.writeLocalAtomic(dst.seqPath)(_.writeInt(seqFloor))
