@@ -19,11 +19,14 @@ import graft.ops.{IndexQueries, SharedBuilds}
   * (VERDICT r4 #1) — hence: short lines, summaries early and often.
   *
   * Section order: BASE INCREMENTAL first (it carries the project's
-  * O(dirty) headline, BASELINE.md), the N×-scaled probe second (its
-  * cross-scale ratio is claim-bearing), then the WARM section (one-time
-  * shared-store builds as their own cost entries), then the query
-  * sweep. The warm section and sweep are where a budget kill should
-  * land; each is skip-aware.
+  * O(dirty) headline, BASELINE.md), the guaranteed CHEAP-GENERIC
+  * TRANCHE second (the ~60 cheapest no-build queries — more than half
+  * the sweep's rows, banked before anything expensive can run), the
+  * N×-scaled probe third (its cross-scale ratio is claim-bearing),
+  * then the update family and the shared chains with each one-time
+  * build interleaved with its consumer queries, then the remainder.
+  * Later sections are where a budget kill should land; each is
+  * skip-aware.
   *
   * Cost attribution (VERDICT r8 #1): round 8 billed each shared store's
   * one-time build to whichever family query ran first, so the committed
@@ -42,9 +45,13 @@ import graft.ops.{IndexQueries, SharedBuilds}
   * `skipped_sections`). The driver host has run heavy Spark jobs up to
   * ~3× slower than the builder, so committed costs are rescaled by a
   * measured HOST FACTOR — this process's base-incremental section time
-  * over its committed time — before any skip decision; the sweep keeps
-  * a reserved floor (`SPARK_GRAFT_SWEEP_FLOOR_SEC`, default 100) that
-  * the warm section may not eat.
+  * over its committed time — before any skip decision. Cold-host fit
+  * (VERDICT r13 #1): a GUARANTEED cheap-generic tranche runs right
+  * after the base inc section, shared builds run on demand interleaved
+  * with their consumer queries (a build is only admitted when the query
+  * it unlocks also fits), and the scaled probe shrinks N 8→4 under
+  * measured throttle — so a cold StoreCache on a throttled host sheds
+  * the expensive tail, never the bulk of the sweep.
   *
   * Incremental summary fields carry the maintenance headline (the
   * reference's entire reason to exist, BASELINE.md): time of a full
@@ -89,11 +96,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "240").toDouble
-    // The sweep's reserved floor: the warm section may not schedule a
-    // build that would leave the sweep less than this (VERDICT r8 #3 —
-    // two rounds ended at elapsed ≈ budget with the sweep starved).
-    val sweepFloorSec =
-      sys.env.getOrElse("SPARK_GRAFT_SWEEP_FLOOR_SEC", "100").toDouble
+    // Est-aware admission checks leave a small landing margin below the
+    // budget: r13 finished at 241.9s of a 240s budget because the last
+    // admitted item's committed est under-predicted (VERDICT r13 #3) —
+    // a slower host turns that overshoot into the driver's wall timeout.
+    val effBudgetSec = budgetSec - 3.0
     implicit val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -357,11 +364,26 @@ object Bench {
         // Cache-restored builds are EXCLUDED: their ~1s restore time
         // must never overwrite the committed COLD build cost, which is
         // what the skip planner needs when the disk cache is absent.
+        // Every written cost is DE-SCALED by the measured class factor
+        // (digest entries by digestFactor, the rest by hostFactor): the
+        // file stores QUIET-HOST costs, and the r13 driver run (host
+        // factor 1.70) proved why — its raw measurements overwrote the
+        // builder's quiet costs (ivmscaled-x8 11.7s → 55.6s), so the
+        // NEXT throttled run would have rescaled already-throttled
+        // numbers and double-counted the slowdown, while its incbase
+        // calibrator would have read the throttled committed value and
+        // reported factor ≈ 1.0. De-scaling is idempotent for the two
+        // calibration sections by construction and approximate (per-
+        // entry throttle varies) but bounded for everything else.
+        def deScale(key: String, sec: Double): Double =
+          sec / (if (isDigest(key) || key == "section:calibdigest")
+            digestFactor else hostFactor)
         val merged = knownCosts ++
-          results.map(r => r.name -> r.sec) ++
-          buildResults.filterNot(_.cached).map(r => r.name -> r.sec) ++
-          sectionSecs.map { case (n, s) => s"section:$n" -> s } ++
-          scaledBuildMeasured.map(s => s"build:ivmscaled-x$scaleUsed" -> s)
+          (results.map(r => r.name -> r.sec) ++
+            buildResults.filterNot(_.cached).map(r => r.name -> r.sec) ++
+            sectionSecs.map { case (n, s) => s"section:$n" -> s } ++
+            scaledBuildMeasured.map(s => s"build:ivmscaled-x$scaleUsed" -> s))
+            .map { case (k, s) => k -> deScale(k, s) }
         Files.write(Paths.get(costsFile),
           merged.toSeq.sortBy(_._1)
             .map { case (n, s) => f""""$n":$s%.3f""" }
@@ -369,6 +391,119 @@ object Bench {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       } catch { case _: Throwable => () }
     }
+
+    // ---- sweep plumbing (hoisted above the inc sections so the
+    // guaranteed cheap-generic tranche can run between them) ----
+    val sweepNames = SparkEntry.queries.keySet.filter(selected)
+    // The maintained-index update family carries the engine's
+    // incremental-maintenance evidence (store_update:<mode> phases) —
+    // it runs as the FIRST interleaved group after the inc sections.
+    val updateFamily = Set(
+      "q29_minhash_index_update", "q37_ivf_cell_index_update",
+      "q41_mr_index_update", "q41b_mr_time_travel",
+      "q59b_cluster_index_update", "q59c_recluster_refresh",
+      "q64_winnow_index_update", "q77_shingle_freq_index_update",
+      "q78_decontaminate_index_update", "q89_length_hist_index_update",
+      "q89b_hist_drift", "q91_ivf_centroid_index_update",
+      "q97_simhash_index_update")
+    // Known digest-amplified outliers (VERDICT r9 #4: q91 20.6s + q64
+    // 19.5s consumed 72% of the round-9 sweep): demoted to the very
+    // end — their store_update evidence still lands on any run that has
+    // the time; what they can no longer do is starve a hundred cheap
+    // rows.
+    val digestTail = Set(
+      "q64_winnow_index_update", "q91_ivf_centroid_index_update")
+    // One-time shared-store builds, each its own separately-attributed
+    // `build:<name>` entry (VERDICT r8 #1). `reserve` is the payoff the
+    // caller is about to bank (the consumer query's est): a build is
+    // only admitted when the query it unlocks also fits — r13 ran
+    // 107.6s of builds whose 8 consumer queries then never executed.
+    def ensureBuilt(name: String, reserve: Double): Boolean = {
+      val b = SharedBuilds.byName(name)
+      if (failedBuilds.contains(name)) false
+      else if (b.isBuilt(spark, sfDir)) true
+      else if (!b.prereqs.forall(ensureBuilt(_, reserve))) {
+        skippedBuilds += name; false
+      } else {
+        // A disk-cached store restores in copy time, not build time.
+        val cachedHit =
+          b.cacheTag.exists(graft.ops.StoreCache.isCached(_, sfDir))
+        val est =
+          if (cachedHit) 2.0 else estOf(s"build:$name", 4.0)
+        if (elapsed + est + reserve > effBudgetSec) {
+          if (skippedBuilds.add(name)) // once per build, not per re-check
+            println(s"""{"build":"$name","skipped":true}""")
+          false
+        } else {
+          var err: Option[String] = None
+          val sec = time {
+            try b.run(spark, sfDir)
+            catch { case t: Throwable =>
+              err = Some(t.getClass.getSimpleName + ": " +
+                String.valueOf(t.getMessage).take(160).replaceAll("[\"\\\\\n]", " "))
+            }
+          }
+          val fromCache =
+            b.cacheTag.exists(graft.ops.StoreCache.wasRestored)
+          buildResults += QR(s"build:$name", sec, 0L, err, cached = fromCache)
+          println(f"""{"build":"$name","sec":$sec%.3f${
+            if (fromCache) ""","cached":true""" else ""}${
+            err.map(e => s""","err":"$e"""").getOrElse("")}}""")
+          if (err.isDefined) { failedBuilds += name; false }
+          else { skippedBuilds -= name; true } // a later retry un-skips
+        }
+      }
+    }
+    // A query is attempted AT MOST ONCE per run: the tranche, the
+    // update-family pass, the interleaved warm pass and the remainder
+    // all call the same runQuery/skipOrRun, and whichever reaches an
+    // entry first settles it (ran, est-skipped, or missing_build).
+    val doneQueries = collection.mutable.HashSet[String]()
+    var ranCount = 0
+    def runQuery(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      if (!doneQueries.add(name)) return
+      val qEst = math.min(estOf(name, 0.4), 10.0)
+      val deps = SharedBuilds.depsOf(name)
+      if (!deps.forall(d => ensureBuilt(d.name, qEst))) {
+        // The family's one-time build didn't fit (or failed): skipping
+        // the query is the honest record — running it would re-pay the
+        // build inside the query's timing, the exact r8 lie.
+        skippedQueries += name
+        println(s"""{"q":"$name","skipped":"missing_build"}""")
+        return
+      }
+      var rows = -1L
+      var err: Option[String] = None
+      val sec = time {
+        try rows = fn(spark, sfDir).count()
+        catch { case t: Throwable =>
+          err = Some(t.getClass.getSimpleName + ": " +
+            String.valueOf(t.getMessage).take(160).replaceAll("[\"\\\\\n]", " "))
+        }
+      }
+      // Queries are independent: drop their TRANSIENT materialization
+      // barriers so block pressure from one query never bleeds into
+      // the next one's timing — but keep the memoized shared
+      // signature/pair/frequency tables warm (VERDICT r6 #2/#3).
+      graft.ops.SessionCaches.clearTransient(spark)
+      results += QR(name, sec, rows, err)
+      println(f"""{"q":"$name","sec":$sec%.3f,"rows":$rows${
+        err.map(e => s""","err":"$e"""").getOrElse("")}}""")
+      // Periodic checkpoint summary: a kill mid-sweep still leaves a
+      // recent parseable summary line behind it.
+      ranCount += 1
+      if (ranCount % 15 == 0) emitSummary()
+    }
+    def skipOrRun(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      if (doneQueries(name)) ()
+      else if (elapsed + math.min(estOf(name, 0.4), 10.0) > effBudgetSec) {
+        // Est-aware skip: starting a 5s query at budget-1s is how
+        // r8-style runs overshoot their own elapsed ceiling.
+        doneQueries += name
+        skippedQueries += name
+      } else runQuery(name, fn)
 
     // ---- shared incremental-maintenance plumbing ----
     // The synthetic lineitem is TPC-H-ISH: (l_orderkey, l_linenumber)
@@ -610,6 +745,33 @@ object Bench {
       emitSummary()
     }
 
+    // ---- section 1b: the GUARANTEED cheap-generic tranche (VERDICT
+    // r13 #1) — the ~60 cheapest no-build queries, run before anything
+    // else can eat the budget. r13's cold driver host spent 107.6s on
+    // warm builds and measured 19/122 queries; these 60 cost ~10s
+    // committed and buy more than half the sweep's rows up front. Runs
+    // right after incbase so it is host-factor-aware, and BEFORE the
+    // scaled probe so even a probe blow-up cannot erase it. Queries a
+    // cap-stop leaves behind are NOT marked skipped — they get their
+    // normal est-aware chance in the main sweep.
+    if (sweepNames.nonEmpty && !overBudget) {
+      val trancheCap = math.min(36.0, budgetSec * 0.15)
+      val t0 = elapsed
+      val tranche = SparkEntry.queries.toSeq
+        .filter { case (n, _) =>
+          sweepNames(n) && !updateFamily(n) &&
+            SharedBuilds.depsOf(n).isEmpty
+        }
+        .sortBy { case (n, _) => (estOf(n, 0.4), n) }
+        .take(60)
+      for ((n, fn) <- tranche
+           if elapsed - t0 < trancheCap &&
+             elapsed + math.min(estOf(n, 0.4), 10.0) <= effBudgetSec)
+        runQuery(n, fn)
+      sectionSecs("tranche") = elapsed - t0
+      emitSummary()
+    }
+
     // ---- section 2: the N×-scaled incremental probe (before the
     // sweep: it carries the cross-scale O(dirty) ratio — a
     // claim-bearing field — while every sweep query's CORRECTNESS is
@@ -618,7 +780,25 @@ object Bench {
     // section stays first: its headline must land even if this probe
     // misbehaves.) ----
     if (runInc10x) {
-      if (overBudget) {
+      // N defaults to 8 (was 30 → 10 → 8, VERDICT r7 #3 / r8 #3) and
+      // SHRINKS to 4 under measured host throttle (VERDICT r13 #1c):
+      // the flatness claim rides on the paired per-pair ratios, which a
+      // 4× corpus carries as well as 8× at roughly half the probe's
+      // dominant cost (the scaled store build). An explicit env
+      // override wins either way.
+      val scaleN = sys.env.get("SPARK_GRAFT_INC_SCALE").map(_.toInt)
+        .getOrElse(if (hostFactor > 1.5) 4 else 8)
+      // Est-aware section guard (VERDICT r13 #4): the probe is
+      // must-run by design, but starting it without the budget to
+      // finish starves the whole sweep behind it. Model: the committed
+      // section cost minus its build part, plus the build rescaled to
+      // this run's N, all under the measured host factor.
+      val estScaledSec = {
+        val sect = knownCosts.getOrElse("section:incscaled", 30.0)
+        val b8 = knownCosts.getOrElse("build:ivmscaled-x8", 12.0)
+        (math.max(sect - b8, 5.0) + b8 * scaleN / 8.0) * hostFactor
+      }
+      if (overBudget || elapsed + estScaledSec > effBudgetSec) {
         skippedSections += "incscaled"
         // The deferred 10k-doc headline still lands (bounded, ~6s — and
         // by the ceiling watchdog past that): a skipped probe must not
@@ -650,14 +830,8 @@ object Bench {
           // corpus (N encoder round-trips — measured as most of a 641s
           // "build" at 60M rows). The timed build must start where a
           // real build starts: a parquet table on disk.
-          // N defaults to 8 (was 30 → 10 → 8, VERDICT r7 #3 / r8 #3):
-          // the flatness claim is carried by the PAIRED 1-doc ratio, and
-          // the build-time half only needs the ratio to track the corpus
-          // growth, which ×8 shows as clearly as ×10 at 20% less probe
-          // cost — the scaled build is the single heaviest must-run leg
-          // under driver throttle (67.8s in r8). The replicated corpus
-          // is cached across runs (cachedCorpus above).
-          val scaleN = sys.env.getOrElse("SPARK_GRAFT_INC_SCALE", "8").toInt
+          // The replicated corpus is cached across runs (cachedCorpus
+          // above); scaleN was resolved before the section guard.
           scaleUsed = scaleN
           val corpusDir = cachedCorpus(s"x$scaleN") { dir =>
             lineitem.toDF()
@@ -735,194 +909,81 @@ object Bench {
       }
     } else baseIvm.foreach { case (_, store) => deleteRec(store); baseIvm = None }
 
-    // ---- section 3: WARM one-time shared-store builds, each its own
-    // separately-attributed `build:<name>` entry (VERDICT r8 #1). Runs
-    // cheapest-build-first (prereqs forced first within a chain), and
-    // NEVER eats the sweep's reserved floor: a build that no longer
-    // fits is SKIPPED AND RECORDED, and its consumer queries are then
-    // skipped honestly in the sweep instead of silently paying the
-    // build inside one sibling's timing. `ensureBuilt` is also the
-    // sweep's on-demand fallback (floor 0 there — mid-sweep, the only
-    // guard is the overall budget), so a floor-skipped build gets a
-    // second chance once the floor no longer applies.
-    def ensureBuilt(name: String, floor: Double): Boolean = {
-      val b = SharedBuilds.byName(name)
-      if (failedBuilds.contains(name)) false
-      else if (b.isBuilt(spark, sfDir)) true
-      else if (!b.prereqs.forall(ensureBuilt(_, floor))) {
-        skippedBuilds += name; false
-      } else {
-        // A disk-cached store restores in copy time, not build time —
-        // estimate accordingly or the warm section would floor-skip
-        // builds that cost ~1s (VERDICT r9 #2's caching prescription).
-        val cachedHit =
-          b.cacheTag.exists(graft.ops.StoreCache.isCached(_, sfDir))
-        val est =
-          if (cachedHit) 2.0 else estOf(s"build:$name", 4.0)
-        if (elapsed + est > budgetSec - floor) {
-          if (skippedBuilds.add(name)) // once per build, not per re-check
-            println(s"""{"build":"$name","skipped":true}""")
-          false
-        } else {
-          var err: Option[String] = None
-          val sec = time {
-            try b.run(spark, sfDir)
-            catch { case t: Throwable =>
-              err = Some(t.getClass.getSimpleName + ": " +
-                String.valueOf(t.getMessage).take(160).replaceAll("[\"\\\\\n]", " "))
-            }
-          }
-          val fromCache =
-            b.cacheTag.exists(graft.ops.StoreCache.wasRestored)
-          buildResults += QR(s"build:$name", sec, 0L, err, cached = fromCache)
-          println(f"""{"build":"$name","sec":$sec%.3f${
-            if (fromCache) ""","cached":true""" else ""}${
-            err.map(e => s""","err":"$e"""").getOrElse("")}}""")
-          if (err.isDefined) { failedBuilds += name; false }
-          else { skippedBuilds -= name; true } // a fallback build un-skips
-        }
-      }
-    }
-    val sweepNames = SparkEntry.queries.keySet.filter(selected)
+    // ---- section 3: the UPDATE SENTINELS — the cheapest
+    // maintained-index entries, run first so some store_update:<mode>
+    // evidence is guaranteed on any run that gets this far (VERDICT r9
+    // #4's concern, at ~1/6 the cost of fronting the whole 50s update
+    // family: that fronting is what stranded custbynation's 7 consumer
+    // queries in the 140s cold rehearsal). The rest of the update family
+    // competes on density below. ----
     if (sweepNames.nonEmpty) {
-      val sec = time {
-        // Value density over the whole UNBUILT chain (ADVICE r9): a
-        // cheap-looking dependent (cdcbands at a small est) must not
-        // pull its expensive unbuilt prereq chain ahead of genuinely
-        // cheaper independent builds — cost = the build plus its
-        // unbuilt transitive prereqs (cache hits count as copy time),
-        // value = the union of the chain's consumer queries.
-        def chainOf(b: SharedBuilds.Build): Seq[SharedBuilds.Build] = {
-          val out = collection.mutable.LinkedHashSet.empty[String]
-          def add(n: String): Unit = {
-            val bb = SharedBuilds.byName(n)
-            bb.prereqs.foreach(add)
-            out += n
-          }
-          add(b.name)
-          out.toSeq.map(SharedBuilds.byName)
-        }
-        def chainCost(b: SharedBuilds.Build): Double =
-          chainOf(b).filterNot(_.isBuilt(spark, sfDir)).map { x =>
-            if (x.cacheTag.exists(graft.ops.StoreCache.isCached(_, sfDir)))
-              2.0
-            else estOf(s"build:${x.name}", 4.0)
-          }.sum
-        val warmOrder = SharedBuilds.all
-          .filter(_.queries.exists(sweepNames))
-          .sortBy(b => chainCost(b) /
-            chainOf(b).flatMap(_.queries).toSet.count(sweepNames))
-        warmOrder.foreach(b => ensureBuilt(b.name, sweepFloorSec))
-      }
-      sectionSecs("warm") = sec
-      emitSummary()
-    }
+      val sweepQueries = SparkEntry.queries.toSeq
+        .filter { case (n, _) => sweepNames(n) }
+        .sortBy { case (n, _) => (estOf(n, 0.4), n) }
+      val sentinels = Seq(
+        "q89_length_hist_index_update", "q89b_hist_drift",
+        "q41_mr_index_update", "q41b_mr_time_travel")
+      val t0u = elapsed
+      for (name <- sentinels if sweepNames(name))
+        skipOrRun(name, SparkEntry.queries(name))
+      sectionSecs("sentinels") = elapsed - t0u
 
-    // ---- section 4: the query sweep, cheapest-MARGINAL-cost-first
-    // (VERDICT r7 #1, r8 #1) — except the maintained-index update
-    // family, which runs FIRST: those entries carry the engine's
-    // incremental-maintenance evidence (store_update:<mode> phase
-    // labels), and cheapest-first put exactly them last, so a
-    // throttle-window budget kill erased the round's claim-bearing
-    // rows while keeping a hundred generic sub-second ones. They cost
-    // ~30s normally — well inside the sweep floor — and the skips then
-    // land on mid-pack generic queries whose correctness is already
-    // Verify-gated. ----
-    val updateFamily = Set(
-      "q29_minhash_index_update", "q37_ivf_cell_index_update",
-      "q41_mr_index_update", "q41b_mr_time_travel",
-      "q59b_cluster_index_update", "q59c_recluster_refresh",
-      "q64_winnow_index_update", "q77_shingle_freq_index_update",
-      "q78_decontaminate_index_update", "q89_length_hist_index_update",
-      "q89b_hist_drift", "q91_ivf_centroid_index_update",
-      "q97_simhash_index_update")
-    // Known digest-amplified outliers (VERDICT r9 #4: q91 20.6s + q64
-    // 19.5s consumed 72% of the round-9 sweep while ~90 sub-second
-    // generic queries were shed): demoted BEHIND the generic sweep.
-    // Their store_update evidence still lands on any run that has the
-    // time; what they can no longer do is starve a hundred cheap rows.
-    val digestTail = Set(
-      "q64_winnow_index_update", "q91_ivf_centroid_index_update")
-    def groupOf(n: String): Int =
-      if (digestTail(n)) 2 else if (updateFamily(n)) 0 else 1
-    val sweepQueries = SparkEntry.queries.toSeq
-      .filter { case (n, _) => sweepNames(n) }
-      .sortBy { case (n, _) => (groupOf(n), estOf(n, 0.4), n) }
-    // The generic sweep's protected reserve (VERDICT r9 #2/#4): the
-    // update family runs first (its rows are claim-bearing) but may not
-    // start an entry that would eat into the time the generic queries
-    // are estimated to need — such entries are DEFERRED to the tail,
-    // not skipped, so they still run when time remains.
-    val genericEstTotal = sweepQueries
-      .filter { case (n, _) => groupOf(n) == 1 }
-      .map { case (n, _) => math.min(estOf(n, 0.4), 10.0) }.sum
-    val deferred = collection.mutable.ListBuffer[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
-    var ranCount = 0
-    def runQuery(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
-      val deps = SharedBuilds.depsOf(name)
-      if (!deps.forall(d => ensureBuilt(d.name, 0.0))) {
-        // The family's one-time build didn't fit (or failed): skipping
-        // the query is the honest record — running it would re-pay the
-        // build inside the query's timing, the exact r8 lie.
-        skippedQueries += name
-        println(s"""{"q":"$name","skipped":"missing_build"}""")
-        return
-      }
-      var rows = -1L
-      var err: Option[String] = None
-      val sec = time {
-        try rows = fn(spark, sfDir).count()
-        catch { case t: Throwable =>
-          err = Some(t.getClass.getSimpleName + ": " +
-            String.valueOf(t.getMessage).take(160).replaceAll("[\"\\\\\n]", " "))
+      // ---- section 4: every remaining shared chain, each build
+      // INTERLEAVED with its consumer queries (VERDICT r13 #1b: r13 ran
+      // 107.6s of warm builds and the budget died before 8 of their
+      // consumer queries ever executed — now a build's payoff is banked
+      // before the next build starts, via runQuery's on-demand
+      // ensureBuilt with the consumer's est as the reserve). Chains are
+      // ordered by TIME PER QUERY SETTLED over the whole unbuilt chain
+      // (ADVICE r9, extended): cost = the chain's unbuilt builds (cache
+      // hits count as copy time) plus its pending queries' marginal
+      // ests; value = those pending queries. Dense cheap chains
+      // (custbynation: 7 sub-second consumers per 2.3s build) run long
+      // before single-consumer expensive stores (ordersrolledback:
+      // 8.7s for one row), so a budget kill sheds the latter. ----
+      val t0w = elapsed
+      def chainOf(bld: SharedBuilds.Build): Seq[SharedBuilds.Build] = {
+        val out = collection.mutable.LinkedHashSet.empty[String]
+        def add(n: String): Unit = {
+          val bb = SharedBuilds.byName(n)
+          bb.prereqs.foreach(add)
+          out += n
         }
+        add(bld.name)
+        out.toSeq.map(SharedBuilds.byName)
       }
-      // Queries are independent: drop their TRANSIENT materialization
-      // barriers so block pressure from one query never bleeds into
-      // the next one's timing — but keep the memoized shared
-      // signature/pair/frequency tables warm. The former
-      // `spark.catalog.clearCache()` also unpersisted those, so every
-      // later consumer silently rebuilt the shared chain per query
-      // and the cross-query sharing never happened under this driver
-      // (VERDICT r6 #2/#3: q59b paid an 86.9s cold rebuild).
-      graft.ops.SessionCaches.clearTransient(spark)
-      results += QR(name, sec, rows, err)
-      // Detail line per query, emitted as it completes: progress
-      // visibility AND a per-query record that does not have to fit in
-      // whatever tail window the recorder keeps.
-      println(f"""{"q":"$name","sec":$sec%.3f,"rows":$rows${
-        err.map(e => s""","err":"$e"""").getOrElse("")}}""")
-      // Periodic checkpoint summary: a kill mid-sweep still leaves a
-      // recent parseable summary line behind it.
-      ranCount += 1
-      if (ranCount % 15 == 0) emitSummary()
+      def chainCost(bld: SharedBuilds.Build): Double =
+        chainOf(bld).filterNot(_.isBuilt(spark, sfDir)).map { x =>
+          if (x.cacheTag.exists(graft.ops.StoreCache.isCached(_, sfDir))) 2.0
+          else estOf(s"build:${x.name}", 4.0)
+        }.sum
+      def pendingOf(bld: SharedBuilds.Build): Seq[String] =
+        chainOf(bld).flatMap(_.queries).distinct
+          .filter(q => sweepNames(q) && !doneQueries(q) && !digestTail(q))
+          .sortBy(q => (estOf(q, 0.4), q))
+      def density(bld: SharedBuilds.Build): Double = {
+        val pending = pendingOf(bld)
+        (chainCost(bld) +
+          pending.map(q => math.min(estOf(q, 0.4), 10.0)).sum) /
+          math.max(pending.size, 1)
+      }
+      val warmOrder = SharedBuilds.all
+        .filter(b => pendingOf(b).nonEmpty)
+        .sortBy(density)
+      for (bld <- warmOrder; q <- pendingOf(bld))
+        skipOrRun(q, SparkEntry.queries(q))
+      sectionSecs("warm") = elapsed - t0w
+      emitSummary()
+
+      // ---- section 5: the remainder — whatever the tranche cap-stopped
+      // or no chain reached, cheapest-marginal-first; then the two
+      // digestTail outliers LAST (VERDICT r9 #4: their store_update
+      // evidence still lands on any run with the time; what they can no
+      // longer do is starve a hundred cheap rows). Every entry here is
+      // settled exactly once — doneQueries makes the passes idempotent.
+      for ((name, fn) <- sweepQueries if !digestTail(name)) skipOrRun(name, fn)
+      for ((name, fn) <- sweepQueries if digestTail(name)) skipOrRun(name, fn)
     }
-    def skipOrRun(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      if (elapsed + math.min(estOf(name, 0.4), 10.0) > budgetSec)
-        // Est-aware skip: starting a 5s query at budget-1s is how
-        // r8-style runs overshoot their own elapsed ceiling.
-        skippedQueries += name
-      else runQuery(name, fn)
-    for ((name, fn) <- sweepQueries if groupOf(name) == 0) {
-      val est = math.min(estOf(name, 0.4), 10.0)
-      // No direct est-skip branch here: deferring is strictly more
-      // permissive than skipping for genericEstTotal >= 0, and a
-      // deferred entry gets an est-aware skipOrRun on its retry anyway
-      // (ADVICE r11: the skip arm was unreachable).
-      if (elapsed + est > budgetSec - genericEstTotal)
-        deferred += ((name, fn)) // the generic reserve wins; retry later
-      else runQuery(name, fn)
-    }
-    for ((name, fn) <- sweepQueries if groupOf(name) == 1) skipOrRun(name, fn)
-    // Deferred update-family entries get their second chance once the
-    // generic sweep has its rows — BEFORE the demoted digestTail
-    // outliers (~20s each under throttle), which would otherwise eat
-    // the tail budget ahead of the claim-bearing rows the reserve
-    // exists to protect (ADVICE r10).
-    for ((name, fn) <- deferred) skipOrRun(name, fn)
-    for ((name, fn) <- sweepQueries if groupOf(name) == 2) skipOrRun(name, fn)
     if (skippedQueries.nonEmpty)
       println(s"""{"skipped_query_names":${skippedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     emitSummary()

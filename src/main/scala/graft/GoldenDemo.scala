@@ -85,6 +85,13 @@ object GoldenDemo {
     println(if (rbOk) "ROLLBACK RESTORED THE PRE-UPDATE GENERATION"
             else "ROLLBACK DIVERGED")
     ex.execute(spark.createDataset(Seq(Person("people-30", "TX"))))
+    // The re-landed update must reproduce the first update's state
+    // exactly — without this check a divergent second apply would still
+    // exit 0 on rbOk + the pre-rollback ca1/tx1 (ADVICE r13).
+    val relandOk = ex.query("CA").collect().toSeq == ca1 &&
+      ex.query("TX").collect().toSeq == tx1
+    println(if (relandOk) "RE-LANDED UPDATE MATCHES THE FIRST APPLY"
+            else "RE-LANDED UPDATE DIVERGED")
     println("missing key query('ZZ') -> " + ex.query("ZZ").collect().toSeq)
     println(s"store stats:  ${ex.storeStats().toSeq.sorted.mkString(", ")}")
     println(s"contributors('TX') sample: " +
@@ -96,7 +103,7 @@ object GoldenDemo {
       "SELECT reduce_key, count FROM people_by_state ORDER BY reduce_key")
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" "))
     spark.stop()
-    if (!(total0 == total1 && total1 == 653 && rbOk &&
+    if (!(total0 == total1 && total1 == 653 && rbOk && relandOk &&
         ca1 == Seq(StatePop("CA", 396)) && tx1 == Seq(StatePop("TX", 257))))
       sys.exit(1)
   }

@@ -60,13 +60,39 @@ private[core] final case class Snapshot(
     retired: Vector[Retired])
 
 object Executer {
+  /** Java-serializable carrier for the session's Hadoop configuration
+    * (Spark's own `SerializableConfiguration` is `private[spark]`).
+    * Shipped broadcast into [[copyBranchFiles]] tasks so executor-side
+    * FileSystems see the driver's `spark.hadoop.*` settings (object-store
+    * credentials, fs.defaultFS) instead of a bare executor-default
+    * config — a bare `new Configuration()` resolved scheme-less store
+    * paths against `file://` on exactly the cluster deployments the
+    * distributed copy exists for (ADVICE r13). */
+  private[core] final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Task body of [[Executer.branchAt]]'s distributed file copy — a
     * static function (no Executer capture: the instance holds a
     * SparkSession and live FileSystems, none serializable). Each task
-    * opens its filesystems from the executor's own Hadoop config. */
-  private[core] def copyBranchFiles(srcRoot: String, dstRoot: String)
+    * opens its filesystems from the broadcast session Hadoop config;
+    * the roots arrive as fully-qualified URIs (driver-side
+    * `makeQualified`), so resolution cannot depend on executor-local
+    * filesystem defaults. */
+  private[core] def copyBranchFiles(srcRoot: String, dstRoot: String,
+      bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
       : Iterator[String] => Unit = { rels =>
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = bconf.value.value
     val srcFs = FileSystem.get(URI.create(srcRoot), conf)
     val dstFs = FileSystem.get(URI.create(dstRoot), conf)
     rels.foreach { rel =>
@@ -2100,8 +2126,18 @@ class Executer[D, R <: Product: TypeTag](
       } else {
         val par = math.min(rels.size,
           math.max(2, spark.sparkContext.defaultParallelism))
-        spark.sparkContext.parallelize(rels, par)
-          .foreachPartition(Executer.copyBranchFiles(srcRoot, dstRoot))
+        // Roots are qualified HERE, against the driver's filesystems, so
+        // a scheme-less store path ("/data/store") reaches the tasks as
+        // an absolute URI of the intended filesystem, and the session's
+        // Hadoop config rides along broadcast (ADVICE r13).
+        val qSrc = fs.makeQualified(new Path(srcRoot)).toString
+        val qDst = dst.fs.makeQualified(new Path(dstRoot)).toString
+        val bconf = spark.sparkContext.broadcast(
+          new Executer.SerializableHadoopConf(
+            spark.sparkContext.hadoopConfiguration))
+        try spark.sparkContext.parallelize(rels, par)
+          .foreachPartition(Executer.copyBranchFiles(qSrc, qDst, bconf))
+        finally bconf.destroy()
       }
       if (seqFloor >= 0)
         dst.writeLocalAtomic(dst.seqPath)(_.writeInt(seqFloor))

@@ -207,6 +207,12 @@ object Bpe {
     (s"$sp,\n$chain", last)
   }
 
+  /** q113's chunk budget in BPE tokens: a 32-word window at the
+    * corpus's learned fertility (1.30 tokens/word at the stop point)
+    * averages ~42 subwords, so 40 splits the full-width windows into a
+    * real over/under mix instead of flagging all or none. */
+  private val ChunkBpeBudget = 40
+
   val queries: Map[String, Q] = Map(
     // Corpus token accounting in TOKENIZER units: per language, word
     // count, subword token count, and characters — the number a
@@ -248,6 +254,23 @@ object Bpe {
         .agg(count(lit(1)) as "docs",
           sum($"toks") as "bpe_tokens",
           min($"doc_id") as "first_doc")
+    },
+
+    // q109's sliding-window chunks re-measured in TOKENIZER units
+    // (VERDICT r13 #8) — the shape RAG/packing pipelines actually run:
+    // an embedding model's context limit is BPE tokens, not whitespace
+    // words, so a word-budgeted window can silently overflow it. Each
+    // chunk (the SAME window definition as q109, TextOps.chunkTextTable)
+    // carries its subword count plus an over-budget flag. Scale shape:
+    // chunking is a zero-shuffle scan pipeline and the encode is the
+    // codegen'd per-row kernel — the whole query never shuffles.
+    "q113_chunk_bpe_budget" -> { (s, dir) =>
+      import s.implicits._
+      TextOps.chunkTextTable(s, dir)
+        .select($"doc_id", $"chunk_idx",
+          graft.functions.BpeKernel.bpeTokens($"ctext") as "bpe_toks")
+        .withColumn("over_budget",
+          ($"bpe_toks" > lit(ChunkBpeBudget)).cast("int"))
     })
 
   val oracles: Map[String, String] = {
@@ -280,6 +303,28 @@ object Bpe {
            |  count(*) AS docs,
            |  CAST(sum(toks) AS BIGINT) AS bpe_tokens,
            |  CAST(min(doc_id) AS BIGINT) AS first_doc
-           |FROM c GROUP BY 1, 2""".stripMargin)
+           |FROM c GROUP BY 1, 2""".stripMargin,
+      "q113_chunk_bpe_budget" -> {
+        // The chunk text is whole-text-encoded like q102b's documents:
+        // whitespace symbols survive the merges untouched, so chunk
+        // tokens = merged symbols − whitespace chars (same identity
+        // BpeHtmlSpec pins). The window CTE is TextOps.ChunkTextCte —
+        // the ONE chunk definition, shared with the q109/q110 oracles.
+        val (chain, last) =
+          duckMergeCtes("cb", "cbsp", Seq("doc_id", "chunk_idx", "wsc"))
+        s"""WITH ${TextOps.ChunkTextCte},
+           |cbsp AS (
+           |  SELECT doc_id, chunk_idx,
+           |    (length(ctext) - length(regexp_replace(ctext,
+           |      '[ \\t\\n\\f\\r]', '', 'g'))) AS wsc,
+           |    ${duckSpelled("ctext")} AS s
+           |  FROM chunkt),
+           |$chain
+           |SELECT doc_id, chunk_idx,
+           |  CAST(${duckTokensOfSpelled("s")} - wsc AS INT) AS bpe_toks,
+           |  CAST((${duckTokensOfSpelled("s")} - wsc) > $ChunkBpeBudget AS INT)
+           |    AS over_budget
+           |FROM $last""".stripMargin
+      })
   }
 }

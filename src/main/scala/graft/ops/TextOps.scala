@@ -82,12 +82,14 @@ object TextOps {
   private val ChunkWin = 32
   private val ChunkStride = 24
 
-  /** The chunk table (q109's output), ONE definition consumed by both
-    * q109 and q110's chunk-level dedup — the same same-definition
-    * discipline as [[winnowFpTable]]. Chunking is a narrow per-row
-    * transform (split → posexplode over the start offsets → slice):
-    * zero shuffles, stays a scan-side pipeline at any corpus size. */
-  private def chunkTable(s: SparkSession, dir: String)
+  /** The chunk windows WITH their reconstructed text, the ONE window
+    * definition every chunk query derives from (the same
+    * same-definition discipline as [[winnowFpTable]]): q109/q110 hash
+    * `ctext` into `chunk_hash`; Bpe's q113 re-measures it in tokenizer
+    * units. Chunking is a narrow per-row transform (split → posexplode
+    * over the start offsets → slice): zero shuffles, stays a scan-side
+    * pipeline at any corpus size. */
+  private[ops] def chunkTextTable(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
@@ -98,24 +100,43 @@ object TextOps {
       .select($"doc_id",
         $"chunk_idx".cast("int") as "chunk_idx",
         size(slice($"w", $"start" + 1, lit(ChunkWin))).cast("int") as "n_toks",
-        md5(concat_ws(" ", slice($"w", $"start" + 1, lit(ChunkWin)))) as "chunk_hash")
+        concat_ws(" ", slice($"w", $"start" + 1, lit(ChunkWin))) as "ctext")
   }
 
-  /** The q109 pipeline as a DuckDB CTE ending in
-    * `chunks(doc_id, chunk_idx, n_toks, chunk_hash)` — shared by the
-    * q109 and q110 oracles (mirrors [[WinnowFpCte]]'s no-drift rule). */
-  private val ChunkCte: String =
-    s"""chunks AS (
+  /** The chunk table (q109's output): the windows keyed by content
+    * hash. Projection-collapsed by Catalyst into the same single
+    * scan-side stage as [[chunkTextTable]]. */
+  private def chunkTable(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    chunkTextTable(s, dir)
+      .select($"doc_id", $"chunk_idx", $"n_toks", md5($"ctext") as "chunk_hash")
+  }
+
+  /** [[chunkTextTable]] as a DuckDB CTE ending in
+    * `chunkt(doc_id, chunk_idx, n_toks, ctext)` — the shared base of
+    * [[ChunkCte]] and Bpe's q113 oracle (no-drift rule). */
+  private[ops] val ChunkTextCte: String =
+    s"""chunkt AS (
        |  SELECT doc_id,
        |    CAST(st // $ChunkStride AS INT) AS chunk_idx,
        |    CAST(len(w[st+1:st+$ChunkWin]) AS INT) AS n_toks,
-       |    md5(array_to_string(w[st+1:st+$ChunkWin], ' ')) AS chunk_hash
+       |    array_to_string(w[st+1:st+$ChunkWin], ' ') AS ctext
        |  FROM (
        |    SELECT doc_id, w,
        |      unnest(generate_series(0, len(w) - 1, $ChunkStride)) AS st
        |    FROM (
        |      SELECT doc_id, string_split_regex(text, '[ \\t\\n\\f\\r]+') AS w
        |      FROM documents)))""".stripMargin
+
+  /** The q109 pipeline as a DuckDB CTE ending in
+    * `chunks(doc_id, chunk_idx, n_toks, chunk_hash)` — shared by the
+    * q109 and q110 oracles (mirrors [[WinnowFpCte]]'s no-drift rule). */
+  private val ChunkCte: String =
+    s"""$ChunkTextCte,
+       |chunks AS (
+       |  SELECT doc_id, chunk_idx, n_toks, md5(ctext) AS chunk_hash
+       |  FROM chunkt)""".stripMargin
 
   /** The q53 pipeline as a DuckDB CTE chain ending in
     * `f(doc_id, fp)` — shared by the q53 and q94 oracles so the two

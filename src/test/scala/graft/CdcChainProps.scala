@@ -40,7 +40,11 @@ object CdcChainProps extends Properties("CdcChain") {
   private case object PollDiff extends Op
   private case object RestartFetch extends Op
   private case object RestartDiff extends Op
-  private case object RollbackUp extends Op
+  // The rollback target is GENERATED (an index folded mod the history
+  // length at apply time), not drawn from an unseeded Random inside the
+  // property: a failing schedule must replay deterministically from the
+  // reported ScalaCheck seed (ADVICE r13).
+  private case class RollbackUp(idx: Int) extends Op
 
   private val genOp: Gen[Op] = Gen.frequency(
     6 -> (for {
@@ -57,7 +61,7 @@ object CdcChainProps extends Properties("CdcChain") {
     3 -> Gen.const(PollDiff),
     1 -> Gen.const(RestartFetch),
     1 -> Gen.const(RestartDiff),
-    1 -> Gen.const(RollbackUp))
+    1 -> Gen.chooseNum(0, 63).map(RollbackUp))
 
   private val genSchedule: Gen[List[Op]] =
     Gen.chooseNum(2, 5).flatMap(n => Gen.listOfN(n, genOp))
@@ -156,9 +160,9 @@ object CdcChainProps extends Properties("CdcChain") {
           diffC = new CdcConsumer(up, StateBandCountsDelta, diffStore, cfg,
             strict = true)
         Prop.passed
-      case RollbackUp =>
+      case RollbackUp(idx) =>
         if (history.nonEmpty) {
-          val (v, snap) = history(scala.util.Random.nextInt(history.length))
+          val (v, snap) = history(idx % history.length)
           up.rollbackTo(v)
           model.clear(); model ++= snap
         }

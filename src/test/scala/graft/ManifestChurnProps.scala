@@ -26,9 +26,13 @@ object ManifestChurnProps extends Properties("ManifestChurn") {
   private case class PurgeDocs(ids: List[Int]) extends Op
   private case class DeleteKey(state: Int) extends Op
   private case object Compact extends Op
-  private case object CrashRecover extends Op
+  // Target choices are GENERATED indices (folded mod the candidate count
+  // at apply time), not unseeded-Random draws inside the property: a
+  // failing schedule must replay deterministically from the reported
+  // ScalaCheck seed (ADVICE r13).
+  private case class CrashRecover(idx: Int) extends Op
   private case object Reshape extends Op
-  private case object Rollback extends Op
+  private case class Rollback(idx: Int) extends Op
 
   private val genOp: Gen[Op] = Gen.frequency(
     6 -> (for {
@@ -43,8 +47,8 @@ object ManifestChurnProps extends Properties("ManifestChurn") {
     1 -> Gen.chooseNum(0, states.size - 1).map(DeleteKey),
     1 -> Gen.const(Compact),
     1 -> Gen.const(Reshape),
-    1 -> Gen.const(Rollback),
-    2 -> Gen.const(CrashRecover))
+    1 -> Gen.chooseNum(0, 63).map(Rollback),
+    2 -> Gen.chooseNum(0, 63).map(CrashRecover))
 
   private val genSchedule: Gen[List[Op]] =
     Gen.chooseNum(2, 5).flatMap(n => Gen.listOfN(n, genOp))
@@ -97,7 +101,7 @@ object ManifestChurnProps extends Properties("ManifestChurn") {
           store = dst
           history = Vector.empty
         }
-      case Rollback =>
+      case Rollback(idx) =>
         // Hop to any recorded generation. Under this config's aggressive
         // GC (retention=1, grace=0) plus random compact()s, many targets
         // are legitimately unanswerable — the documented refusal shapes
@@ -106,7 +110,7 @@ object ManifestChurnProps extends Properties("ManifestChurn") {
         // model-equality check proves either way: on success the model
         // becomes the recorded state, on refusal it stays put.
         if (history.nonEmpty) {
-          val (v, snap) = history(scala.util.Random.nextInt(history.length))
+          val (v, snap) = history(idx % history.length)
           try {
             ex.rollbackTo(v)
             model.clear(); model ++= snap
@@ -115,7 +119,7 @@ object ManifestChurnProps extends Properties("ManifestChurn") {
             case _: java.io.FileNotFoundException => ()
           }
         }
-      case CrashRecover =>
+      case CrashRecover(idx) =>
         // A crashed manifest batch: surviving conservative WAL + orphan
         // data file in a live partition directory. recover() must replay
         // the WAL idempotently and never adopt the orphan.
@@ -123,9 +127,10 @@ object ManifestChurnProps extends Properties("ManifestChurn") {
         val parentDirs =
           if (mapDir.isDirectory)
             mapDir.listFiles().filter(_.getName.startsWith("parent="))
+              .sortBy(_.getName)
           else Array.empty[java.io.File]
         if (parentDirs.nonEmpty) {
-          val dir = parentDirs(scala.util.Random.nextInt(parentDirs.length))
+          val dir = parentDirs(idx % parentDirs.length)
           orphanSeq += 1
           dir.listFiles().find(_.getName.endsWith(".parquet")).foreach { f =>
             java.nio.file.Files.copy(f.toPath,
