@@ -12,12 +12,21 @@ import graft.GoldenDemo.{Person, StatePop, PeopleCountByState}
   *
   *   tools/run.sh graft.SwapChurnDemo writer /tmp/swapdemo 20   # churn
   *   tools/run.sh graft.SwapChurnDemo reader /tmp/swapdemo 20   # loop
+  *   tools/run.sh graft.SwapChurnDemo external /tmp/swapdemo 20 # no engine
   *
   * The writer builds 240 docs and then churns update batches that move
   * 60 docs between CA and TX for ~N seconds; moves conserve the total,
   * so the reader detects any torn read as a wrong total. The reader
   * prints one line per read: `ok total=240` or `RETRIABLE <error>`;
   * it must NEVER print `TORN`. Exit code 1 on any torn read.
+  *
+  * `external` (round 14) is the same invariant loop WITHOUT the engine:
+  * it reads through [[graft.sources.StoreReader]] — the public
+  * lock-free recipe a vanilla Spark client runs (`_current` → manifest
+  * → pinned parquet file list) — so a torn or erroring read here would
+  * falsify the external-reader contract, not just the engine's own
+  * snapshot path. Manifest stores only (it skips until the writer
+  * publishes generation 0).
   */
 object SwapChurnDemo {
   def main(args: Array[String]): Unit = {
@@ -36,7 +45,9 @@ object SwapChurnDemo {
     val N = 240
     def person(i: Int, flip: Boolean): Person =
       Person(s"p-$i", if ((i % 2 == 0) ^ flip) "CA" else "TX")
-    val ex = new Executer(PeopleCountByState, store,
+    // Lazy: the `external` mode must not construct an engine handle at
+    // all — proving the recipe needs nothing but the store directory.
+    lazy val ex = new Executer(PeopleCountByState, store,
       ExecuterConfig(fanIn = 4, finalParts = 2))
     val deadline = System.nanoTime() + seconds * 1000000000L
 
@@ -69,6 +80,32 @@ object SwapChurnDemo {
           }
         }
         println(s"reader: good=$good retriable=$retriable torn=$torn")
+        spark.stop()
+        if (torn > 0 || good == 0) sys.exit(1)
+      case "external" =>
+        // The engine-free client: no Executer, no lease — only the
+        // published-generation recipe. Each loop resolves the head anew
+        // (a long-lived client following a churning store), so it reads
+        // a DIFFERENT pinned generation most iterations.
+        var good = 0; var retriable = 0; var torn = 0
+        while (System.nanoTime() < deadline) {
+          try {
+            if (graft.sources.StoreReader.currentVersion(spark, store) < 0) {
+              retriable += 1 // writer has not published generation 0 yet
+              Thread.sleep(50)
+            } else {
+              val total = graft.sources.StoreReader.finals(spark, store)
+                .select("count").collect().map(_.getLong(0)).sum
+              if (total == N) { good += 1; println(s"ok total=$total") }
+              else { torn += 1; println(s"TORN total=$total != $N") }
+            }
+          } catch {
+            case e: Throwable =>
+              retriable += 1
+              println(s"RETRIABLE ${e.getClass.getSimpleName}")
+          }
+        }
+        println(s"external: good=$good retriable=$retriable torn=$torn")
         spark.stop()
         if (torn > 0 || good == 0) sys.exit(1)
       case other => sys.error(s"unknown mode $other")

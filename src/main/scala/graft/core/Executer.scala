@@ -52,8 +52,8 @@ final case class ExecuterConfig(
   * with `_current` atomically renamed to point at it; data files are
   * immutable and never change path, so a resolved snapshot stays readable
   * no matter how many mutations land after it. */
-private[core] final case class Retired(path: String, version: Long, millis: Long)
-private[core] final case class Snapshot(
+private[graft] final case class Retired(path: String, version: Long, millis: Long)
+private[graft] final case class Snapshot(
     version: Long,
     live: Map[String, Vector[String]], // table name -> store-relative paths
     tombLocal: Option[String],         // "_tomb/t<seq>.bin"
@@ -102,6 +102,25 @@ object Executer {
           new Path(s"$srcRoot/$rel"), dstFs, to, false, conf))
         throw new java.io.IOException(s"branchAt: copy failed for $rel")
     }
+  }
+
+  /** The manifest binary codec, decode side — ONE definition shared by
+    * the engine's [[Executer!.readManifest]] and the external
+    * lock-free reader ([[graft.sources.StoreReader]]), so the two can
+    * never drift on the wire format. Encode side: `writeManifest`. */
+  private[graft] def decodeManifest(in: java.io.DataInputStream): Snapshot = {
+    def tableOf(rel: String): String = {
+      val i = rel.indexOf('/')
+      if (i < 0) rel else rel.substring(0, i)
+    }
+    val ver = in.readLong()
+    val tl = in.readUTF()
+    val n = in.readInt()
+    val live = (0 until n).map(_ => in.readUTF()).toVector.groupBy(tableOf)
+    val nr = in.readInt()
+    val retired = (0 until nr).map(_ =>
+      Retired(in.readUTF(), in.readLong(), in.readLong())).toVector
+    Snapshot(ver, live, if (tl.isEmpty) None else Some(tl), retired)
   }
 
   /** On-disk store format version. Bump when ANY persisted layout
@@ -462,16 +481,7 @@ class Executer[D, R <: Product: TypeTag](
 
   private def readManifest(v: Long): Snapshot = {
     val in = new java.io.DataInputStream(stateFs.open(new Path(manifestFile(v))))
-    try {
-      val ver = in.readLong()
-      val tl = in.readUTF()
-      val n = in.readInt()
-      val live = (0 until n).map(_ => in.readUTF()).toVector.groupBy(tableOf)
-      val nr = in.readInt()
-      val retired = (0 until nr).map(_ =>
-        Retired(in.readUTF(), in.readLong(), in.readLong())).toVector
-      Snapshot(ver, live, if (tl.isEmpty) None else Some(tl), retired)
-    } finally in.close()
+    try Executer.decodeManifest(in) finally in.close()
   }
 
   /** Parsed manifests by version — immutable once written, so the cache

@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.core.Executer
+
+/** Lock-free external reads of a PUBLISHED store generation — the
+  * recipe any vanilla Spark job (or SQL client via [[registerView]])
+  * can run without constructing an [[graft.core.Executer]], taking a
+  * lease, or coordinating with the writer. Before this, a reader fleet
+  * had to link the engine and construct an `Executer` per store; now a
+  * plain `spark.read` client consumes a maintained index like any other
+  * parquet dataset, at a consistent snapshot, while the owning process
+  * keeps churning.
+  *
+  * Protocol (SURVEY §14): resolve `_current` → `_manifests/m<v>` → the
+  * exact live file list of `reduce_tree` level=2 (the final results).
+  * Data files are immutable and never change path, so the resolved plan
+  * stays valid no matter how many mutations land after it — the same
+  * contract the engine's own snapshot readers rely on. The manifest
+  * wire format is decoded by [[graft.core.Executer.decodeManifest]],
+  * the ONE codec shared with the engine, so reader and writer cannot
+  * drift. GC keeps a replaced file for `manifestRetention` generations
+  * AND `manifestGraceMs` after retirement, so a plan resolved from the
+  * current generation has at least that long to be consumed; a
+  * long-lived client re-resolves (or re-registers its view) to follow
+  * the head.
+  *
+  * Deliberately reads FINAL RESULTS only — the reference's whole query
+  * surface (`MapReduce/Executer.cs:370-377`): the map-level tables need
+  * the tombstone overlay, which is engine logic; a client that wants
+  * provenance links the engine.
+  *
+  * Legacy (pre-manifest, listing+seqlock) stores are refused loudly:
+  * their partition-swap protocol requires the seqlock retry loop that
+  * only the engine implements; `Executer.reshapeTo` migrates them.
+  */
+object StoreReader {
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(p))
+  }
+
+  private def emptyFinals(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("reduce_key", StringType))))
+
+  /** The store's current published generation, or -1 when none (a
+    * never-ingested store, or a legacy listing-based one). */
+  def currentVersion(spark: SparkSession, storePath: String): Long = {
+    val (fs, root) = fsFor(spark, storePath)
+    val cur = new Path(root, "_current")
+    if (!fs.exists(cur)) -1L
+    else {
+      val in = new java.io.DataInputStream(fs.open(cur))
+      try in.readLong() finally in.close()
+    }
+  }
+
+  /** The final results ([[graft.core.Executer]]`.queryAll`'s shape:
+    * `reduce_key` + the reduce output's columns) at `version`,
+    * defaulting to the current generation. The returned plan is PINNED
+    * to that generation's immutable file list — concurrent writer
+    * mutations never tear or shift it, and no lease or lock is taken.
+    * Point reads prune normally (parquet row-group stats on
+    * `reduce_key`; the physical `part` column is the engine's fpart). */
+  def finals(spark: SparkSession, storePath: String,
+      version: Long = -1L): DataFrame = {
+    val (fs, root) = fsFor(spark, storePath)
+    val v = if (version >= 0L) version else currentVersion(spark, storePath)
+    if (v < 0L) {
+      if (fs.exists(new Path(root, "map_results")))
+        throw new UnsupportedOperationException(
+          s"$storePath is a legacy (listing-based) store with no published " +
+            "generations; external lock-free reads need a manifest store " +
+            "(Executer.reshapeTo migrates)")
+      // Fresh store, nothing ever ingested: empty results, key column
+      // only — the payload schema lives in the engine's task type, which
+      // an external reader deliberately does not know.
+      return emptyFinals(spark)
+    }
+    val in = new java.io.DataInputStream(
+      fs.open(new Path(root, s"_manifests/m$v")))
+    val snap = try Executer.decodeManifest(in) finally in.close()
+    val files = snap.live.getOrElse("reduce_tree", Vector.empty)
+      .filter(_.startsWith("reduce_tree/level=2/"))
+    if (files.isEmpty) emptyFinals(spark)
+    else spark.read
+      .option("basePath", new Path(root, "reduce_tree").toString)
+      .parquet(files.map(f => new Path(root, f).toString): _*)
+      .select(col("reduce_key"), col("payload.*"))
+  }
+
+  /** [[finals]] as a named temp view for SQL-only clients — pinned at
+    * registration to ONE generation (a temp view captures the plan and
+    * with it the file list); re-register to follow the head. */
+  def registerView(spark: SparkSession, storePath: String, name: String,
+      version: Long = -1L): Unit =
+    finals(spark, storePath, version).createOrReplaceTempView(name)
+}

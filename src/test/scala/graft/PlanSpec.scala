@@ -292,5 +292,14 @@ class PlanSpec extends AnyFunSuite {
     val ps = pd.toString
     assert(ps.contains("HashAggregate") && !ps.contains("Join"),
       s"chunk dedup must be a pure aggregation:\n${ps.take(1200)}")
+
+    // q113: the tokenizer-true budget keeps the chunk table's shape —
+    // the BPE kernel is a per-row scalar, so the whole query is still a
+    // zero-shuffle scan pipeline.
+    val b = SparkEntry.queries("q113_chunk_bpe_budget")(spark, dir)
+    b.collect()
+    assert(collectPlan(b.queryExecution.executedPlan) {
+      case s: ShuffleExchangeLike => s
+    }.isEmpty, "the BPE chunk budget must not shuffle")
   }
 }

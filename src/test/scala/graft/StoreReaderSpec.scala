@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Executer, ExecuterConfig}
+import graft.sources.StoreReader
+
+/** The external lock-free read recipe ([[graft.sources.StoreReader]],
+  * SURVEY §21.6): a client with NO engine handle resolves `_current` →
+  * manifest → pinned parquet file list and reads the final results.
+  * Pins: the external read equals `queryAll` after build, update,
+  * whole-key delete and rollback; an explicit-version read is PINNED —
+  * a DataFrame resolved at generation v still reads v's state after
+  * later mutations land (within retention), while a head re-resolve
+  * follows; `registerView` serves SQL clients the same rows; the
+  * fresh-store and legacy-store edges are the documented shapes (empty
+  * frame / loud refusal); and under a churn loop every head read
+  * equals some published generation's state (the SwapChurnDemo
+  * invariant, in-process spelling — `SwapChurnDemo external` is the
+  * separate-process twin). */
+class StoreReaderSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val cfg = ExecuterConfig(fanIn = 4, finalParts = 2)
+
+  private def m(rows: Array[(String, String, Long)]): Map[String, Long] =
+    rows.map { case (_, s, c) => s -> c }.toMap
+
+  private def engineState(ex: Executer[Person, StatePop]): Map[String, Long] =
+    m(ex.queryAll().as[(String, String, Long)].collect())
+
+  private def externalState(store: String): Map[String, Long] =
+    StoreReader.finals(spark, store).as[(String, String, Long)].collect()
+      .map { case (_, s, c) => s -> c }.toMap
+
+  test("external finals track the engine through build, update, delete " +
+      "and rollback; explicit-version reads stay pinned") {
+    val store = TestTmp.dir("graft-extread")
+    val ex = new Executer(PeopleCountByState, store, cfg)
+    ex.execute(spark.createDataset(Seq(
+      Person("a", "CA"), Person("b", "TX"), Person("c", "CA"))))
+    val v0 = ex.snapshotVersion()
+    assert(StoreReader.currentVersion(spark, store) == v0)
+    assert(externalState(store) == Map("CA" -> 2L, "TX" -> 1L))
+    assert(externalState(store) == engineState(ex))
+
+    // A plan resolved at v0 is pinned: later mutations must not move it.
+    val pinned = StoreReader.finals(spark, store, v0)
+
+    ex.execute(spark.createDataset(Seq(Person("a", "NV"))))
+    assert(externalState(store) == Map("CA" -> 1L, "NV" -> 1L, "TX" -> 1L))
+    ex.delete("TX")
+    assert(externalState(store) == Map("CA" -> 1L, "NV" -> 1L))
+    assert(externalState(store) == engineState(ex))
+
+    assert(m(pinned.as[(String, String, Long)].collect()) ==
+      Map("CA" -> 2L, "TX" -> 1L),
+      "the v0 plan reads v0's state after two later generations")
+
+    // Writable time travel is just another generation to the reader.
+    ex.rollbackTo(v0)
+    assert(StoreReader.currentVersion(spark, store) == ex.snapshotVersion())
+    assert(externalState(store) == Map("CA" -> 2L, "TX" -> 1L))
+
+    // SQL-only clients: same rows through a registered view.
+    StoreReader.registerView(spark, store, "ext_people")
+    assert(m(spark.sql(
+      "SELECT reduce_key, state, count FROM ext_people")
+      .as[(String, String, Long)].collect()) == Map("CA" -> 2L, "TX" -> 1L))
+  }
+
+  test("fresh store reads empty; legacy store is refused loudly") {
+    val fresh = TestTmp.dir("graft-extread-fresh")
+    assert(StoreReader.currentVersion(spark, fresh) == -1L)
+    assert(StoreReader.finals(spark, fresh).collect().isEmpty)
+
+    val legacy = TestTmp.dir("graft-extread-legacy")
+    val ex = new Executer(PeopleCountByState, legacy,
+      cfg.copy(manifests = false))
+    ex.execute(spark.createDataset(Seq(Person("a", "CA"))))
+    assert(StoreReader.currentVersion(spark, legacy) == -1L)
+    intercept[UnsupportedOperationException] {
+      StoreReader.finals(spark, legacy)
+    }
+  }
+
+  test("under churn, every engine-free head read equals a published " +
+      "generation (conserved total; no torn reads)") {
+    val store = TestTmp.dir("graft-extread-churn")
+    val ex = new Executer(PeopleCountByState, store, cfg)
+    val N = 60
+    def person(i: Int, flip: Boolean): Person =
+      Person(s"p-$i", if ((i % 2 == 0) ^ flip) "CA" else "TX")
+    ex.execute(spark.createDataset((1 to N).map(person(_, flip = false))))
+
+    // Writer thread churns moves (total conserved); the main thread
+    // reads the head through the external recipe only. Any total other
+    // than N is a torn read — the invariant SwapChurnDemo checks
+    // cross-process, here against the engine-free path.
+    @volatile var stop = false
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      var round = 0
+      try while (!stop) {
+        round += 1
+        val batch = (1 to 15).map(i => person(i * 4 % N + 1, round % 2 == 1))
+          .distinctBy(_.id)
+        ex.execute(spark.createDataset(batch))
+      } catch { case t: Throwable => writerErr.set(t) }
+    }, "storereader-churn-writer")
+    writer.start()
+    try {
+      var reads = 0
+      while (reads < 8 && writerErr.get() == null) {
+        val total = StoreReader.finals(spark, store)
+          .as[(String, String, Long)].collect().map(_._3).sum
+        assert(total == N, s"torn external read: total $total != $N")
+        reads += 1
+      }
+    } finally {
+      stop = true
+      writer.join(60000)
+    }
+    assert(writerErr.get() == null,
+      s"churn writer failed: ${writerErr.get()}")
+  }
+}
