@@ -378,10 +378,16 @@ object Bench {
         def deScale(key: String, sec: Double): Double =
           sec / (if (isDigest(key) || key == "section:calibdigest")
             digestFactor else hostFactor)
+        // Like cached builds, a cache-restored scaled store makes this
+        // run's incscaled section a WARM measurement — committing it
+        // would make the probe's cold-cost guard optimistic by a whole
+        // scaled-build on the next cold host.
+        val sections = sectionSecs.view
+          .filterKeys(n => !(n == "incscaled" && scaledBuildCached))
         val merged = knownCosts ++
           (results.map(r => r.name -> r.sec) ++
             buildResults.filterNot(_.cached).map(r => r.name -> r.sec) ++
-            sectionSecs.map { case (n, s) => s"section:$n" -> s } ++
+            sections.map { case (n, s) => s"section:$n" -> s } ++
             scaledBuildMeasured.map(s => s"build:ivmscaled-x$scaleUsed" -> s))
             .map { case (k, s) => k -> deScale(k, s) }
         Files.write(Paths.get(costsFile),
