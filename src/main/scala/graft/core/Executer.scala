@@ -104,6 +104,19 @@ object Executer {
     }
   }
 
+  /** A reduce key's final-results partition — ONE definition shared by
+    * the engine's pruned reads (`query`/`queryKeys`/point time travel)
+    * and the external reader's [[graft.sources.StoreReader.pointQuery]].
+    * Must agree with `pmod(hash(reduce_key), finalParts)` used on
+    * write (Spark's Murmur3, seed 42). */
+  private[graft] def fpartHash(key: String, finalParts: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(key),
+      org.apache.spark.sql.types.StringType, 42L).toInt
+    val m = h % finalParts
+    if (m < 0) m + finalParts else m
+  }
+
   /** The manifest binary codec, decode side — ONE definition shared by
     * the engine's [[Executer!.readManifest]] and the external
     * lock-free reader ([[graft.sources.StoreReader]]), so the two can
@@ -2380,14 +2393,8 @@ class Executer[D, R <: Product: TypeTag](
     }
   }
 
-  private def fpartOf(key: String): Int = {
-    // Must agree with pmod(hash(reduce_key), finalParts) used on write.
-    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
-      org.apache.spark.unsafe.types.UTF8String.fromString(key),
-      org.apache.spark.sql.types.StringType, 42L).toInt
-    val m = h % config.finalParts
-    if (m < 0) m + config.finalParts else m
-  }
+  private def fpartOf(key: String): Int =
+    Executer.fpartHash(key, config.finalParts)
 
   // ---------------------------------------------------------------------
   // Storage plumbing

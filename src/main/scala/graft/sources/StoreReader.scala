@@ -61,17 +61,21 @@ object StoreReader {
     }
   }
 
-  /** The final results ([[graft.core.Executer]]`.queryAll`'s shape:
-    * `reduce_key` + the reduce output's columns) at `version`,
-    * defaulting to the current generation. The returned plan is PINNED
-    * to that generation's immutable file list — concurrent writer
-    * mutations never tear or shift it, and no lease or lock is taken.
-    * Point reads prune normally (parquet row-group stats on
-    * `reduce_key`; the physical `part` column is the engine's fpart). */
-  def finals(spark: SparkSession, storePath: String,
-      version: Long = -1L): DataFrame = {
-    val (fs, root) = fsFor(spark, storePath)
-    val v = if (version >= 0L) version else currentVersion(spark, storePath)
+  /** The generation's live level-2 file list, store-relative — None
+    * when the store has no published generation (fresh: reads empty;
+    * legacy: refused loudly). */
+  private def liveFinalFiles(fs: FileSystem, root: Path, storePath: String,
+      version: Long): Option[Vector[String]] = {
+    val v =
+      if (version >= 0L) version
+      else {
+        val cur = new Path(root, "_current")
+        if (!fs.exists(cur)) -1L
+        else {
+          val in = new java.io.DataInputStream(fs.open(cur))
+          try in.readLong() finally in.close()
+        }
+      }
     if (v < 0L) {
       if (fs.exists(new Path(root, "map_results")))
         throw new UnsupportedOperationException(
@@ -81,18 +85,69 @@ object StoreReader {
       // Fresh store, nothing ever ingested: empty results, key column
       // only — the payload schema lives in the engine's task type, which
       // an external reader deliberately does not know.
-      return emptyFinals(spark)
+      None
+    } else {
+      val in = new java.io.DataInputStream(
+        fs.open(new Path(root, s"_manifests/m$v")))
+      val snap = try Executer.decodeManifest(in) finally in.close()
+      Some(snap.live.getOrElse("reduce_tree", Vector.empty)
+        .filter(_.startsWith("reduce_tree/level=2/")))
     }
-    val in = new java.io.DataInputStream(
-      fs.open(new Path(root, s"_manifests/m$v")))
-    val snap = try Executer.decodeManifest(in) finally in.close()
-    val files = snap.live.getOrElse("reduce_tree", Vector.empty)
-      .filter(_.startsWith("reduce_tree/level=2/"))
-    if (files.isEmpty) emptyFinals(spark)
-    else spark.read
+  }
+
+  private def readFiles(spark: SparkSession, root: Path,
+      files: Vector[String]): DataFrame =
+    spark.read
       .option("basePath", new Path(root, "reduce_tree").toString)
       .parquet(files.map(f => new Path(root, f).toString): _*)
       .select(col("reduce_key"), col("payload.*"))
+
+  /** The final results ([[graft.core.Executer]]`.queryAll`'s shape:
+    * `reduce_key` + the reduce output's columns) at `version`,
+    * defaulting to the current generation. The returned plan is PINNED
+    * to that generation's immutable file list — concurrent writer
+    * mutations never tear or shift it, and no lease or lock is taken. */
+  def finals(spark: SparkSession, storePath: String,
+      version: Long = -1L): DataFrame = {
+    val (fs, root) = fsFor(spark, storePath)
+    liveFinalFiles(fs, root, storePath, version) match {
+      case Some(files) if files.nonEmpty => readFiles(spark, root, files)
+      case _ => emptyFinals(spark)
+    }
+  }
+
+  /** One key's final value — the reference's entire query surface
+    * (`MapReduce/Executer.cs:370-377`) as an engine-free read that
+    * prunes EXACTLY like the engine's own `query`: the key's partition
+    * comes from the shared hash ([[graft.core.Executer.fpartHash]])
+    * with `finalParts` read from the store's persisted `_config`, and
+    * only that partition's files enter the plan — 1/finalParts of the
+    * table scanned at any store size, row-group stats pruning the rest.
+    * A store predating `_config` falls back to the full file list
+    * (still correct, just unpruned). */
+  def pointQuery(spark: SparkSession, storePath: String, key: String,
+      version: Long = -1L): DataFrame = {
+    val (fs, root) = fsFor(spark, storePath)
+    liveFinalFiles(fs, root, storePath, version) match {
+      case Some(files) if files.nonEmpty =>
+        val cfg = new Path(root, "_config")
+        val pruned =
+          if (!fs.exists(cfg)) files
+          else {
+            val in = new java.io.DataInputStream(fs.open(cfg))
+            val finalParts = try { in.readInt(); in.readInt() }
+              finally in.close()
+            val fpart = Executer.fpartHash(key, finalParts)
+            files.filter(_.startsWith(s"reduce_tree/level=2/part=$fpart/"))
+          }
+        // An empty pruned list means the key's partition holds no files
+        // (provably no rows) — still read via the full list so the
+        // result keeps the payload schema; the key filter returns the
+        // empty set through row-group stats without a full scan.
+        val src = if (pruned.nonEmpty) pruned else files
+        readFiles(spark, root, src).where(col("reduce_key") === key)
+      case _ => emptyFinals(spark)
+    }
   }
 
   /** [[finals]] as a named temp view for SQL-only clients — pinned at

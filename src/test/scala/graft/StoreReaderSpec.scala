@@ -71,6 +71,29 @@ class StoreReaderSpec extends AnyFunSuite {
       .as[(String, String, Long)].collect()) == Map("CA" -> 2L, "TX" -> 1L))
   }
 
+  test("external point query equals the engine's and scans only the " +
+      "key's partition files") {
+    val store = TestTmp.dir("graft-extread-point")
+    val ex = new Executer(PeopleCountByState, store, cfg)
+    ex.execute(spark.createDataset((1 to 40).map(i =>
+      Person(s"p-$i", Seq("CA", "TX", "NV", "OR")(i % 4)))))
+    for (key <- Seq("CA", "TX", "NV", "OR")) {
+      val ext = StoreReader.pointQuery(spark, store, key)
+      assert(ext.as[(String, String, Long)].collect().toSeq
+        .map { case (_, s, c) => (s, c) } ==
+        ex.query(key).collect().toSeq.map(r => (r.state, r.count)),
+        s"external point read of $key diverges from the engine")
+      // The pruning claim: every file in the plan is the key's fpart.
+      val parts = ext.inputFiles.map(f =>
+        f.split("/").find(_.startsWith("part=")).getOrElse("?")).toSet
+      assert(parts.size == 1, s"point query of $key read partitions $parts")
+    }
+    // Absent key: empty result, payload schema intact.
+    val none = StoreReader.pointQuery(spark, store, "ZZ")
+    assert(none.collect().isEmpty)
+    assert(none.columns.toSeq == Seq("reduce_key", "state", "count"))
+  }
+
   test("fresh store reads empty; legacy store is refused loudly") {
     val fresh = TestTmp.dir("graft-extread-fresh")
     assert(StoreReader.currentVersion(spark, fresh) == -1L)
