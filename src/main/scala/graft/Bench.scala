@@ -378,12 +378,14 @@ object Bench {
         def deScale(key: String, sec: Double): Double =
           sec / (if (isDigest(key) || key == "section:calibdigest")
             digestFactor else hostFactor)
-        // Like cached builds, a cache-restored scaled store makes this
-        // run's incscaled section a WARM measurement — committing it
-        // would make the probe's cold-cost guard optimistic by a whole
-        // scaled-build on the next cold host.
-        val sections = sectionSecs.view
-          .filterKeys(n => !(n == "incscaled" && scaledBuildCached))
+        // The committed section:incscaled must stay the CANONICAL cold
+        // N=8 measurement: a cache-restored scaled store makes this
+        // run's section warm, and a throttle-shrunk probe (scaleN=4)
+        // measures a smaller workload under the same key — committing
+        // either would make the probe's cold-cost guard optimistic on
+        // the next quiet host (it models cold N=8 from this entry).
+        val sections = sectionSecs.view.filterKeys(n =>
+          !(n == "incscaled" && (scaledBuildCached || scaleUsed != 8)))
         val merged = knownCosts ++
           (results.map(r => r.name -> r.sec) ++
             buildResults.filterNot(_.cached).map(r => r.name -> r.sec) ++

@@ -60,39 +60,38 @@ private[graft] final case class Snapshot(
     retired: Vector[Retired])
 
 object Executer {
-  /** Java-serializable carrier for the session's Hadoop configuration
-    * (Spark's own `SerializableConfiguration` is `private[spark]`).
-    * Shipped broadcast into [[copyBranchFiles]] tasks so executor-side
-    * FileSystems see the driver's `spark.hadoop.*` settings (object-store
-    * credentials, fs.defaultFS) instead of a bare executor-default
-    * config — a bare `new Configuration()` resolved scheme-less store
-    * paths against `file://` on exactly the cluster deployments the
-    * distributed copy exists for (ADVICE r13). */
-  private[core] final class SerializableHadoopConf(
-      @transient var value: org.apache.hadoop.conf.Configuration)
-      extends Serializable {
-    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-      out.defaultWriteObject()
-      value.write(out)
-    }
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      value = new org.apache.hadoop.conf.Configuration(false)
-      value.readFields(in)
-    }
+  /** The session's Hadoop configuration flattened to plain entries for
+    * the broadcast into [[copyBranchFiles]] (ADVICE r13: a bare
+    * executor-default `new Configuration()` resolved scheme-less store
+    * paths against `file://` and dropped `spark.hadoop.*` credentials).
+    * An `Array[(String, String)]` survives ANY Spark serializer — a
+    * custom Serializable wrapper with writeObject/readObject hooks does
+    * not: Kryo (spark.serializer=KryoSerializer, common cluster-wide)
+    * ignores Java serialization hooks for unregistered classes and
+    * skips transient fields, which would deserialize the wrapped
+    * Configuration as null on exactly the deployments the fix targets
+    * (Spark registers its own private SerializableConfiguration with
+    * Kryo's JavaSerializer for this reason). */
+  private[core] def confEntries(
+      conf: org.apache.hadoop.conf.Configuration): Array[(String, String)] = {
+    val out = Array.newBuilder[(String, String)]
+    val it = conf.iterator()
+    while (it.hasNext) { val e = it.next(); out += ((e.getKey, e.getValue)) }
+    out.result()
   }
 
   /** Task body of [[Executer.branchAt]]'s distributed file copy — a
     * static function (no Executer capture: the instance holds a
     * SparkSession and live FileSystems, none serializable). Each task
-    * opens its filesystems from the broadcast session Hadoop config;
-    * the roots arrive as fully-qualified URIs (driver-side
-    * `makeQualified`), so resolution cannot depend on executor-local
-    * filesystem defaults. */
+    * rebuilds the session's Hadoop config from the broadcast entries
+    * (over loaded defaults); the roots arrive as fully-qualified URIs
+    * (driver-side `makeQualified`), so resolution cannot depend on
+    * executor-local filesystem defaults. */
   private[core] def copyBranchFiles(srcRoot: String, dstRoot: String,
-      bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+      bconf: org.apache.spark.broadcast.Broadcast[Array[(String, String)]])
       : Iterator[String] => Unit = { rels =>
-    val conf = bconf.value.value
+    val conf = new org.apache.hadoop.conf.Configuration(true)
+    bconf.value.foreach { case (k, v) => conf.set(k, v) }
     val srcFs = FileSystem.get(URI.create(srcRoot), conf)
     val dstFs = FileSystem.get(URI.create(dstRoot), conf)
     rels.foreach { rel =>
@@ -121,11 +120,13 @@ object Executer {
     * the engine's [[Executer!.readManifest]] and the external
     * lock-free reader ([[graft.sources.StoreReader]]), so the two can
     * never drift on the wire format. Encode side: `writeManifest`. */
+  /** First path segment of a store-relative file path = its table. */
+  private[graft] def tableOf(rel: String): String = {
+    val i = rel.indexOf('/')
+    if (i < 0) rel else rel.substring(0, i)
+  }
+
   private[graft] def decodeManifest(in: java.io.DataInputStream): Snapshot = {
-    def tableOf(rel: String): String = {
-      val i = rel.indexOf('/')
-      if (i < 0) rel else rel.substring(0, i)
-    }
     val ver = in.readLong()
     val tl = in.readUTF()
     val n = in.readInt()
@@ -475,10 +476,7 @@ class Executer[D, R <: Product: TypeTag](
 
   private def manifestFile(v: Long): String = s"$manifestsPath/m$v"
 
-  private def tableOf(rel: String): String = {
-    val i = rel.indexOf('/')
-    if (i < 0) rel else rel.substring(0, i)
-  }
+  private def tableOf(rel: String): String = Executer.tableOf(rel)
 
   private def writeManifest(s: Snapshot): Unit =
     writeLocalAtomic(manifestFile(s.version)) { out =>
@@ -2156,8 +2154,7 @@ class Executer[D, R <: Product: TypeTag](
         val qSrc = fs.makeQualified(new Path(srcRoot)).toString
         val qDst = dst.fs.makeQualified(new Path(dstRoot)).toString
         val bconf = spark.sparkContext.broadcast(
-          new Executer.SerializableHadoopConf(
-            spark.sparkContext.hadoopConfiguration))
+          Executer.confEntries(spark.sparkContext.hadoopConfiguration))
         try spark.sparkContext.parallelize(rels, par)
           .foreachPartition(Executer.copyBranchFiles(qSrc, qDst, bconf))
         finally bconf.destroy()

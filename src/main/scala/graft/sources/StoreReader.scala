@@ -49,10 +49,7 @@ object StoreReader {
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(Seq(StructField("reduce_key", StringType))))
 
-  /** The store's current published generation, or -1 when none (a
-    * never-ingested store, or a legacy listing-based one). */
-  def currentVersion(spark: SparkSession, storePath: String): Long = {
-    val (fs, root) = fsFor(spark, storePath)
+  private def readCurrent(fs: FileSystem, root: Path): Long = {
     val cur = new Path(root, "_current")
     if (!fs.exists(cur)) -1L
     else {
@@ -61,21 +58,22 @@ object StoreReader {
     }
   }
 
-  /** The generation's live level-2 file list, store-relative — None
-    * when the store has no published generation (fresh: reads empty;
-    * legacy: refused loudly). */
-  private def liveFinalFiles(fs: FileSystem, root: Path, storePath: String,
-      version: Long): Option[Vector[String]] = {
-    val v =
-      if (version >= 0L) version
-      else {
-        val cur = new Path(root, "_current")
-        if (!fs.exists(cur)) -1L
-        else {
-          val in = new java.io.DataInputStream(fs.open(cur))
-          try in.readLong() finally in.close()
-        }
-      }
+  /** The store's current published generation, or -1 when none (a
+    * never-ingested store, or a legacy listing-based one). */
+  def currentVersion(spark: SparkSession, storePath: String): Long = {
+    val (fs, root) = fsFor(spark, storePath)
+    readCurrent(fs, root)
+  }
+
+  /** The generation's live file lists, store-relative: (level-2
+    * finals, schema-salvage candidates) — the salvage list backs a
+    * generation whose finals came out EMPTY (keys deleted): level-1
+    * partials and map_results rows both carry the finals' (reduce_key,
+    * payload) column pair. None when the store has no published
+    * generation (fresh: reads empty; legacy: refused loudly). */
+  private def liveTreeFiles(fs: FileSystem, root: Path, storePath: String,
+      version: Long): Option[(Vector[String], Vector[String])] = {
+    val v = if (version >= 0L) version else readCurrent(fs, root)
     if (v < 0L) {
       if (fs.exists(new Path(root, "map_results")))
         throw new UnsupportedOperationException(
@@ -90,8 +88,11 @@ object StoreReader {
       val in = new java.io.DataInputStream(
         fs.open(new Path(root, s"_manifests/m$v")))
       val snap = try Executer.decodeManifest(in) finally in.close()
-      Some(snap.live.getOrElse("reduce_tree", Vector.empty)
-        .filter(_.startsWith("reduce_tree/level=2/")))
+      val tree = snap.live.getOrElse("reduce_tree", Vector.empty)
+      val salvage =
+        if (tree.nonEmpty) tree
+        else snap.live.getOrElse("map_results", Vector.empty)
+      Some((tree.filter(_.startsWith("reduce_tree/level=2/")), salvage))
     }
   }
 
@@ -102,6 +103,23 @@ object StoreReader {
       .parquet(files.map(f => new Path(root, f).toString): _*)
       .select(col("reduce_key"), col("payload.*"))
 
+  /** EMPTY results with the engine's queryAll column layout, inferred
+    * from any live salvage file — level-1 partials and map_results rows
+    * both carry the (reduce_key, payload) pair — at `limit(0)` footer
+    * cost. A FULLY drained generation (every key deleted, so neither
+    * table holds a live file) degrades to the key-only frame: the
+    * payload schema exists nowhere on disk an external reader may
+    * trust, only in the engine's task type. */
+  private def emptyWithSchema(spark: SparkSession, root: Path,
+      salvage: Vector[String]): DataFrame =
+    if (salvage.isEmpty) emptyFinals(spark)
+    else spark.read
+      .option("basePath",
+        new Path(root, Executer.tableOf(salvage.head)).toString)
+      .parquet(salvage.map(f => new Path(root, f).toString): _*)
+      .select(col("reduce_key"), col("payload.*"))
+      .limit(0)
+
   /** The final results ([[graft.core.Executer]]`.queryAll`'s shape:
     * `reduce_key` + the reduce output's columns) at `version`,
     * defaulting to the current generation. The returned plan is PINNED
@@ -110,9 +128,10 @@ object StoreReader {
   def finals(spark: SparkSession, storePath: String,
       version: Long = -1L): DataFrame = {
     val (fs, root) = fsFor(spark, storePath)
-    liveFinalFiles(fs, root, storePath, version) match {
-      case Some(files) if files.nonEmpty => readFiles(spark, root, files)
-      case _ => emptyFinals(spark)
+    liveTreeFiles(fs, root, storePath, version) match {
+      case Some((files, _)) if files.nonEmpty => readFiles(spark, root, files)
+      case Some((_, tree)) => emptyWithSchema(spark, root, tree)
+      case None => emptyFinals(spark)
     }
   }
 
@@ -128,8 +147,8 @@ object StoreReader {
   def pointQuery(spark: SparkSession, storePath: String, key: String,
       version: Long = -1L): DataFrame = {
     val (fs, root) = fsFor(spark, storePath)
-    liveFinalFiles(fs, root, storePath, version) match {
-      case Some(files) if files.nonEmpty =>
+    liveTreeFiles(fs, root, storePath, version) match {
+      case Some((files, _)) if files.nonEmpty =>
         val cfg = new Path(root, "_config")
         val pruned =
           if (!fs.exists(cfg)) files
@@ -146,7 +165,9 @@ object StoreReader {
         // empty set through row-group stats without a full scan.
         val src = if (pruned.nonEmpty) pruned else files
         readFiles(spark, root, src).where(col("reduce_key") === key)
-      case _ => emptyFinals(spark)
+      case Some((_, tree)) =>
+        emptyWithSchema(spark, root, tree).where(col("reduce_key") === key)
+      case None => emptyFinals(spark)
     }
   }
 

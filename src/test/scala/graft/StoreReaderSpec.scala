@@ -99,6 +99,33 @@ class StoreReaderSpec extends AnyFunSuite {
     assert(StoreReader.currentVersion(spark, fresh) == -1L)
     assert(StoreReader.finals(spark, fresh).collect().isEmpty)
 
+    // A store whose keys were all tombstoned away is NOT the fresh
+    // shape: the generation exists, live map_results rows carry the
+    // payload struct, and the external read must keep queryAll's column
+    // layout (code-review r14: the key-only fallback broke
+    // `.select("count")` on exactly the currently-empty store).
+    val drained = TestTmp.dir("graft-extread-drained")
+    val ex0 = new Executer(PeopleCountByState, drained, cfg)
+    ex0.execute(spark.createDataset(Seq(Person("a", "CA"))))
+    ex0.deleteDocuments(Seq("a"))
+    val ext = StoreReader.finals(spark, drained)
+    assert(ext.collect().isEmpty)
+    assert(ext.columns.toSeq == Seq("reduce_key", "state", "count"),
+      "drained-store finals must keep the payload columns")
+    assert(StoreReader.pointQuery(spark, drained, "CA").collect().isEmpty)
+
+    // The documented last edge: a whole-key rewrite delete of the ONLY
+    // key leaves no live file in any table — the payload schema then
+    // exists nowhere an external reader may trust, and the read
+    // degrades to the key-only empty frame.
+    val gone = TestTmp.dir("graft-extread-gone")
+    val ex1 = new Executer(PeopleCountByState, gone, cfg)
+    ex1.execute(spark.createDataset(Seq(Person("a", "CA"))))
+    ex1.delete("CA")
+    val g = StoreReader.finals(spark, gone)
+    assert(g.collect().isEmpty)
+    assert(g.columns.toSeq == Seq("reduce_key"))
+
     val legacy = TestTmp.dir("graft-extread-legacy")
     val ex = new Executer(PeopleCountByState, legacy,
       cfg.copy(manifests = false))
