@@ -171,6 +171,36 @@ object StoreReader {
     }
   }
 
+  /** Several keys' final values in one pruned scan — the multi-key
+    * generalization of [[pointQuery]] (the engine's `queryKeys`): the
+    * plan reads at most |distinct fparts of keys| ≤ |keys| of the
+    * finalParts partitions. Rows interleave across keys; the
+    * `reduce_key` column disambiguates, absent keys contribute none. */
+  def keysQuery(spark: SparkSession, storePath: String, keys: Seq[String],
+      version: Long = -1L): DataFrame = {
+    val (fs, root) = fsFor(spark, storePath)
+    liveTreeFiles(fs, root, storePath, version) match {
+      case Some((files, _)) if files.nonEmpty && keys.nonEmpty =>
+        val cfg = new Path(root, "_config")
+        val pruned =
+          if (!fs.exists(cfg)) files
+          else {
+            val in = new java.io.DataInputStream(fs.open(cfg))
+            val finalParts = try { in.readInt(); in.readInt() }
+              finally in.close()
+            val fparts = keys.map(Executer.fpartHash(_, finalParts)).toSet
+            files.filter(f => fparts.exists(p =>
+              f.startsWith(s"reduce_tree/level=2/part=$p/")))
+          }
+        val src = if (pruned.nonEmpty) pruned else files
+        readFiles(spark, root, src)
+          .where(col("reduce_key").isin(keys: _*))
+      case Some((_, tree)) =>
+        emptyWithSchema(spark, root, tree)
+      case None => emptyFinals(spark)
+    }
+  }
+
   /** [[finals]] as a named temp view for SQL-only clients — pinned at
     * registration to ONE generation (a temp view captures the plan and
     * with it the file list); re-register to follow the head. */

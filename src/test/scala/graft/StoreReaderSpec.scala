@@ -92,6 +92,16 @@ class StoreReaderSpec extends AnyFunSuite {
     val none = StoreReader.pointQuery(spark, store, "ZZ")
     assert(none.collect().isEmpty)
     assert(none.columns.toSeq == Seq("reduce_key", "state", "count"))
+
+    // Multi-key: same rows as the engine's queryKeys, scanning at most
+    // the keys' distinct partitions (absent key contributes nothing).
+    val keys = Seq("CA", "NV", "ZZ")
+    val multi = StoreReader.keysQuery(spark, store, keys)
+    assert(m(multi.as[(String, String, Long)].collect()) ==
+      m(ex.queryKeys(keys).as[(String, String, Long)].collect()))
+    val mparts = multi.inputFiles.map(f =>
+      f.split("/").find(_.startsWith("part=")).getOrElse("?")).toSet
+    assert(mparts.size <= 2, s"keysQuery read partitions $mparts")
   }
 
   test("fresh store reads empty; legacy store is refused loudly") {
