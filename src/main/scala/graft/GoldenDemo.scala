@@ -102,8 +102,16 @@ object GoldenDemo {
     println("SQL view: " + spark.sql(
       "SELECT reduce_key, count FROM people_by_state ORDER BY reduce_key")
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" "))
+    // The engine-free external read (round 14): what a vanilla Spark
+    // client with no Executer sees of the same store, via the published
+    // manifest recipe — must equal the engine's own state.
+    val extRead = graft.sources.StoreReader.finals(spark, store)
+      .orderBy("reduce_key").collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(2)}").toSeq
+    println("external read: " + extRead.mkString(" "))
+    val extOk = extRead == Seq("CA=396", "TX=257")
     spark.stop()
-    if (!(total0 == total1 && total1 == 653 && rbOk && relandOk &&
+    if (!(total0 == total1 && total1 == 653 && rbOk && relandOk && extOk &&
         ca1 == Seq(StatePop("CA", 396)) && tx1 == Seq(StatePop("TX", 257))))
       sys.exit(1)
   }
