@@ -146,6 +146,38 @@ class StoreReaderSpec extends AnyFunSuite {
     }
   }
 
+  test("head re-resolve survives aggressive GC + compaction; a stale " +
+      "pin past retention fails loudly or stays right, never silently " +
+      "wrong") {
+    val store = TestTmp.dir("graft-extread-gc")
+    val ex = new Executer(PeopleCountByState, store,
+      cfg.copy(manifestRetention = 1, manifestGraceMs = 0L))
+    ex.execute(spark.createDataset(Seq(
+      Person("a", "CA"), Person("b", "TX"))))
+    val v0 = ex.snapshotVersion()
+    val pinnedV0 = StoreReader.finals(spark, store, v0)
+    val v0State = Map("CA" -> 1L, "TX" -> 1L)
+    assert(m(pinnedV0.as[(String, String, Long)].collect()) == v0State)
+
+    // Churn far past retention, then compact (the explicit GC hammer).
+    for (i <- 1 to 4)
+      ex.execute(spark.createDataset(Seq(Person("a", if (i % 2 == 0) "CA" else "NV"))))
+    ex.compact()
+
+    // A FRESH head resolve is always readable and equals the engine.
+    assert(externalState(store) == engineState(ex))
+
+    // The stale v0 plan holds paths compact() may have removed: the
+    // acceptable outcomes are v0's exact rows (files still present) or
+    // a loud read error — a silently different answer would be the one
+    // unacceptable shape for a snapshot read.
+    scala.util.Try(pinnedV0.as[(String, String, Long)].collect()) match {
+      case scala.util.Success(rows) => assert(m(rows) == v0State,
+        "stale pin returned rows that are neither v0's nor an error")
+      case scala.util.Failure(_) => () // loud is correct past retention
+    }
+  }
+
   test("under churn, every engine-free head read equals a published " +
       "generation (conserved total; no torn reads)") {
     val store = TestTmp.dir("graft-extread-churn")
