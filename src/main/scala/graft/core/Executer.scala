@@ -116,16 +116,47 @@ object Executer {
     if (m < 0) m + finalParts else m
   }
 
-  /** The manifest binary codec, decode side — ONE definition shared by
-    * the engine's [[Executer!.readManifest]] and the external
-    * lock-free reader ([[graft.sources.StoreReader]]), so the two can
-    * never drift on the wire format. Encode side: `writeManifest`. */
   /** First path segment of a store-relative file path = its table. */
   private[graft] def tableOf(rel: String): String = {
     val i = rel.indexOf('/')
     if (i < 0) rel else rel.substring(0, i)
   }
 
+  /** Decode side of the length-prefixed UTF-8 string record used by
+    * every driver-local state file — ONE definition shared by the
+    * engine's readers and the external reader's tombstone decode so the
+    * wire format cannot drift. Encode side: `Executer!.writeStr`. */
+  private[graft] def decodeStr(in: java.io.DataInputStream): String = {
+    val n = in.readInt()
+    // Validated BEFORE allocating (ADVICE r9): a record written by a
+    // different format (e.g. the pre-r9 writeUTF spelling, whose 2-byte
+    // length plus 2 data bytes would be read here as one 4-byte length)
+    // must fail as an explicit corrupt-record error, not as a
+    // multi-GB allocation attempt. 16 MiB is far above any real
+    // document id / reduce key and far below anything allocatable by
+    // accident from reinterpreted bytes.
+    if (n < 0 || n > (16 << 20)) throw new java.io.IOException(
+      s"corrupt or unsupported string record: length $n out of range " +
+        "(store written by an incompatible version?)")
+    val b = new Array[Byte](n); in.readFully(b)
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The local-tombstone file codec, decode side — (doc_id, tomb_seq)
+    * entries, max-merged per doc by the writer. Shared by the engine's
+    * [[Executer!.readTombFile]] and the external reader's map-level
+    * overlay ([[graft.sources.StoreReader.contributors]]). Encode side:
+    * `addTombstonesLocal`. */
+  private[graft] def decodeTombFile(
+      in: java.io.DataInputStream): Seq[(String, Int)] = {
+    val n = in.readInt()
+    (0 until n).map(_ => (decodeStr(in), in.readInt()))
+  }
+
+  /** The manifest binary codec, decode side — ONE definition shared by
+    * the engine's [[Executer!.readManifest]] and the external
+    * lock-free reader ([[graft.sources.StoreReader]]), so the two can
+    * never drift on the wire format. Encode side: `writeManifest`. */
   private[graft] def decodeManifest(in: java.io.DataInputStream): Snapshot = {
     val ver = in.readLong()
     val tl = in.readUTF()
@@ -2727,28 +2758,12 @@ class Executer[D, R <: Product: TypeTag](
     val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     out.writeInt(b.length); out.write(b)
   }
-  private def readStr(in: java.io.DataInputStream): String = {
-    val n = in.readInt()
-    // Validated BEFORE allocating (ADVICE r9): a record written by a
-    // different format (e.g. the pre-r9 writeUTF spelling, whose 2-byte
-    // length plus 2 data bytes would be read here as one 4-byte length)
-    // must fail as an explicit corrupt-record error, not as a
-    // multi-GB allocation attempt. 16 MiB is far above any real
-    // document id / reduce key and far below anything allocatable by
-    // accident from reinterpreted bytes.
-    if (n < 0 || n > (16 << 20)) throw new java.io.IOException(
-      s"corrupt or unsupported string record: length $n out of range " +
-        "(store written by an incompatible version?)")
-    val b = new Array[Byte](n); in.readFully(b)
-    new String(b, java.nio.charset.StandardCharsets.UTF_8)
-  }
+  private def readStr(in: java.io.DataInputStream): String =
+    Executer.decodeStr(in)
 
   private def readTombFile(path: String): Seq[(String, Int)] = {
     val in = new java.io.DataInputStream(stateFs.open(new Path(path)))
-    try {
-      val n = in.readInt()
-      (0 until n).map(_ => (readStr(in), in.readInt()))
-    } finally in.close()
+    try Executer.decodeTombFile(in) finally in.close()
   }
 
   private def readTombLocal(): Seq[(String, Int)] = readTombFile(tombLocalPath)

@@ -169,7 +169,7 @@ object IndexQueries {
     def orders = t(s, dir, "orders")
       .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus", $"o_totalprice")
       .as[OrderDoc2]
-    val cfg = ExecuterConfig(fanIn = 64, finalParts = 16)
+    val cfg = ExecuterConfig(fanIn = 16, finalParts = 8)
     cachedIndex("OrdersMultiTag", dir, s, cacheKeyOf(OrdersMultiTag, cfg)) { p =>
       new Executer(OrdersMultiTag, p, cfg).execute(orders)
       -1L
@@ -275,6 +275,31 @@ object IndexQueries {
         .select($"reduce_key", $"cnt", toDouble($"total") as "total")
     },
 
+    // Engine-FREE external reads under the driver gate (VERDICT r14
+    // #3): the shared q41 store — built, then mutated by the %97
+    // re-prioritization — read back via `StoreReader.keysQuery` with NO
+    // Executer on the read path, once pinned at the PRE-update
+    // generation and once at head. The engine-free spelling of the
+    // reference's whole query surface (`MapReduce/Executer.cs:370-377`):
+    // a vanilla `spark.read` client resolves `_current` → manifest →
+    // the exact live file list, pruned to the requested keys' fparts
+    // (PlanSpec pins the ≤|keys|-partition file list). A green row
+    // proves the external reader serves BOTH generations bit-identically
+    // to a from-scratch recompute — reader fleets need no engine, no
+    // lease, no coordination with the writer.
+    "q114_external_read" -> { (s, dir) =>
+      import s.implicits._
+      val (ex, v) = ordersByPriorityUpdated(s, dir)
+      val keys = Seq("1-URGENT", "3-MEDIUM")
+      def shaped(df: DataFrame, gen: String) =
+        df.select(lit(gen) as "gen", $"reduce_key", $"cnt",
+          toDouble($"total") as "total")
+      shaped(graft.sources.StoreReader.keysQuery(s, ex.storePath, keys), "head")
+        .unionByName(shaped(
+          graft.sources.StoreReader.keysQuery(s, ex.storePath, keys, v),
+          "pinned"))
+    },
+
     // The round-6 SQL catalog, oracle-gated: register the (cached,
     // read-only) CustByNation store as temp views and answer entirely
     // through `spark.sql` — the SQL-only consumer's path to maintained
@@ -378,7 +403,7 @@ object IndexQueries {
     import s.implicits._
     def orders = t(s, dir, "orders")
       .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").as[OrderDoc]
-    val obpCfg = ExecuterConfig(fanIn = 64, finalParts = 16)
+    val obpCfg = ExecuterConfig(fanIn = 16, finalParts = 8)
     cachedIndex("OrdersByPriorityUpdated", dir, s,
         cacheKeyOf(OrdersByPriority, obpCfg)) { p =>
       val ex = new Executer(OrdersByPriority, p, obpCfg)
@@ -395,21 +420,37 @@ object IndexQueries {
     }
   }
 
-  /** The q111 store: built, hit by a bad batch, rolled back, then
-    * updated with the corrected batch — all inside the one-time cached
-    * build, so the query body only reads. Returns (executer, the
-    * rollback's target generation). */
+  /** The q111 store: hit by a bad batch, rolled back, then updated with
+    * the corrected batch — all inside the one-time cached build, so the
+    * query body only reads. Returns (executer, the rollback's target
+    * generation).
+    *
+    * The base state arrives as a BRANCH of the shared q41 store's
+    * pre-update generation — a distributed file copy, O(one
+    * generation's live bytes), never a recompute — instead of
+    * rebuilding the identical base from orders a second time: that
+    * rebuild was the forced-cold tail's single biggest bill
+    * (build:ordersrolledback 8.7s for one consumer row, VERDICT r14
+    * #2), and exercising rollback THROUGH a branch also widens the
+    * version-control surface under the gate (fork → bad batch →
+    * rollback → corrected batch, all on the branch; the shared source
+    * is never mutated). */
   private def ordersRolledBack(
       s: SparkSession, dir: String): (Executer[OrderDoc, PriorityAgg], Long) = {
     implicit val spark: SparkSession = s
     import s.implicits._
     def orders = t(s, dir, "orders")
       .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").as[OrderDoc]
-    val obpCfg = ExecuterConfig(fanIn = 64, finalParts = 16)
+    val obpCfg = ExecuterConfig(fanIn = 16, finalParts = 8)
+    // "+branch" in the cache extra: the store now lives at `$p/s` (the
+    // branch destination), so a cache entry from the pre-branch layout
+    // must not restore.
     cachedIndex("OrdersRolledBack", dir, s,
-        cacheKeyOf(OrdersByPriority, obpCfg)) { p =>
-      val ex = new Executer(OrdersByPriority, p, obpCfg)
-      ex.execute(orders)
+        cacheKeyOf(OrdersByPriority, obpCfg) + "+branch") { p =>
+      val (src, srcV0) = ordersByPriorityUpdated(s, dir)
+      val ex = Phases.timed("q111", "branch")(src.branchAt(srcV0, s"$p/s"))
+      // The branch publishes the copied generation as ITS generation 0
+      // — the rollback target.
       val v0 = ex.snapshotVersion()
       // The bad batch: q41's %97 re-prioritization, applied verbatim…
       val bad = orders.filter(_.o_orderkey % 97 == 0)
@@ -423,7 +464,7 @@ object IndexQueries {
       Phases.timedUpdate("q111", ex)(ex.execute(good))
       v0
     } { p =>
-      new Executer(OrdersByPriority, p, obpCfg)
+      new Executer(OrdersByPriority, s"$p/s", obpCfg)
     }
   }
 
@@ -438,7 +479,7 @@ object IndexQueries {
     import s.implicits._
     def orders = t(s, dir, "orders")
       .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").as[OrderDoc]
-    val obpCfg = ExecuterConfig(fanIn = 64, finalParts = 16)
+    val obpCfg = ExecuterConfig(fanIn = 16, finalParts = 8)
     cachedIndex("OrdersBranch", dir, s,
         cacheKeyOf(OrdersByPriority, obpCfg)) { p =>
       val (src, v0) = ordersByPriorityUpdated(s, dir)
@@ -868,6 +909,26 @@ object IndexQueries {
          |count(*) AS cnt,
          |CAST(sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS total
          |FROM orders GROUP BY 1""".stripMargin,
+    // Both generations recomputed from scratch: head = the corpus with
+    // the %97 update applied, pinned = the unmodified corpus — filtered
+    // to the two requested keys, exactly what the engine-free
+    // keysQuery reads must serve at each generation.
+    "q114_external_read" ->
+      s"""WITH post AS (
+         |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
+         |              ELSE o_orderpriority END AS reduce_key,
+         |    count(*) AS cnt,
+         |    CAST(sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS total
+         |  FROM orders GROUP BY 1),
+         |pre AS (
+         |  SELECT o_orderpriority AS reduce_key, count(*) AS cnt,
+         |    CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS total
+         |  FROM orders GROUP BY 1)
+         |SELECT 'head' AS gen, reduce_key, cnt, total FROM post
+         |WHERE reduce_key IN ('1-URGENT', '3-MEDIUM')
+         |UNION ALL
+         |SELECT 'pinned' AS gen, reduce_key, cnt, total FROM pre
+         |WHERE reduce_key IN ('1-URGENT', '3-MEDIUM')""".stripMargin,
     // No %97 term: the branch pinned the PRE-update generation, so only
     // the branch's own %83 batch shows.
     "q112_branch_update" ->

@@ -57,14 +57,17 @@ object SharedBuilds {
     b("ordersbypriority",
       Seq("q41_mr_index_update", "q41b_mr_time_travel",
         "q104_changed_keys", "q104b_changed_keys_refetch",
-        "q107_cdc_diff", "q106c_cdc_rollup_direct"),
+        "q107_cdc_diff", "q106c_cdc_rollup_direct",
+        "q114_external_read"),
       cacheTag = Some("ordersbypriorityupdated"))(
       (_, dir) => IndexQueries.storeBuilt("OrdersByPriorityUpdated", dir))(
       (s, dir) => IndexQueries.warmStore("OrdersByPriorityUpdated", s, dir)),
-    // q111's store: built, hit by a bad batch, rolled back, corrected —
-    // the mutation cycle runs once here; the query body only reads.
+    // q111's store: the q41 store branched at its pre-update generation
+    // (r15: a file copy, not a rebuild — VERDICT r14 #2), hit by a bad
+    // batch, rolled back, corrected — the mutation cycle runs once
+    // here; the query body only reads.
     b("ordersrolledback", Seq("q111_rollback_update"),
-      cacheTag = Some("ordersrolledback"))(
+      prereqs = Seq("ordersbypriority"), cacheTag = Some("ordersrolledback"))(
       (_, dir) => IndexQueries.storeBuilt("OrdersRolledBack", dir))(
       (s, dir) => IndexQueries.warmStore("OrdersRolledBack", s, dir)),
     // q112's store: the q41 store forked at its pre-update generation

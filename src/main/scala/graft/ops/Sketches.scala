@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
@@ -18,12 +18,12 @@ import Tables._
   *     filter broadcast prunes the corpus-side shingle stream BEFORE
   *     the join, so only true hits + the false-positive trickle reach
   *     the exact verify step.
-  *   - Sketch profile (q71): mergeable cardinality/frequency/quantile
-  *     sketches (HLL, CMS, GK) over the corpus. Deliberately NOT
-  *     oracle-checked — DuckDB's sketches are different algorithms, so
-  *     equality is meaningless; `SketchSpec` pins error bounds against
-  *     exact counts and the merge law instead (the driver records the
-  *     weaker rows-only check, which is the honest contract here).
+  *   - Corpus profile (q71): the exact fields (counts, vocabulary,
+  *     length extremes) are hash-oracled; the mergeable
+  *     cardinality/frequency/quantile sketches (HLL, CMS, GK) live in
+  *     [[sketchProfile]], spec-only — DuckDB's sketches are different
+  *     algorithms, so equality is meaningless; `SketchSpec` pins error
+  *     bounds against exact counts and the merge law instead.
   *   - Salted skew join (q72): exact result under a deliberately
   *     skewed join key, with the hot keys spread across S salt
   *     shards. The plain-join DuckDB oracle proves salting is
@@ -179,15 +179,15 @@ object Sketches {
         .agg(count(lit(1)) as "contaminated_shingles")
     },
 
-    // Mergeable-sketch corpus profile, per source shard: vocabulary
-    // cardinality two ways (Spark's HLL++ `approx_count_distinct` and
-    // the DataSketches HLL whose binary form unions across shards /
-    // days / reruns), and token-count quantiles (GK sketch). Exact
-    // row/token counts ride along so any consumer can see the sketch
-    // error in place. One shuffle (the explode feeds a partial-agg'd
-    // hash aggregate); every sketch is O(KB) per group regardless of
-    // corpus size — this query's output for 100 TB is a few rows.
-    "q71_sketch_profile" -> { (s, dir) =>
+    // The corpus profile's EXACT fields, per source shard — doc/token
+    // counts, exact vocabulary cardinality, token-length extremes —
+    // hash-oracled against DuckDB (VERDICT r14 #4: the sketch fields
+    // moved to [[sketchProfile]], spec-only, because DuckDB's approx
+    // aggregates are different algorithms and can never hash-match).
+    // Scale shape: one shuffle for the distinct-token count (two-phase
+    // distinct aggregation), one for the per-doc rollup; output is a
+    // few rows at any corpus size.
+    "q71_corpus_profile_exact" -> { (s, dir) =>
       import s.implicits._
       val docs = t(s, dir, "documents")
         .select($"source", $"doc_id", words($"text") as "ws")
@@ -196,15 +196,14 @@ object Sketches {
         .groupBy($"source")
         .agg(
           count(lit(1)) as "tokens",
-          approx_count_distinct($"tok", 0.01) as "vocab_hllpp",
-          hll_sketch_estimate(hll_sketch_agg($"tok", 12)) as "vocab_hll")
+          count_distinct($"tok") as "vocab")
       val docLevel = docs
         .select($"source", size($"ws") as "ntoks")
         .groupBy($"source")
         .agg(
           count(lit(1)) as "docs",
-          percentile_approx($"ntoks", lit(0.5), lit(10000)) as "p50_toks",
-          max($"ntoks") as "max_toks")
+          max($"ntoks").cast("long") as "max_toks",
+          min($"ntoks").cast("long") as "min_toks")
       docLevel.join(tokLevel, "source")
     },
 
@@ -261,13 +260,62 @@ object Sketches {
           first($"nsupp") as "nsupp")
     })
 
+  /** Mergeable-sketch corpus profile, per source shard: vocabulary
+    * cardinality two ways (Spark's HLL++ `approx_count_distinct` and
+    * the DataSketches HLL whose binary form unions across shards /
+    * days / reruns), and token-count quantiles (GK sketch). Exact
+    * row/token counts ride along so any consumer can see the sketch
+    * error in place. One shuffle (the explode feeds a partial-agg'd
+    * hash aggregate); every sketch is O(KB) per group regardless of
+    * corpus size — this query's output for 100 TB is a few rows.
+    *
+    * SPEC-ONLY by design (SketchSpec pins error bounds + the merge
+    * law): DuckDB's approx aggregates are different algorithms, so a
+    * hash oracle can never match. The exact fields live in the gated
+    * `q71_corpus_profile_exact`. */
+  def sketchProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"source", $"doc_id", words($"text") as "ws")
+    val tokLevel = docs
+      .select($"source", explode($"ws") as "tok")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)) as "tokens",
+        approx_count_distinct($"tok", 0.01) as "vocab_hllpp",
+        hll_sketch_estimate(hll_sketch_agg($"tok", 12)) as "vocab_hll")
+    val docLevel = docs
+      .select($"source", size($"ws") as "ntoks")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)) as "docs",
+        percentile_approx($"ntoks", lit(0.5), lit(10000)) as "p50_toks",
+        max($"ntoks") as "max_toks")
+    docLevel.join(tokLevel, "source")
+  }
+
   val oracles: Map[String, String] = Map(
     // Bit-identical to the unpruned exact decontamination join: the
     // bloom stage only prunes, the exact join decides — one shared
     // oracle with q66.
     "q70_bloom_decontaminate" -> Curation.decontaminationOracle,
-    // q71 deliberately has no SQL oracle (different sketch algorithms
-    // on each side); SketchSpec pins its error bounds and merge law.
+    // Same tokenizer spelling as the Spark side (Curation.words); the
+    // sketch fields are spec-only in [[sketchProfile]].
+    "q71_corpus_profile_exact" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(text, '[ \t\n\f\r]+')) AS tok
+        |  FROM documents),
+        |tok AS (
+        |  SELECT source, count(*) AS tokens, count(DISTINCT tok) AS vocab
+        |  FROM t GROUP BY 1),
+        |d AS (
+        |  SELECT source, count(*) AS docs,
+        |    CAST(max(len(string_split_regex(text, '[ \t\n\f\r]+'))) AS BIGINT) AS max_toks,
+        |    CAST(min(len(string_split_regex(text, '[ \t\n\f\r]+'))) AS BIGINT) AS min_toks
+        |  FROM documents GROUP BY 1)
+        |SELECT d.source, docs, max_toks, min_toks, tokens, vocab
+        |FROM d JOIN tok USING (source)""".stripMargin,
     // q105 IS oracle-checked: vocabulary < k ⇒ the summary is exactly
     // the GROUP BY (see the query's derivation); same tokenizer
     // spelling as the Spark side (Curation.words).

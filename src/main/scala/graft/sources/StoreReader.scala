@@ -29,10 +29,12 @@ import graft.core.Executer
   * long-lived client re-resolves (or re-registers its view) to follow
   * the head.
   *
-  * Deliberately reads FINAL RESULTS only — the reference's whole query
-  * surface (`MapReduce/Executer.cs:370-377`): the map-level tables need
-  * the tombstone overlay, which is engine logic; a client that wants
-  * provenance links the engine.
+  * Reads final results ([[finals]]/[[pointQuery]]/[[keysQuery]] — the
+  * reference's whole query surface, `MapReduce/Executer.cs:370-377`)
+  * and, since r15, by-key provenance ([[contributors]]), which carries
+  * the merge-on-read tombstone overlay externally via the shared
+  * tombstone codec — so a reader fleet wanting provenance no longer
+  * links the engine either.
   *
   * Legacy (pre-manifest, listing+seqlock) stores are refused loudly:
   * their partition-swap protocol requires the seqlock retry loop that
@@ -65,14 +67,13 @@ object StoreReader {
     readCurrent(fs, root)
   }
 
-  /** The generation's live file lists, store-relative: (level-2
-    * finals, schema-salvage candidates) — the salvage list backs a
-    * generation whose finals came out EMPTY (keys deleted): level-1
-    * partials and map_results rows both carry the finals' (reduce_key,
-    * payload) column pair. None when the store has no published
-    * generation (fresh: reads empty; legacy: refused loudly). */
-  private def liveTreeFiles(fs: FileSystem, root: Path, storePath: String,
-      version: Long): Option[(Vector[String], Vector[String])] = {
+  /** The resolved snapshot at `version` (default: the current
+    * generation). None when the store has no published generation
+    * (fresh: reads empty); a legacy listing-based store is refused
+    * loudly — its partition-swap protocol requires the seqlock retry
+    * loop only the engine implements. */
+  private def snapOf(fs: FileSystem, root: Path, storePath: String,
+      version: Long): Option[graft.core.Snapshot] = {
     val v = if (version >= 0L) version else readCurrent(fs, root)
     if (v < 0L) {
       if (fs.exists(new Path(root, "map_results")))
@@ -87,14 +88,25 @@ object StoreReader {
     } else {
       val in = new java.io.DataInputStream(
         fs.open(new Path(root, s"_manifests/m$v")))
-      val snap = try Executer.decodeManifest(in) finally in.close()
+      Some(try Executer.decodeManifest(in) finally in.close())
+    }
+  }
+
+  /** The generation's live file lists, store-relative: (level-2
+    * finals, schema-salvage candidates) — the salvage list backs a
+    * generation whose finals came out EMPTY (keys deleted): level-1
+    * partials and map_results rows both carry the finals' (reduce_key,
+    * payload) column pair. None when the store has no published
+    * generation (fresh: reads empty; legacy: refused loudly). */
+  private def liveTreeFiles(fs: FileSystem, root: Path, storePath: String,
+      version: Long): Option[(Vector[String], Vector[String])] =
+    snapOf(fs, root, storePath, version).map { snap =>
       val tree = snap.live.getOrElse("reduce_tree", Vector.empty)
       val salvage =
         if (tree.nonEmpty) tree
         else snap.live.getOrElse("map_results", Vector.empty)
-      Some((tree.filter(_.startsWith("reduce_tree/level=2/")), salvage))
+      (tree.filter(_.startsWith("reduce_tree/level=2/")), salvage)
     }
-  }
 
   private def readFiles(spark: SparkSession, root: Path,
       files: Vector[String]): DataFrame =
@@ -160,11 +172,13 @@ object StoreReader {
             files.filter(_.startsWith(s"reduce_tree/level=2/part=$fpart/"))
           }
         // An empty pruned list means the key's partition holds no files
-        // (provably no rows) — still read via the full list so the
-        // result keeps the payload schema; the key filter returns the
-        // empty set through row-group stats without a full scan.
-        val src = if (pruned.nonEmpty) pruned else files
-        readFiles(spark, root, src).where(col("reduce_key") === key)
+        // (provably no rows: same key → same fpart on write). Keep the
+        // payload schema from ONE live file at limit(0) footer cost —
+        // planning the full list here would make a miss-heavy workload
+        // pay full-listing plans per miss at 100 TB.
+        if (pruned.nonEmpty)
+          readFiles(spark, root, pruned).where(col("reduce_key") === key)
+        else readFiles(spark, root, files.take(1)).limit(0)
       case Some((_, tree)) =>
         emptyWithSchema(spark, root, tree).where(col("reduce_key") === key)
       case None => emptyFinals(spark)
@@ -192,12 +206,87 @@ object StoreReader {
             files.filter(f => fparts.exists(p =>
               f.startsWith(s"reduce_tree/level=2/part=$p/")))
           }
-        val src = if (pruned.nonEmpty) pruned else files
-        readFiles(spark, root, src)
-          .where(col("reduce_key").isin(keys: _*))
+        // Same miss-path discipline as pointQuery: every requested
+        // key's partition empty → provably no rows, schema from one
+        // live file at footer cost, never the full listing.
+        if (pruned.nonEmpty)
+          readFiles(spark, root, pruned)
+            .where(col("reduce_key").isin(keys: _*))
+        else readFiles(spark, root, files.take(1)).limit(0)
       case Some((_, tree)) =>
         emptyWithSchema(spark, root, tree)
       case None => emptyFinals(spark)
+    }
+  }
+
+  /** Engine-free provenance — which documents feed reduce key `key`,
+    * and through which map bucket: the external twin of
+    * [[graft.core.Executer.contributors]] (the reference's by-key
+    * map-result enumeration, `MapReduce/Executer.cs:305-334`). This is
+    * the one external read that needs the MERGE-ON-READ overlay: map
+    * rows are invalidated by tombstones, not rewritten, so a raw file
+    * read would resurrect deleted/updated documents. The overlay is
+    * resolved from the SAME snapshot as the data files (mixing
+    * generations could transiently vanish docs — the engine's own
+    * `readMapResults` discipline) via the shared codecs
+    * ([[graft.core.Executer.decodeTombFile]]): the manifest's local
+    * tombstone file plus its distributed tombstone parquet, max-merged
+    * per doc, broadcast against the key-filtered map scan. A row
+    * survives iff no tombstone for its doc is newer than the batch that
+    * wrote it (`seq >= tomb_seq`). The tombstone set is bounded by the
+    * engine's `tombstoneLimit` auto-fold, so the broadcast is safe by
+    * construction at any store size; the map scan is pruned by
+    * row-group stats on `reduce_key` (files are written sorted by it).
+    */
+  def contributors(spark: SparkSession, storePath: String, key: String,
+      version: Long = -1L): DataFrame = {
+    val (fs, root) = fsFor(spark, storePath)
+    val emptyContrib = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("doc_id", StringType),
+        StructField("bucket", org.apache.spark.sql.types.IntegerType))))
+    snapOf(fs, root, storePath, version) match {
+      case None => emptyContrib
+      case Some(snap) =>
+        val files = snap.live.getOrElse("map_results", Vector.empty)
+        if (files.isEmpty) emptyContrib
+        else {
+          val rows = spark.read
+            .option("basePath", new Path(root, "map_results").toString)
+            .parquet(files.map(f => new Path(root, f).toString): _*)
+            .where(col("reduce_key") === key)
+          val local: Seq[(String, Int)] = snap.tombLocal.map { rel =>
+            val in = new java.io.DataInputStream(
+              fs.open(new Path(root, rel)))
+            try Executer.decodeTombFile(in) finally in.close()
+          }.getOrElse(Nil)
+          val distFiles = snap.live.getOrElse("tombstones", Vector.empty)
+          val tomb: Option[DataFrame] =
+            (local.nonEmpty, distFiles.nonEmpty) match {
+              case (false, false) => None
+              case _ =>
+                import spark.implicits._
+                val localDf = local.toDF("doc_id", "tomb_seq")
+                val all =
+                  if (distFiles.isEmpty) localDf
+                  else {
+                    val dist = spark.read.parquet(
+                      distFiles.map(f => new Path(root, f).toString): _*)
+                    if (local.isEmpty) dist else localDf.unionByName(dist)
+                  }
+                Some(all.groupBy(col("doc_id"))
+                  .agg(org.apache.spark.sql.functions.max(col("tomb_seq"))
+                    .as("tomb_seq")))
+            }
+          val live = tomb match {
+            case None => rows
+            case Some(t) =>
+              rows.join(org.apache.spark.sql.functions.broadcast(t),
+                  Seq("doc_id"), "left")
+                .where(col("tomb_seq").isNull || col("seq") >= col("tomb_seq"))
+          }
+          live.select(col("doc_id"), col("bucket"))
+        }
     }
   }
 

@@ -9,11 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * registering the same name (silent map overwrite — last import wins). */
 class ContractSpec extends AnyFunSuite {
 
-  test("every query has an oracle, except the documented sketch query") {
+  test("every query has an oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q71_sketch_profile"),
-      s"queries without oracles: $noOracle — q71 is the only sanctioned one " +
-        "(different sketch algorithms on each side; SketchSpec pins its bounds)")
+    assert(noOracle.isEmpty,
+      s"queries without oracles: $noOracle — none are sanctioned since r15 " +
+        "(the sketch fields live spec-only in Sketches.sketchProfile; " +
+        "SketchSpec pins their bounds)")
   }
 
   test("no orphan oracles") {

@@ -302,4 +302,16 @@ class PlanSpec extends AnyFunSuite {
       case s: ShuffleExchangeLike => s
     }.isEmpty, "the BPE chunk budget must not shuffle")
   }
+
+  test("q114 external read plans at most the requested keys' partitions") {
+    // Two keys, two pinned generations: the engine-free keysQuery must
+    // put at most |keys| distinct fparts of the final table into each
+    // generation's file list (VERDICT r14 #3) — at any store size the
+    // plan reads ≤ |keys|/finalParts of the finals, never a full scan.
+    val df = SparkEntry.queries("q114_external_read")(spark, dir)
+    val parts = df.inputFiles.map(f =>
+      f.split("/").find(_.startsWith("part=")).getOrElse("?")).toSet
+    assert(parts.nonEmpty && parts.size <= 2,
+      s"q114 read partitions $parts; wanted <=2 (two keys)")
+  }
 }

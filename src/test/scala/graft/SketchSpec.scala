@@ -5,7 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Error-bound and merge-law pins for the sketch operators (q70-q72).
   *
-  * q71 has no DuckDB oracle on purpose — DuckDB's approx aggregates are
+  * The q71 sketch fields (Sketches.sketchProfile) have no DuckDB oracle
+  * on purpose (the gated q71_corpus_profile_exact carries the exact
+  * fields) — DuckDB's approx aggregates are
   * different algorithms, so cross-engine equality is meaningless. What
   * IS contractual: the estimates land within the sketches' published
   * error bounds against exact counts computed on the same data, and the
@@ -72,7 +74,7 @@ class SketchSpec extends AnyFunSuite {
   }
 
   test("q71 profile: estimates consistent with exact vocabulary per source") {
-    val prof = SparkEntry.queries("q71_sketch_profile")(spark, dir)
+    val prof = graft.ops.Sketches.sketchProfile(spark, dir)
       .collect().map(r => r.getAs[String]("source") ->
         (r.getAs[Long]("vocab_hllpp"), r.getAs[Long]("vocab_hll"))).toMap
     val exact = spark.read.parquet(s"$dir/documents.parquet")

@@ -104,6 +104,81 @@ class StoreReaderSpec extends AnyFunSuite {
     assert(mparts.size <= 2, s"keysQuery read partitions $mparts")
   }
 
+  test("miss-path point/keys queries plan ONE schema file, never the " +
+      "full listing, and keep the payload columns") {
+    // finalParts=8 with a single live key leaves 7 empty partitions, so
+    // a probe key hashing elsewhere exercises the provably-no-rows path
+    // (r15: previously the full live file list entered the plan to
+    // salvage the schema — a miss-heavy 100 TB workload would pay
+    // full-listing plans per miss).
+    val store = TestTmp.dir("graft-extread-miss")
+    val ex = new Executer(PeopleCountByState, store,
+      cfg.copy(finalParts = 8))
+    ex.execute(spark.createDataset((1 to 12).map(i => Person(s"p-$i", "CA"))))
+    val caPart = Executer.fpartHash("CA", 8)
+    val missKey = Seq("TX", "NV", "OR", "WA", "ID", "AZ", "UT")
+      .find(k => Executer.fpartHash(k, 8) != caPart).get
+    val miss = StoreReader.pointQuery(spark, store, missKey)
+    assert(miss.collect().isEmpty)
+    assert(miss.columns.toSeq == Seq("reduce_key", "state", "count"),
+      "miss-path read must keep the payload schema")
+    assert(miss.inputFiles.length <= 1,
+      s"miss-path planned ${miss.inputFiles.length} files; wanted <=1 " +
+        "(one schema-salvage file)")
+    val missAll = StoreReader.keysQuery(spark, store, Seq(missKey))
+    assert(missAll.collect().isEmpty)
+    assert(missAll.columns.toSeq == Seq("reduce_key", "state", "count"))
+    assert(missAll.inputFiles.length <= 1,
+      s"all-miss keysQuery planned ${missAll.inputFiles.length} files")
+    // A hit among misses still prunes to the hit's partition only.
+    val mixed = StoreReader.keysQuery(spark, store, Seq("CA", missKey))
+    assert(m(mixed.as[(String, String, Long)].collect()) == Map("CA" -> 12L))
+    val parts = mixed.inputFiles.map(f =>
+      f.split("/").find(_.startsWith("part=")).getOrElse("?")).toSet
+    assert(parts == Set(s"part=$caPart"), s"mixed keysQuery read $parts")
+  }
+
+  test("external contributors equals the engine's under live tombstones " +
+      "and stays pinned at a prior generation") {
+    val store = TestTmp.dir("graft-extread-contrib")
+    val ex = new Executer(PeopleCountByState, store, cfg)
+    ex.execute(spark.createDataset(Seq(
+      Person("a", "CA"), Person("b", "TX"), Person("c", "CA"))))
+    val v0 = ex.snapshotVersion()
+    def engineContrib(key: String): Set[(String, Int)] =
+      ex.contributors(key).as[(String, Int)].collect().toSet
+    def extContrib(key: String, v: Long = -1L): Set[(String, Int)] =
+      StoreReader.contributors(spark, store, key, v)
+        .as[(String, Int)].collect().toSet
+    assert(extContrib("CA") == engineContrib("CA"))
+    assert(extContrib("CA").map(_._1) == Set("A", "C"))
+
+    // The update tombstones a's CA row (merge-on-read: the old file
+    // stays live; only the overlay hides the row). A raw file read
+    // would still see doc a under CA — the overlay is the contract.
+    ex.execute(spark.createDataset(Seq(Person("a", "NV"))))
+    assert(extContrib("CA") == engineContrib("CA"))
+    assert(extContrib("CA").map(_._1) == Set("C"),
+      "tombstoned contributor resurrected by the external overlay")
+    assert(extContrib("NV") == engineContrib("NV"))
+
+    // Pinned at v0: the pre-update provenance, exactly.
+    assert(extContrib("CA", v0).map(_._1) == Set("A", "C"),
+      "pinned contributors must serve the pinned generation's overlay")
+
+    // Document delete: the tombstone is the ONLY record of removal.
+    ex.deleteDocuments(Seq("c"))
+    assert(extContrib("CA") == engineContrib("CA"))
+    assert(extContrib("CA").isEmpty)
+
+    // Absent key and fresh store: empty with the contract columns.
+    assert(StoreReader.contributors(spark, store, "ZZ").collect().isEmpty)
+    val fresh = TestTmp.dir("graft-extread-contrib-fresh")
+    val f = StoreReader.contributors(spark, fresh, "CA")
+    assert(f.collect().isEmpty)
+    assert(f.columns.toSeq == Seq("doc_id", "bucket"))
+  }
+
   test("fresh store reads empty; legacy store is refused loudly") {
     val fresh = TestTmp.dir("graft-extread-fresh")
     assert(StoreReader.currentVersion(spark, fresh) == -1L)
