@@ -153,6 +153,17 @@ object Executer {
     (0 until n).map(_ => (decodeStr(in), in.readInt()))
   }
 
+  /** The driver-local changed-keys record codec, decode side (count +
+    * length-prefixed keys) — shared by the engine's
+    * [[Executer!.readChangedLocal]] and the external CDC poll
+    * ([[graft.sources.StoreReader.changedKeysSince]]). Encode side: the
+    * pre-publish archive in `publishModel`/`sentinelRecord`. */
+  private[graft] def decodeKeyList(
+      in: java.io.DataInputStream): Seq[String] = {
+    val n = in.readInt()
+    (0 until n).map(_ => decodeStr(in))
+  }
+
   /** The manifest binary codec, decode side — ONE definition shared by
     * the engine's [[Executer!.readManifest]] and the external
     * lock-free reader ([[graft.sources.StoreReader]]), so the two can
@@ -3073,10 +3084,7 @@ class Executer[D, R <: Product: TypeTag](
     if (!exists(changedLocalPath(v))) return Nil
     val in = new java.io.DataInputStream(
       stateFs.open(new Path(changedLocalPath(v))))
-    try {
-      val n = in.readInt()
-      (0 until n).map(_ => readStr(in))
-    } finally in.close()
+    try Executer.decodeKeyList(in) finally in.close()
   }
 
   private def changedHorizon(): Long =

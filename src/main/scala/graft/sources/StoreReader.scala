@@ -290,6 +290,75 @@ object StoreReader {
     }
   }
 
+  /** The oldest base generation [[changedKeysSince]] can still answer
+    * from — the external twin of the engine's `changedHorizonVersion`
+    * (records below it were pruned by `compact()`). −1 on a
+    * never-compacted store. A polling fleet checks this BEFORE asking,
+    * exactly like [[graft.streaming.CdcConsumer]] does engine-side. */
+  def changedHorizon(spark: SparkSession, storePath: String): Long = {
+    val (fs, root) = fsFor(spark, storePath)
+    val h = new Path(root, "changed/_horizon")
+    if (!fs.exists(h)) -1L
+    else {
+      val in = new java.io.DataInputStream(fs.open(h))
+      try in.readLong() finally in.close()
+    }
+  }
+
+  /** Engine-free CDC polling — DISTINCT reduce keys touched by any
+    * mutation published in generations `(sinceVersion, upper]` (upper =
+    * `version`, default the current generation): with [[keysQuery]]
+    * this closes the reference's full consumption loop for a reader
+    * fleet — poll invalidations, refetch O(churn) keys at the engine's
+    * partition pruning — with NO Executer, lease, or coordination.
+    * Safe by the engine's publish ordering: a generation's changed-keys
+    * record lands BEFORE its `_current` flip, so any published upper
+    * bound has complete records behind it, and records for published
+    * generations are immutable. Asking below the pruning horizon fails
+    * loudly ([[changedHorizon]] lets a poller decide first); a fresh
+    * store answers empty for since = −1. */
+  def changedKeysSince(spark: SparkSession, storePath: String,
+      sinceVersion: Long, version: Long = -1L): DataFrame = {
+    val (fs, root) = fsFor(spark, storePath)
+    val emptyKeys = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("reduce_key", StringType))))
+    snapOf(fs, root, storePath, version) match {
+      case None =>
+        require(sinceVersion == -1L,
+          s"store has no published generations; sinceVersion must be -1, " +
+            s"got $sinceVersion")
+        emptyKeys
+      case Some(snap) =>
+        val cur = snap.version
+        require(sinceVersion >= -1 && sinceVersion <= cur,
+          s"sinceVersion must be in [-1, $cur], got $sinceVersion")
+        val h = changedHorizon(spark, storePath)
+        if (sinceVersion < h) throw new IllegalStateException(
+          s"changed-keys records up to generation $h have been pruned by " +
+            s"compact(); cannot answer since=$sinceVersion — refetch " +
+            "everything")
+        val vs = (sinceVersion + 1) to cur
+        val localKeys = vs.flatMap { v =>
+          val p = new Path(root, s"changed/c$v")
+          if (!fs.exists(p)) Nil
+          else {
+            val in = new java.io.DataInputStream(fs.open(p))
+            try Executer.decodeKeyList(in) finally in.close()
+          }
+        }
+        import spark.implicits._
+        val localDf = localKeys.toDF("reduce_key")
+        vs.map(v => new Path(root, s"changed/v$v"))
+          .filter(fs.exists)
+          .foldLeft(localDf) { (acc, d) =>
+            acc.unionByName(spark.read.schema("reduce_key STRING")
+              .parquet(d.toString))
+          }
+          .distinct()
+    }
+  }
+
   /** [[finals]] as a named temp view for SQL-only clients — pinned at
     * registration to ONE generation (a temp view captures the plan and
     * with it the file list); re-register to follow the head. */

@@ -179,6 +179,61 @@ class StoreReaderSpec extends AnyFunSuite {
     assert(f.columns.toSeq == Seq("doc_id", "bucket"))
   }
 
+  test("external changedKeysSince equals the engine's through churn; " +
+      "horizon refusal and version pinning hold") {
+    val store = TestTmp.dir("graft-extread-cdc")
+    val ex = new Executer(PeopleCountByState, store, cfg)
+    def engineKeys(since: Long): Set[String] =
+      ex.changedKeysSince(since).as[String].collect().toSet
+    def extKeys(since: Long, v: Long = -1L): Set[String] =
+      StoreReader.changedKeysSince(spark, store, since, v)
+        .as[String].collect().toSet
+
+    // Fresh store: empty at since = -1, anything else refused.
+    assert(StoreReader.changedKeysSince(spark, store, -1L).collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      StoreReader.changedKeysSince(spark, store, 0L)
+    }
+
+    ex.execute(spark.createDataset(Seq(
+      Person("a", "CA"), Person("b", "TX"), Person("c", "CA"))))
+    val v0 = ex.snapshotVersion()
+    assert(extKeys(-1L) == engineKeys(-1L))
+    assert(extKeys(-1L) == Set("CA", "TX"))
+
+    // The update touches a's old key and its new key.
+    ex.execute(spark.createDataset(Seq(Person("a", "NV"))))
+    assert(extKeys(v0) == engineKeys(v0))
+    assert(extKeys(v0) == Set("CA", "NV"))
+    // The engine-free poll loop: invalidations -> pruned refetch.
+    val refetched = StoreReader.keysQuery(spark, store,
+      extKeys(v0).toSeq.sorted)
+    assert(refetched.as[(String, String, Long)].collect()
+      .map { case (_, s, c) => s -> c }.toMap == Map("CA" -> 1L, "NV" -> 1L))
+
+    // A whole-key delete invalidates the vanished key.
+    val v1 = ex.snapshotVersion()
+    ex.delete("TX")
+    assert(extKeys(v1) == engineKeys(v1))
+    assert(extKeys(v1) == Set("TX"))
+
+    // Upper bound pinned by the caller: records past v1 are invisible.
+    assert(extKeys(v0, v1) == Set("CA", "NV"))
+
+    // compact() prunes old records: asking below the horizon fails
+    // loudly on BOTH surfaces, never silently under-reports.
+    ex.execute(spark.createDataset(Seq(Person("b", "CA"))))
+    ex.compact()
+    val h = StoreReader.changedHorizon(spark, store)
+    assert(h == ex.changedHorizonVersion())
+    if (h > -1L) {
+      intercept[IllegalStateException] { extKeys(h - 1) }
+      intercept[IllegalStateException] { engineKeys(h - 1) }
+    }
+    // At-or-above the horizon both surfaces still agree.
+    assert(extKeys(h) == engineKeys(h))
+  }
+
   test("fresh store reads empty; legacy store is refused loudly") {
     val fresh = TestTmp.dir("graft-extread-fresh")
     assert(StoreReader.currentVersion(spark, fresh) == -1L)
