@@ -300,6 +300,20 @@ object IndexQueries {
           "pinned"))
     },
 
+    // q104's invalidation set read ENGINE-FREE (r15): the same shared
+    // q41 store polled via `StoreReader.changedKeysSince` — with
+    // `keysQuery` (q114) this is the reference's whole CDC consumption
+    // loop for a reader fleet with no Executer, lease, or coordination.
+    // Same oracle as q104, so a green row proves the external poll
+    // serves the identical invalidation set the engine's own surface
+    // does.
+    "q115_external_changed_keys" -> { (s, dir) =>
+      import s.implicits._
+      val (ex, v) = ordersByPriorityUpdated(s, dir)
+      graft.sources.StoreReader.changedKeysSince(s, ex.storePath, v)
+        .select($"reduce_key")
+    },
+
     // The round-6 SQL catalog, oracle-gated: register the (cached,
     // read-only) CustByNation store as temp views and answer entirely
     // through `spark.sql` — the SQL-only consumer's path to maintained
@@ -988,6 +1002,12 @@ object IndexQueries {
     // touches its OLD priority key (retraction) and '1-URGENT'
     // (insertion) — nothing else.
     "q104_changed_keys" ->
+      """SELECT DISTINCT o_orderpriority AS reduce_key FROM orders
+        |WHERE o_orderkey % 97 = 0
+        |UNION
+        |SELECT '1-URGENT' AS reduce_key""".stripMargin,
+    // The engine-free spelling must serve the IDENTICAL set.
+    "q115_external_changed_keys" ->
       """SELECT DISTINCT o_orderpriority AS reduce_key FROM orders
         |WHERE o_orderkey % 97 = 0
         |UNION
