@@ -398,12 +398,22 @@ object Bench {
         // the next quiet host (it models cold N=8 from this entry).
         val sections = sectionSecs.view.filterKeys(n =>
           !(n == "incscaled" && (scaledBuildCached || scaleUsed != 8)))
+        // Existing entries are BLENDED (50/50 old/new) rather than
+        // replaced (r15): even inside the 1.0-1.5 de-scale band, one
+        // run's per-entry noise moved 22 sub-second entries past 1.5×
+        // of their quiet values — blending damps the oscillation while
+        // still converging on any genuine cost change within a few
+        // runs (a lagging estimate only over-reserves, which is the
+        // safe direction). New keys take the measured value.
         val merged = knownCosts ++
           (results.map(r => r.name -> r.sec) ++
             buildResults.filterNot(_.cached).map(r => r.name -> r.sec) ++
             sections.map { case (n, s) => s"section:$n" -> s } ++
             scaledBuildMeasured.map(s => s"build:ivmscaled-x$scaleUsed" -> s))
-            .map { case (k, s) => k -> deScale(k, s) }
+            .map { case (k, s) =>
+              val v = deScale(k, s)
+              k -> knownCosts.get(k).map(old => (old + v) / 2).getOrElse(v)
+            }
         Files.write(Paths.get(costsFile),
           merged.toSeq.sortBy(_._1)
             .map { case (n, s) => f""""$n":$s%.3f""" }
