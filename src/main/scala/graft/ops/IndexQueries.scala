@@ -314,6 +314,20 @@ object IndexQueries {
         .select($"reduce_key")
     },
 
+    // q107's before/after change feed read ENGINE-FREE (r15):
+    // `StoreReader.diffSince` composes changedKeysSince + generation-
+    // pinned keysQuery into the Debezium-style feed with no Executer on
+    // the read path. Same oracle as q107 — a green row proves the
+    // external images match the engine's bit for bit.
+    "q116_external_diff" -> { (s, dir) =>
+      import s.implicits._
+      val (ex, v) = ordersByPriorityUpdated(s, dir)
+      graft.sources.StoreReader.diffSince(s, ex.storePath, v)
+        .select($"reduce_key", $"change_type",
+          $"old_cnt", toDouble($"old_total") as "old_total",
+          $"new_cnt", toDouble($"new_total") as "new_total")
+    },
+
     // The round-6 SQL catalog, oracle-gated: register the (cached,
     // read-only) CustByNation store as temp views and answer entirely
     // through `spark.sql` — the SQL-only consumer's path to maintained
@@ -1035,29 +1049,35 @@ object IndexQueries {
     // No key vanishes or appears in q41's mutation at these SFs only if
     // every priority retains orders — change_type still derives from
     // NULL-ness, so the oracle is shape-correct for all three verdicts.
-    "q107_cdc_diff" ->
-      s"""WITH chg AS (
-         |  SELECT DISTINCT o_orderpriority AS reduce_key FROM orders
-         |  WHERE o_orderkey % 97 = 0
-         |  UNION
-         |  SELECT '1-URGENT' AS reduce_key),
-         |old AS (
-         |  SELECT o_orderpriority AS reduce_key, count(*) AS old_cnt,
-         |    CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS old_total
-         |  FROM orders GROUP BY 1),
-         |new AS (
-         |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
-         |              ELSE o_orderpriority END AS reduce_key,
-         |    count(*) AS new_cnt,
-         |    CAST(sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS new_total
-         |  FROM orders GROUP BY 1),
-         |o AS (SELECT old.* FROM old JOIN chg USING (reduce_key)),
-         |n AS (SELECT new.* FROM new JOIN chg USING (reduce_key))
-         |SELECT COALESCE(o.reduce_key, n.reduce_key) AS reduce_key,
-         |  CASE WHEN o.reduce_key IS NULL THEN 'insert'
-         |       WHEN n.reduce_key IS NULL THEN 'delete'
-         |       ELSE 'update' END AS change_type,
-         |  o.old_cnt, o.old_total, n.new_cnt, n.new_total
-         |FROM o FULL OUTER JOIN n ON o.reduce_key = n.reduce_key""".stripMargin
+    "q107_cdc_diff" -> cdcDiffOracle,
+    // The engine-free diff (StoreReader.diffSince) must serve the
+    // IDENTICAL feed — one SQL spelling, so a red row names the
+    // diverging surface, never an oracle drift.
+    "q116_external_diff" -> cdcDiffOracle
   )
+
+  private lazy val cdcDiffOracle: String =
+    s"""WITH chg AS (
+       |  SELECT DISTINCT o_orderpriority AS reduce_key FROM orders
+       |  WHERE o_orderkey % 97 = 0
+       |  UNION
+       |  SELECT '1-URGENT' AS reduce_key),
+       |old AS (
+       |  SELECT o_orderpriority AS reduce_key, count(*) AS old_cnt,
+       |    CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS old_total
+       |  FROM orders GROUP BY 1),
+       |new AS (
+       |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
+       |              ELSE o_orderpriority END AS reduce_key,
+       |    count(*) AS new_cnt,
+       |    CAST(sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS new_total
+       |  FROM orders GROUP BY 1),
+       |o AS (SELECT old.* FROM old JOIN chg USING (reduce_key)),
+       |n AS (SELECT new.* FROM new JOIN chg USING (reduce_key))
+       |SELECT COALESCE(o.reduce_key, n.reduce_key) AS reduce_key,
+       |  CASE WHEN o.reduce_key IS NULL THEN 'insert'
+       |       WHEN n.reduce_key IS NULL THEN 'delete'
+       |       ELSE 'update' END AS change_type,
+       |  o.old_cnt, o.old_total, n.new_cnt, n.new_total
+       |FROM o FULL OUTER JOIN n ON o.reduce_key = n.reduce_key""".stripMargin
 }

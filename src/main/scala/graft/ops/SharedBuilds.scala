@@ -58,7 +58,8 @@ object SharedBuilds {
       Seq("q41_mr_index_update", "q41b_mr_time_travel",
         "q104_changed_keys", "q104b_changed_keys_refetch",
         "q107_cdc_diff", "q106c_cdc_rollup_direct",
-        "q114_external_read", "q115_external_changed_keys"),
+        "q114_external_read", "q115_external_changed_keys",
+        "q116_external_diff"),
       cacheTag = Some("ordersbypriorityupdated"))(
       (_, dir) => IndexQueries.storeBuilt("OrdersByPriorityUpdated", dir))(
       (s, dir) => IndexQueries.warmStore("OrdersByPriorityUpdated", s, dir)),

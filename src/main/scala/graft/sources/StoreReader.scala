@@ -359,6 +359,67 @@ object StoreReader {
     }
   }
 
+  /** Engine-free BEFORE/AFTER change feed — the external twin of
+    * [[graft.core.Executer.diffSince]]: one row per key touched in
+    * `(sinceVersion, upper]` with `change_type`
+    * ('insert' | 'update' | 'delete'), the key's payload at
+    * `sinceVersion` (`old_*`, NULL on insert) and at the upper
+    * generation (`new_*`, NULL on delete). Composed entirely from the
+    * other external reads — [[changedKeysSince]] for the key set,
+    * [[keysQuery]] pinned at each generation for the images — so both
+    * sides are immutable snapshot reads pruned to ≤|keys|/finalParts of
+    * the table, and the upper generation is resolved ONCE at entry
+    * (keys, before and after can never mix generations under a racing
+    * writer).
+    *
+    * Two loud refusals, mirroring the engine's own contracts:
+    *   - churn past `maxChurnKeys` (the external spelling of the
+    *     engine's driver-dirty bound): at that churn a full resync is
+    *     the better consumer strategy anyway;
+    *   - a store whose keys carry MULTIPLE output rows — the engine
+    *     refuses via `task.singleOutput`, which an external reader
+    *     cannot know, so this runs one bounded O(churn) count to detect
+    *     ambiguous pairing instead of returning arbitrarily-paired
+    *     images (the one unacceptable shape). The guard makes this
+    *     call eager, unlike the engine's lazy plan — acceptable for a
+    *     poll surface whose result is O(churn) rows. */
+  def diffSince(spark: SparkSession, storePath: String, sinceVersion: Long,
+      version: Long = -1L, maxChurnKeys: Int = 16384): DataFrame = {
+    require(sinceVersion >= 0,
+      s"diffSince needs a published base generation, got $sinceVersion")
+    val (fs, root) = fsFor(spark, storePath)
+    val cur = if (version >= 0L) version else readCurrent(fs, root)
+    if (cur < 0L) throw new UnsupportedOperationException(
+      "diffSince: not a manifest store (no published generations)")
+    val keys = changedKeysSince(spark, storePath, sinceVersion, cur)
+      .limit(maxChurnKeys + 1).collect().map(_.getString(0)).toSeq
+    if (keys.length > maxChurnKeys) throw new IllegalStateException(
+      s"diffSince: churn exceeds $maxChurnKeys keys — poll more often, " +
+        "or full-resync via finals()")
+    val before = keysQuery(spark, storePath, keys, sinceVersion)
+    val after = keysQuery(spark, storePath, keys, cur)
+    val fields = after.columns.toSeq.filterNot(_ == "reduce_key")
+    val b = before.select((col("reduce_key") +:
+      fields.map(f => col(f) as s"old_$f")) :+
+      org.apache.spark.sql.functions.lit(true).as("_was"): _*)
+    val a = after.select((col("reduce_key") +:
+      fields.map(f => col(f) as s"new_$f")) :+
+      org.apache.spark.sql.functions.lit(true).as("_is"): _*)
+    import org.apache.spark.sql.functions.when
+    val joined = b.join(a, Seq("reduce_key"), "full_outer")
+      .withColumn("change_type",
+        when(col("_was").isNull, "insert")
+          .when(col("_is").isNull, "delete")
+          .otherwise("update"))
+      .drop("_was", "_is")
+    val n = joined.count()
+    if (n > keys.length) throw new IllegalStateException(
+      s"diffSince: $n image pairs for ${keys.length} changed keys — a key " +
+        "has multiple output rows per generation, so before/after images " +
+        "cannot be paired by reduce_key; use changedKeysSince + keysQuery")
+    joined
+  }
+
   /** [[finals]] as a named temp view for SQL-only clients — pinned at
     * registration to ONE generation (a temp view captures the plan and
     * with it the file list); re-register to follow the head. */

@@ -234,6 +234,58 @@ class StoreReaderSpec extends AnyFunSuite {
     assert(extKeys(h) == engineKeys(h))
   }
 
+  test("external diffSince serves the engine's before/after feed — " +
+      "insert/update/delete verdicts, cumulative windows, and a " +
+      "data-level refusal of ambiguous pairing") {
+    val store = TestTmp.dir("graft-extread-diff")
+    val ex = new Executer(PeopleCountSingle, store, cfg)
+    ex.execute(spark.createDataset(Seq(
+      Person("a", "CA"), Person("b", "CA"), Person("c", "TX"),
+      Person("d", "WA"))))
+    val v0 = ex.snapshotVersion()
+    // CA update, WA delete, NV insert, TX untouched — the engine
+    // diffSince scenario (ChangedKeysSpec), read engine-free.
+    ex.execute(spark.createDataset(Seq(Person("b", "NV"), Person("d", "NV"))))
+
+    def feed(df: org.apache.spark.sql.DataFrame) = df
+      .select($"reduce_key", $"change_type", $"old_count", $"new_count")
+      .as[(String, String, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val extFeed = feed(StoreReader.diffSince(spark, store, v0))
+    assert(extFeed == feed(ex.diffSince(v0)),
+      "external diff diverges from the engine's")
+    assert(extFeed.keySet == Set("CA", "WA", "NV"), "TX was untouched")
+    assert(extFeed("CA") == (("update", Some(2L), Some(1L))))
+    assert(extFeed("WA") == (("delete", Some(1L), None)))
+    assert(extFeed("NV") == (("insert", None, Some(2L))))
+
+    // Cumulative like changedKeysSince; empty at the head; caller-
+    // pinned upper bound hides later churn.
+    val v1 = ex.snapshotVersion()
+    ex.delete("CA")
+    assert(feed(StoreReader.diffSince(spark, store, v1)).keySet == Set("CA"))
+    assert(feed(StoreReader.diffSince(spark, store, v0))("CA")._1 == "delete")
+    assert(StoreReader.diffSince(spark, store, ex.snapshotVersion())
+      .count() == 0L)
+    assert(feed(StoreReader.diffSince(spark, store, v0, v1))("CA")._1
+      == "update", "pinned upper bound must hide the later delete")
+
+    // A store whose keys REALLY carry multiple output rows: the images
+    // cannot be paired by reduce_key — the external reader cannot see
+    // the task's singleOutput declaration, so it must detect the
+    // ambiguity in the data and refuse, never pair arbitrarily.
+    val mstore = TestTmp.dir("graft-extread-diff-multi")
+    val mex = new Executer(StateHalves, mstore, cfg)
+    mex.execute(spark.createDataset(Seq(
+      Person("a1", "CA"), Person("b2", "CA"))))
+    val mv0 = mex.snapshotVersion()
+    mex.execute(spark.createDataset(Seq(Person("a1", "CA"), Person("b2", "CA"),
+      Person("c1", "CA"))))
+    intercept[IllegalStateException] {
+      StoreReader.diffSince(spark, mstore, mv0).collect()
+    }
+  }
+
   test("fresh store reads empty; legacy store is refused loudly") {
     val fresh = TestTmp.dir("graft-extread-fresh")
     assert(StoreReader.currentVersion(spark, fresh) == -1L)
@@ -348,4 +400,21 @@ class StoreReaderSpec extends AnyFunSuite {
     assert(writerErr.get() == null,
       s"churn writer failed: ${writerErr.get()}")
   }
+}
+
+/** A key with genuinely MULTIPLE output rows (one per id-suffix half):
+  * the shape for which before/after images cannot be paired by
+  * reduce_key — the external diffSince must refuse on the DATA (it
+  * cannot see a task's singleOutput declaration). */
+case class StateHalf(state: String, half: String, count: Long)
+object StateHalves extends graft.core.MapReduceTask[Person, StateHalf] {
+  def map(docs: Iterator[Person]): Iterator[(String, StateHalf)] =
+    docs.map(p => (p.id,
+      StateHalf(p.state, if (p.id.endsWith("1")) "a" else "b", 1L)))
+  def reduce(entries: Iterator[StateHalf]): Iterator[StateHalf] =
+    entries.toSeq.groupBy(e => (e.state, e.half))
+      .map { case ((s, h), es) => StateHalf(s, h, es.map(_.count).sum) }
+      .iterator
+  def reduceKey(e: StateHalf): String = e.state
+  def documentId(p: Person): String = p.id
 }
