@@ -219,6 +219,9 @@ object Bench {
     // ratio (first run, changed workload shape) must not zero out or
     // blow up the whole schedule.
     var hostFactor = 1.0
+    // One skip line per run, not one per summary emit (the cost write
+    // runs inside emitSummary).
+    var costsWriteSkipLogged = false
     var digestFactor = 1.0
     // Digest-kernel cost classes: the maintained-index families whose
     // update legs re-run md5/minhash/winnow/simhash kernels, their base
@@ -370,7 +373,10 @@ object Bench {
         // Quiet-host costs only ever come from quiet hosts; a degraded
         // run keeps the previous file intact.
         if (hostFactor > 1.5 || digestFactor > 1.5) {
-          println(f"""{"costs_write_skipped":"host $hostFactor%.2f / digest $digestFactor%.2f"}""")
+          if (!costsWriteSkipLogged) {
+            costsWriteSkipLogged = true
+            println(f"""{"costs_write_skipped":"host $hostFactor%.2f / digest $digestFactor%.2f"}""")
+          }
           throw new RuntimeException("degraded host")
         }
         // Cache-restored builds are EXCLUDED: their ~1s restore time
