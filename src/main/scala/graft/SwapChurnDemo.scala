@@ -13,6 +13,7 @@ import graft.GoldenDemo.{Person, StatePop, PeopleCountByState}
   *   tools/run.sh graft.SwapChurnDemo writer /tmp/swapdemo 20   # churn
   *   tools/run.sh graft.SwapChurnDemo reader /tmp/swapdemo 20   # loop
   *   tools/run.sh graft.SwapChurnDemo external /tmp/swapdemo 20 # no engine
+  *   tools/run.sh graft.SwapChurnDemo follow /tmp/swapdemo 20   # ext. CDC
   *
   * The writer builds 240 docs and then churns update batches that move
   * 60 docs between CA and TX for ~N seconds; moves conserve the total,
@@ -27,6 +28,13 @@ import graft.GoldenDemo.{Person, StatePop, PeopleCountByState}
   * falsify the external-reader contract, not just the engine's own
   * snapshot path. Manifest stores only (it skips until the writer
   * publishes generation 0).
+  *
+  * `follow` (round 15) is the engine-free CDC CONSUMER: a local cache
+  * maintained purely through `changedKeysSince` + generation-pinned
+  * `keysQuery`, compared bit-for-bit against a full external read of
+  * the same generation after every sync — the cross-process proof that
+  * the external invalidation feed is COMPLETE, not just that single
+  * reads are untorn. Exit 1 on any `DESYNC` (or zero syncs).
   */
 object SwapChurnDemo {
   def main(args: Array[String]): Unit = {
@@ -108,6 +116,66 @@ object SwapChurnDemo {
         println(s"external: good=$good retriable=$retriable torn=$torn")
         spark.stop()
         if (torn > 0 || good == 0) sys.exit(1)
+      case "follow" =>
+        // The engine-free CDC CONSUMER, cross-process (round 15): a
+        // local cache maintained purely through StoreReader's external
+        // surface — bootstrap from finals at one pinned generation,
+        // then per poll: changedKeysSince(cursor, head) names the
+        // invalidations, keysQuery(keys, head) refetches O(churn) rows
+        // (a key with no row = delete), and the cache must equal a full
+        // external read of the SAME pinned generation bit for bit. A
+        // `DESYNC` line falsifies the whole consumption-loop contract
+        // (invalidation completeness + snapshot stability together),
+        // not just one read.
+        import graft.sources.StoreReader
+        var synced = 0; var retriable = 0; var desync = 0
+        var cursor = -1L
+        val cache = scala.collection.mutable.Map[String, Long]()
+        while (System.nanoTime() < deadline) {
+          try {
+            val head = StoreReader.currentVersion(spark, store)
+            if (head < 0) { retriable += 1; Thread.sleep(50) }
+            else if (head == cursor) Thread.sleep(50)
+            else {
+              if (cursor < 0) {
+                cache.clear()
+                cache ++= StoreReader.finals(spark, store, head)
+                  .select("reduce_key", "count").collect()
+                  .map(r => r.getString(0) -> r.getLong(1))
+              } else {
+                val keys = StoreReader
+                  .changedKeysSince(spark, store, cursor, head)
+                  .collect().map(_.getString(0)).toSeq
+                val fresh = StoreReader.keysQuery(spark, store, keys, head)
+                  .select("reduce_key", "count").collect()
+                  .map(r => r.getString(0) -> r.getLong(1)).toMap
+                keys.foreach(k => fresh.get(k) match {
+                  case Some(v) => cache(k) = v
+                  case None => cache.remove(k) // vanished key = delete
+                })
+              }
+              cursor = head
+              val truth = StoreReader.finals(spark, store, head)
+                .select("reduce_key", "count").collect()
+                .map(r => r.getString(0) -> r.getLong(1)).toMap
+              if (cache.toMap == truth) {
+                synced += 1
+                println(s"sync ok gen=$head keys=${cache.size} " +
+                  s"total=${cache.values.sum}")
+              } else {
+                desync += 1
+                println(s"DESYNC gen=$head cache=${cache.toMap} truth=$truth")
+              }
+            }
+          } catch {
+            case e: Throwable =>
+              retriable += 1
+              println(s"RETRIABLE ${e.getClass.getSimpleName}")
+          }
+        }
+        println(s"follow: synced=$synced retriable=$retriable desync=$desync")
+        spark.stop()
+        if (desync > 0 || synced == 0) sys.exit(1)
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
