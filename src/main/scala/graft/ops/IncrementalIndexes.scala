@@ -381,7 +381,7 @@ object IncrementalIndexes {
     def docs = t(s, dir, "documents")
       .select($"doc_id".cast("long") as "doc_id", $"source", $"text")
       .repartition(cpuWidth(s)).as[DocLen]
-    val cfg = cfg16
+    val cfg = fixtureCfg
     val (path, v) = Memo.memo(updatedStores, ("q89", dir)) {
       val store = TempStores.scratch("graft-run-q89")
       // The whole built+updated pipeline is a deterministic derivation,
@@ -482,7 +482,7 @@ object IncrementalIndexes {
   // fan-in and multi-partition re-reduce (VERDICT r14 #2 "lighter store
   // config"). Correctness is layout-independent (every query is
   // oracle-gated); a 100 TB deployment raises both numbers.
-  private def cfg16 = ExecuterConfig(fanIn = 8, finalParts = 4)
+  private def fixtureCfg = ExecuterConfig(fanIn = 8, finalParts = 4)
   private def docTexts(s: SparkSession, dir: String) = {
     import s.implicits._
     t(s, dir, "documents")
@@ -503,20 +503,20 @@ object IncrementalIndexes {
   private[ops] def warmBase(key: String, s: SparkSession, dir: String): Unit = {
     implicit val spark: SparkSession = s
     key match {
-      case "q29" => baseStoreOf(key, dir, MinHashIndex, cfg16)(p =>
-        new Executer(MinHashIndex, p, cfg16).execute(docTexts(s, dir)))
-      case "q64" => baseStoreOf(key, dir, WinnowIndex, cfg16)(p =>
-        new Executer(WinnowIndex, p, cfg16).execute(docTexts(s, dir)))
-      case "q37" => baseStoreOf(key, dir, IvfCellIndex, cfg16)(p =>
-        new Executer(IvfCellIndex, p, cfg16).execute(vecDocs(s, dir)))
-      case "q77" => baseStoreOf(key, dir, ShingleFreqIndex, cfg16)(p =>
-        new Executer(ShingleFreqIndex, p, cfg16).execute(docTexts(s, dir)))
-      case "q97" => baseStoreOf(key, dir, SimhashIndex, cfg16)(p =>
-        new Executer(SimhashIndex, p, cfg16).execute(docTexts(s, dir)))
-      case "q91" => baseStoreOf(key, dir, IvfCentroidIndex, cfg16)(p =>
-        new Executer(IvfCentroidIndex, p, cfg16).execute(vecDocs(s, dir)))
-      case "q78" => baseStoreOf(key, dir, EvalShingleIndex, cfg16)(p =>
-        new Executer(EvalShingleIndex, p, cfg16)
+      case "q29" => baseStoreOf(key, dir, MinHashIndex, fixtureCfg)(p =>
+        new Executer(MinHashIndex, p, fixtureCfg).execute(docTexts(s, dir)))
+      case "q64" => baseStoreOf(key, dir, WinnowIndex, fixtureCfg)(p =>
+        new Executer(WinnowIndex, p, fixtureCfg).execute(docTexts(s, dir)))
+      case "q37" => baseStoreOf(key, dir, IvfCellIndex, fixtureCfg)(p =>
+        new Executer(IvfCellIndex, p, fixtureCfg).execute(vecDocs(s, dir)))
+      case "q77" => baseStoreOf(key, dir, ShingleFreqIndex, fixtureCfg)(p =>
+        new Executer(ShingleFreqIndex, p, fixtureCfg).execute(docTexts(s, dir)))
+      case "q97" => baseStoreOf(key, dir, SimhashIndex, fixtureCfg)(p =>
+        new Executer(SimhashIndex, p, fixtureCfg).execute(docTexts(s, dir)))
+      case "q91" => baseStoreOf(key, dir, IvfCentroidIndex, fixtureCfg)(p =>
+        new Executer(IvfCentroidIndex, p, fixtureCfg).execute(vecDocs(s, dir)))
+      case "q78" => baseStoreOf(key, dir, EvalShingleIndex, fixtureCfg)(p =>
+        new Executer(EvalShingleIndex, p, fixtureCfg)
           .execute(docTexts(s, dir).filter(_.doc_id % 97 == 0)))
       case "q89" => lengthHistUpdated(s, dir)
       case other => throw new IllegalArgumentException(s"no base build: $other")
@@ -537,7 +537,7 @@ object IncrementalIndexes {
         .repartition(cpuWidth(s)).as[DocText]
       val store = clonedBase("q29", s, dir)
       val ex = new Executer(MinHashIndex, store,
-        cfg16)
+        fixtureCfg)
       // % 43 slice (the q64/q91 doctrine, VERDICT r9 #5 — extended to
       // the %7 siblings in r15 to close the forced-cold tail): the
       // incremental ≡ batch proof needs retraction + re-reduce
@@ -562,7 +562,7 @@ object IncrementalIndexes {
         .repartition(cpuWidth(s)).as[DocText]
       val store = clonedBase("q64", s, dir)
       val ex = new Executer(WinnowIndex, store,
-        cfg16)
+        fixtureCfg)
       // % 29, not the siblings' % 7 (the q89/q77 doctrine, VERDICT r9
       // #5): the oracle needs retraction + re-reduce semantics, which a
       // ~1/29 slice exercises fully, while the 1/7 batch re-ran the
@@ -586,7 +586,7 @@ object IncrementalIndexes {
         .repartition(cpuWidth(s)).as[VecDoc]
       val store = clonedBase("q37", s, dir)
       val ex = new Executer(IvfCellIndex, store,
-        cfg16)
+        fixtureCfg)
       // % 43 slice (same doctrine as q91 below; r15).
       val updates = vecs.filter(_.vec_id % 43 == 0)
         .map(v => v.copy(embedding = v.embedding.map(x => -x)))
@@ -616,7 +616,7 @@ object IncrementalIndexes {
       // distributed join path shuffles once and prunes properly. The
       // 4096 default is the right cliff for this shape.
       val ex = new Executer(ShingleFreqIndex, store,
-        cfg16)
+        fixtureCfg)
       // % 59 (~1.7% of the corpus; was % 29, before that the siblings'
       // % 7): an inverted index's dirty set is the batch's SHINGLE
       // fan-out, so even the 1/29 slice's ~170 docs dirtied tens of
@@ -643,7 +643,7 @@ object IncrementalIndexes {
         .repartition(cpuWidth(s)).as[DocText]
       val store = clonedBase("q97", s, dir)
       val ex = new Executer(SimhashIndex, store,
-        cfg16)
+        fixtureCfg)
       // % 43 slice (same doctrine as q64 above; r15).
       val updates = docs.filter(_.doc_id % 43 == 0)
         .map(d => d.copy(text = d.text + " xrevision"))
@@ -665,7 +665,7 @@ object IncrementalIndexes {
         .repartition(cpuWidth(s)).as[VecDoc]
       val store = clonedBase("q91", s, dir)
       val ex = new Executer(IvfCentroidIndex, store,
-        cfg16)
+        fixtureCfg)
       // % 29 slice for the same reason as q64 above (VERDICT r9 #5):
       // negation still provably moves every updated vector to the
       // complement cell, so retraction + re-reduce of BOTH cells'
@@ -737,7 +737,7 @@ object IncrementalIndexes {
       // release update it exists to measure.
       val store = clonedBase("q78", s, dir)
       val ex = new Executer(EvalShingleIndex, store,
-        cfg16)
+        fixtureCfg)
       Phases.timedUpdate("q78", ex)(ex.execute(docs.filter(d => d.doc_id % 89 == 0 && d.doc_id % 97 != 0)))
       val evalSh = ex.queryAll().select($"sh")
       val trainSh = Curation.shingleStream(s, dir, 4)
