@@ -320,15 +320,12 @@ object StoreReader {
   def changedKeysSince(spark: SparkSession, storePath: String,
       sinceVersion: Long, version: Long = -1L): DataFrame = {
     val (fs, root) = fsFor(spark, storePath)
-    val emptyKeys = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row],
-      StructType(Seq(StructField("reduce_key", StringType))))
     snapOf(fs, root, storePath, version) match {
       case None =>
         require(sinceVersion == -1L,
           s"store has no published generations; sinceVersion must be -1, " +
             s"got $sinceVersion")
-        emptyKeys
+        emptyFinals(spark)
       case Some(snap) =>
         val cur = snap.version
         require(sinceVersion >= -1 && sinceVersion <= cur,
@@ -347,15 +344,26 @@ object StoreReader {
             try Executer.decodeKeyList(in) finally in.close()
           }
         }
+        val distDirs = vs.map(v => new Path(root, s"changed/v$v"))
+          .filter(fs.exists)
+        // Re-check the horizon AFTER enumerating records (code-review
+        // r15): a concurrent compact() writes the horizon BEFORE
+        // deleting records, so a record file that vanished mid-read
+        // shows up here as a horizon past sinceVersion — without this,
+        // the missing generations silently contributed Nil and the
+        // poller's cache went stale with no error, the exact
+        // "never silently under-reports" violation the engine-side
+        // contract forbids.
+        val h2 = changedHorizon(spark, storePath)
+        if (sinceVersion < h2) throw new IllegalStateException(
+          s"changed-keys records were pruned concurrently (horizon now " +
+            s"$h2); cannot answer since=$sinceVersion — refetch everything")
         import spark.implicits._
         val localDf = localKeys.toDF("reduce_key")
-        vs.map(v => new Path(root, s"changed/v$v"))
-          .filter(fs.exists)
-          .foldLeft(localDf) { (acc, d) =>
-            acc.unionByName(spark.read.schema("reduce_key STRING")
-              .parquet(d.toString))
-          }
-          .distinct()
+        distDirs.foldLeft(localDf) { (acc, d) =>
+          acc.unionByName(spark.read.schema("reduce_key STRING")
+            .parquet(d.toString))
+        }.distinct()
     }
   }
 
@@ -378,11 +386,14 @@ object StoreReader {
     *     the better consumer strategy anyway;
     *   - a store whose keys carry MULTIPLE output rows — the engine
     *     refuses via `task.singleOutput`, which an external reader
-    *     cannot know, so this runs one bounded O(churn) count to detect
-    *     ambiguous pairing instead of returning arbitrarily-paired
-    *     images (the one unacceptable shape). The guard makes this
-    *     call eager, unlike the engine's lazy plan — acceptable for a
-    *     poll surface whose result is O(churn) rows. */
+    *     cannot know, so this checks EACH image side for a duplicated
+    *     key (two bounded O(churn) aggregations) before returning the
+    *     lazy joined plan; a per-side check cannot be masked by other
+    *     changed keys' row counts the way a joined-total check could
+    *     (code-review r15). The guard makes this call eager, unlike
+    *     the engine's lazy plan — acceptable for a poll surface whose
+    *     result is O(churn) rows, and the returned plan itself is
+    *     consumed exactly once by the caller. */
   def diffSince(spark: SparkSession, storePath: String, sinceVersion: Long,
       version: Long = -1L, maxChurnKeys: Int = 16384): DataFrame = {
     require(sinceVersion >= 0,
@@ -398,26 +409,34 @@ object StoreReader {
         "or full-resync via finals()")
     val before = keysQuery(spark, storePath, keys, sinceVersion)
     val after = keysQuery(spark, storePath, keys, cur)
+    // Per-SIDE ambiguity guard (code-review r15): the previous
+    // joined-total check (rows > |keys|) could be masked by changed
+    // keys with no image on either side (inserted-then-deleted inside
+    // the window), letting a multi-output key's arbitrarily-paired
+    // images through. A duplicated key on either side is detected
+    // directly, unmaskable.
+    import org.apache.spark.sql.functions.{count => fcount, lit, when}
+    Seq("old" -> before, "new" -> after).foreach { case (side, df) =>
+      val dup = df.groupBy(col("reduce_key")).agg(fcount(lit(1)) as "n")
+        .where(col("n") > 1).limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalStateException(
+        s"diffSince: key '${dup.head.getString(0)}' has multiple output " +
+          s"rows on the $side side, so before/after images cannot be " +
+          "paired by reduce_key; use changedKeysSince + keysQuery")
+    }
     val fields = after.columns.toSeq.filterNot(_ == "reduce_key")
     val b = before.select((col("reduce_key") +:
       fields.map(f => col(f) as s"old_$f")) :+
-      org.apache.spark.sql.functions.lit(true).as("_was"): _*)
+      lit(true).as("_was"): _*)
     val a = after.select((col("reduce_key") +:
       fields.map(f => col(f) as s"new_$f")) :+
-      org.apache.spark.sql.functions.lit(true).as("_is"): _*)
-    import org.apache.spark.sql.functions.when
-    val joined = b.join(a, Seq("reduce_key"), "full_outer")
+      lit(true).as("_is"): _*)
+    b.join(a, Seq("reduce_key"), "full_outer")
       .withColumn("change_type",
         when(col("_was").isNull, "insert")
           .when(col("_is").isNull, "delete")
           .otherwise("update"))
       .drop("_was", "_is")
-    val n = joined.count()
-    if (n > keys.length) throw new IllegalStateException(
-      s"diffSince: $n image pairs for ${keys.length} changed keys — a key " +
-        "has multiple output rows per generation, so before/after images " +
-        "cannot be paired by reduce_key; use changedKeysSince + keysQuery")
-    joined
   }
 
   /** [[finals]] as a named temp view for SQL-only clients — pinned at
