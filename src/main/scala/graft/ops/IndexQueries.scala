@@ -138,6 +138,7 @@ object IndexQueries {
       case "OrdersByPriorityUpdated" => ordersByPriorityUpdated(s, dir)
       case "OrdersRolledBack" => ordersRolledBack(s, dir)
       case "OrdersBranch" => ordersBranch(s, dir)
+      case "StreamingIngest" => streamingIngestIndex(s, dir)
       case "CdcBands" => cdcBandIndex(s, dir)
       case "CdcBandsRecompute" => cdcBandIndexRecompute(s, dir)
       case "CdcBandsDiff" => cdcBandIndexDiff(s, dir)
@@ -326,6 +327,21 @@ object IndexQueries {
         .select($"reduce_key", $"change_type",
           $"old_cnt", toDouble($"old_total") as "old_total",
           $"new_cnt", toDouble($"new_total") as "new_total")
+    },
+
+    // Structured Streaming INGEST under the driver gate: the index is
+    // built and then mutated entirely through `StreamingExecuter.attach`
+    // (readStream → foreachBatch → Executer.execute) — two checkpointed
+    // drains, the second delivering an update batch that re-submits
+    // documents with changed payloads. The oracle recomputes from the
+    // post-update document state, so a green row proves the streaming
+    // front-end preserves the engine's update semantics end-to-end
+    // (StreamingExecuterSpec pins the micro-batch mechanics; this row
+    // pins the RESULT against DuckDB).
+    "q117_streaming_ingest" -> { (s, dir) =>
+      import s.implicits._
+      streamingIngestIndex(s, dir).queryAll()
+        .select($"reduce_key", $"cnt", toDouble($"total") as "total")
     },
 
     // The round-6 SQL catalog, oracle-gated: register the (cached,
@@ -519,6 +535,54 @@ object IndexQueries {
     } { p =>
       new Executer(OrdersByPriority, s"$p/s", obpCfg)
     }._1
+  }
+
+  /** The q117 store: built and then updated THROUGH Structured
+    * Streaming — [[graft.streaming.StreamingExecuter.attach]]'s
+    * foreachBatch → `Executer.execute` path, the ingestion topology a
+    * 100 TB deployment runs (stream delivers document micro-batches;
+    * index maintenance cost per trigger is O(batch + dirty), never
+    * O(index)). Two drains: the initial corpus slice lands as one
+    * stream, then an UPDATE batch (re-submitted documents with mutated
+    * payloads) lands as a second file the checkpointed source picks up
+    * alone — so a green row proves streamed ingest carries the full
+    * update-=-delete+insert semantics, not just appends. The whole
+    * stream cycle runs once inside the cached build; the query body
+    * only reads. */
+  private def streamingIngestIndex(
+      s: SparkSession, dir: String): Executer[OrderDoc, PriorityAgg] = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    def docs = t(s, dir, "orders")
+      .filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").as[OrderDoc]
+    val cfg = ExecuterConfig(fanIn = 8, finalParts = 4)
+    cachedIndex("StreamingIngest", dir, s, cacheKeyOf(OrdersByPriority, cfg)) { p =>
+      val in = TempStores.scratch("graft-q117-in")
+      val ckpt = TempStores.scratch("graft-q117-ckpt")
+      val sx = new graft.streaming.StreamingExecuter(OrdersByPriority, p, cfg)
+      def drain(): Unit = {
+        val stream = s.readStream
+          .schema("o_orderkey LONG, o_orderpriority STRING, o_totalprice DOUBLE")
+          .parquet(in).as[OrderDoc]
+        sx.attach(stream, ckpt).awaitTermination()
+      }
+      Phases.timed("q117", "stream_build") {
+        docs.write.mode("append").parquet(in)
+        drain()
+      }
+      // The update stream: every 21st order (the %7 slice of the %3
+      // corpus) re-submits at '2-HIGH' with a doubled price — the same
+      // shape as q41's mutation, delivered as a micro-batch instead of
+      // an execute() call.
+      Phases.timedUpdate("q117", sx.executer) {
+        docs.filter(_.o_orderkey % 7 == 0)
+          .map(o => OrderDoc(o.o_orderkey, "2-HIGH", o.o_totalprice * 2))
+          .write.mode("append").parquet(in)
+        drain()
+      }
+      -1L
+    } { p => new Executer(OrdersByPriority, p, cfg) }._1
   }
 
   /** Downstream stage of the CDC pipeline (q106): its DOCUMENTS are the
@@ -977,6 +1041,14 @@ object IndexQueries {
       s"""SELECT CAST(c_nationkey AS VARCHAR) AS reduce_key, count(*) AS cnt,
          |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal
          |FROM customer GROUP BY 1""".stripMargin,
+    // The %3 corpus slice with the %21 update batch applied — what the
+    // streamed store must equal after its second drain.
+    "q117_streaming_ingest" ->
+      s"""SELECT CASE WHEN o_orderkey % 21 = 0 THEN '2-HIGH'
+         |            ELSE o_orderpriority END AS reduce_key,
+         |count(*) AS cnt,
+         |CAST(sum(${decSql("CASE WHEN o_orderkey % 21 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS total
+         |FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1""".stripMargin,
     // The two-stage recompute: per-priority aggregate over the
     // POST-update orders (q41's %97 churn), rolled up into bands —
     // what the chained downstream store must equal after its CDC sync.

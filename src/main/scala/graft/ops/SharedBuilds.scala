@@ -78,6 +78,13 @@ object SharedBuilds {
       prereqs = Seq("ordersbypriority"), cacheTag = Some("ordersbranch"))(
       (_, dir) => IndexQueries.storeBuilt("OrdersBranch", dir))(
       (s, dir) => IndexQueries.warmStore("OrdersBranch", s, dir)),
+    // q117's store: built and updated entirely through the Structured
+    // Streaming front-end (two checkpointed drains inside the one-time
+    // build; the query body only reads).
+    b("streamingingest", Seq("q117_streaming_ingest"),
+      cacheTag = Some("streamingingest"))(
+      (_, dir) => IndexQueries.storeBuilt("StreamingIngest", dir))(
+      (s, dir) => IndexQueries.warmStore("StreamingIngest", s, dir)),
     // The chained downstream stage (q106): its build IS a CDC sync off
     // the upstream store, so the upstream is a prereq link.
     b("cdcbands", Seq("q106_cdc_pipeline"),
