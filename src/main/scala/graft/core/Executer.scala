@@ -289,8 +289,15 @@ class Executer[D, R <: Product: TypeTag](
     * a store with a different (fanIn, finalParts) would silently
     * mis-prune every lookup and mis-route every update. The layout is
     * persisted at first build and validated once per instance on every
-    * entry point. Checked lazily so constructing an Executer stays
-    * IO-free. */
+    * entry point. Since round 15 the task's identity
+    * ([[MapReduceTask.taskId]]) is persisted and validated alongside:
+    * map rows and reduce tree are meaningful only under the task that
+    * wrote them, so opening a store with a DIFFERENT named task (and
+    * then updating it) would silently mix two tasks' outputs in one
+    * index. Ids containing `$$anon$` are recorded but never enforced —
+    * anonymous classes have no stable identity across recompiles.
+    * Legacy stores (2-int `_config`, or none) are accepted as-is.
+    * Checked lazily so constructing an Executer stays IO-free. */
   private lazy val configChecked: Unit = {
     val p = new Path(configPath)
     if (fs.exists(p)) {
@@ -300,6 +307,21 @@ class Executer[D, R <: Product: TypeTag](
         require(fi == config.fanIn && fp == config.finalParts,
           s"store $storePath was built with fanIn=$fi finalParts=$fp " +
             s"but opened with fanIn=${config.fanIn} finalParts=${config.finalParts}")
+        // Task-identity trailer (absent on pre-r15 stores: readUTF hits
+        // EOF — accept). Enforced only when BOTH sides are named
+        // classes; an anonymous id on either side never rejects.
+        val stored = try Some(in.readUTF())
+          catch { case _: java.io.EOFException => None }
+        stored.foreach { sid =>
+          val cur = task.taskId
+          require(sid == cur || sid.contains("$$anon$") ||
+              cur.contains("$$anon$"),
+            s"store $storePath was built by task '$sid' but opened with " +
+              s"task '${cur}': an index is only meaningful under the task " +
+              "that wrote it (override MapReduceTask.taskId to pin the " +
+              "old id across a rename, or point the new task at a new " +
+              "store path)")
+        }
       } finally in.close()
     } else if (!exists(mapResultsPath)) {
       // Fresh store: this instance's layout becomes the store's layout.
@@ -310,6 +332,7 @@ class Executer[D, R <: Product: TypeTag](
       fs.mkdirs(new Path(storePath))
       writeLocalAtomic(configPath) { out =>
         out.writeInt(config.fanIn); out.writeInt(config.finalParts)
+        out.writeUTF(task.taskId)
       }
     } // else: pre-_config store — accept as-is.
   }

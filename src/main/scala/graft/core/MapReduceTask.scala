@@ -72,4 +72,19 @@ trait MapReduceTask[D, R] extends Serializable {
     * where an empty group simply disappears. Only consulted when
     * [[deltaReducible]] is true. */
   def isZero(entry: R): Boolean = false
+
+  /** Stable identity of this task's SEMANTICS, persisted in the store's
+    * `_config` at first build and validated on every later open: a
+    * store's map rows and reduce tree are meaningful only under the
+    * task that wrote them, so opening (and especially UPDATING) a store
+    * with a different task would silently mix two tasks' outputs in one
+    * index. Defaults to the class name — stable for the named
+    * `object`/class tasks real deployments use. Override to keep a
+    * store openable across a rename/repackage of the task class (pin
+    * the OLD spelling), or to force a rebuild when semantics change
+    * inside the same class name (bump a suffix). Anonymous classes have
+    * no stable identity, so the engine records but never enforces ids
+    * containing `$$anon$` — test fixtures keep working, named
+    * production tasks get the guard. */
+  def taskId: String = getClass.getName
 }

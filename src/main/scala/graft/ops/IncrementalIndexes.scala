@@ -290,6 +290,10 @@ object IncrementalIndexes {
     def reduceKey(e: ShingleFreq): String = e.sh
     def documentId(d: DocText): String = s"doc-${d.doc_id}"
     override def singleOutput: Boolean = true
+    // Parameterized task: two instances with different k share a class
+    // name but emit incompatible shingle universes — fold k into the
+    // persisted identity so the store guard can tell them apart.
+    override def taskId: String = s"${getClass.getName}#k=$k"
     // Doc counts form an abelian group: the engine maintains this index
     // by DELTAS (subtract the edited docs' old shingles, add the new),
     // O(batch + touched partials) instead of re-reducing every group a

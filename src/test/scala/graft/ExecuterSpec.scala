@@ -299,7 +299,11 @@ object SlowReduceTask extends MapReduceTask[Person, StatePop] {
   def arm(): Unit = armed = true
   def release(): Unit = { armed = false; gate.countDown() }
 
-  /** Same semantics without the latch, for building the base store. */
+  /** Same semantics without the latch, for building the base store.
+    * Shares [[SlowReduceTask]]'s persisted identity — the two classes
+    * ARE the same task semantically, and the store guard
+    * ([[MapReduceTask.taskId]]) would otherwise (correctly) refuse the
+    * cross-class reopen; this is the designed remedy. */
   object Plain extends MapReduceTask[Person, StatePop] {
     def map(docs: Iterator[Person]): Iterator[(String, StatePop)] =
       SlowReduceTask.this.map(docs)
@@ -308,6 +312,7 @@ object SlowReduceTask extends MapReduceTask[Person, StatePop] {
         .map { case (s, es) => StatePop(s, es.map(_.count).sum) }.iterator
     def reduceKey(e: StatePop): String = e.state
     def documentId(p: Person): String = p.id
+    override def taskId: String = SlowReduceTask.taskId
   }
 
   def map(docs: Iterator[Person]): Iterator[(String, StatePop)] =
