@@ -344,6 +344,51 @@ object IndexQueries {
         .select($"reduce_key", $"cnt", toDouble($"total") as "total")
     },
 
+    // Layout migration under the gate (`Executer.reshapeTo`): the
+    // corpus-grew-100× story — re-bucket an existing store's persisted
+    // map rows into a DIFFERENT (fanIn, finalParts) layout at a new
+    // path (no re-map: documents are never read again) and serve the
+    // same answers. The source is the shared read-only CustByNation
+    // store (reshapeTo only reads it); the oracle is q40's — a green
+    // row proves bucket re-routing + full re-reduce preserve every
+    // group bit-for-bit across layouts.
+    "q118_reshape_layout" -> { (s, dir) =>
+      import s.implicits._
+      val dst = custByNationIndex(s, dir).reshapeTo(
+        TempStores.scratch("graft-q118") + "/s",
+        ExecuterConfig(fanIn = 4, finalParts = 2))
+      dst.queryAll()
+        .select($"reduce_key", $"cnt", toDouble($"acctbal") as "acctbal")
+    },
+
+    // Compaction under the gate (`Executer.compact`): clone the shared
+    // q41 store — post-update, so it carries real merge-on-read
+    // tombstones and append fragmentation — fold + consolidate with the
+    // most aggressive setting, and serve the same answers. Oracle is
+    // q41's verbatim; CompactSpec pins the file-count mechanics, this
+    // row pins the RESULT against DuckDB (the q43 clone-and-mutate
+    // doctrine: the shared store is never perturbed).
+    "q119_compacted_read" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val (src, _) = ordersByPriorityUpdated(s, dir)
+      val store = TempStores.cloneOf(src.storePath, "graft-q119")
+      val ex = new Executer(OrdersByPriority, store,
+        ExecuterConfig(fanIn = 16, finalParts = 8))
+      ex.compact(maxFilesPerPartition = 1)
+      ex.queryAll()
+        .select($"reduce_key", $"cnt", toDouble($"total") as "total")
+    },
+
+    // The live-document inventory (`Executer.documentIds`) — what a CDC
+    // consumer diffs against on re-bootstrap to find downstream docs the
+    // new snapshot no longer covers. One distinct over map_results,
+    // post-normalization (the engine's case-insensitive id contract:
+    // ids surface upper-cased).
+    "q120_document_ids" -> { (s, dir) =>
+      custByNationIndex(s, dir).documentIds()
+    },
+
     // The round-6 SQL catalog, oracle-gated: register the (cached,
     // read-only) CustByNation store as temp views and answer entirely
     // through `spark.sql` — the SQL-only consumer's path to maintained
@@ -1041,6 +1086,25 @@ object IndexQueries {
       s"""SELECT CAST(c_nationkey AS VARCHAR) AS reduce_key, count(*) AS cnt,
          |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal
          |FROM customer GROUP BY 1""".stripMargin,
+    // Same grouped truth as q40: the reshape changed the PHYSICAL
+    // layout, never the answers.
+    "q118_reshape_layout" ->
+      s"""SELECT CAST(c_nationkey AS VARCHAR) AS reduce_key, count(*) AS cnt,
+         |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal
+         |FROM customer GROUP BY 1""".stripMargin,
+    // q41's oracle verbatim: compaction folded tombstones and merged
+    // files, never the answers.
+    "q119_compacted_read" ->
+      s"""SELECT CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
+         |            ELSE o_orderpriority END AS reduce_key,
+         |count(*) AS cnt,
+         |CAST(sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS total
+         |FROM orders GROUP BY 1""".stripMargin,
+    // Every live document id, upper-cased per the engine's
+    // case-insensitive id contract.
+    "q120_document_ids" ->
+      """SELECT DISTINCT 'CUSTOMER-' || CAST(c_custkey AS VARCHAR) AS doc_id
+        |FROM customer""".stripMargin,
     // The %3 corpus slice with the %21 update batch applied — what the
     // streamed store must equal after its second drain.
     "q117_streaming_ingest" ->
