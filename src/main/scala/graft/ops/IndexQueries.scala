@@ -354,9 +354,11 @@ object IndexQueries {
     // group bit-for-bit across layouts.
     "q118_reshape_layout" -> { (s, dir) =>
       import s.implicits._
-      val dst = custByNationIndex(s, dir).reshapeTo(
-        TempStores.scratch("graft-q118") + "/s",
-        ExecuterConfig(fanIn = 4, finalParts = 2))
+      val dst = Phases.timed("q118", "reshape") {
+        custByNationIndex(s, dir).reshapeTo(
+          TempStores.scratch("graft-q118") + "/s",
+          ExecuterConfig(fanIn = 4, finalParts = 2))
+      }
       dst.queryAll()
         .select($"reduce_key", $"cnt", toDouble($"acctbal") as "acctbal")
     },
@@ -372,10 +374,14 @@ object IndexQueries {
       implicit val spark: SparkSession = s
       import s.implicits._
       val (src, _) = ordersByPriorityUpdated(s, dir)
-      val store = TempStores.cloneOf(src.storePath, "graft-q119")
+      val store = Phases.timed("q119", "store_clone") {
+        TempStores.cloneOf(src.storePath, "graft-q119")
+      }
       val ex = new Executer(OrdersByPriority, store,
         ExecuterConfig(fanIn = 16, finalParts = 8))
-      ex.compact(maxFilesPerPartition = 1)
+      Phases.timed("q119", "compact") {
+        ex.compact(maxFilesPerPartition = 1)
+      }
       ex.queryAll()
         .select($"reduce_key", $"cnt", toDouble($"total") as "total")
     },
@@ -983,6 +989,22 @@ object IndexQueries {
   // a guaranteed hash mismatch with rows/schema green (the r9–r11 "q106
   // ghost", VERDICT r11 #1). Every integer aggregate an oracle PROJECTS
   // must be CAST to BIGINT; tools/check_oracles.py lints for this.
+  // ONE spelling per shared ground truth (the cdcPipelineOracle
+  // doctrine): q40/q99/q118 gate three surfaces of the same CustByNation
+  // store, q41/q119 two of the same post-update OrdersByPriority store —
+  // a red row must name the diverging SURFACE, never an oracle drift.
+  private lazy val custByNationOracle: String =
+    s"""SELECT CAST(c_nationkey AS VARCHAR) AS reduce_key, count(*) AS cnt,
+       |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal
+       |FROM customer GROUP BY 1""".stripMargin
+
+  private lazy val ordersUpdatedOracle: String =
+    s"""SELECT CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
+       |            ELSE o_orderpriority END AS reduce_key,
+       |count(*) AS cnt,
+       |CAST(sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS total
+       |FROM orders GROUP BY 1""".stripMargin
+
   private lazy val cdcPipelineOracle: String =
     s"""WITH p AS (
        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
@@ -1036,16 +1058,8 @@ object IndexQueries {
       s"""SELECT CAST(c_nationkey AS VARCHAR) AS reduce_key, count(*) AS cnt,
          |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal
          |FROM customer WHERE c_nationkey <> 7 GROUP BY 1""".stripMargin,
-    "q40_mr_index_build" ->
-      s"""SELECT CAST(c_nationkey AS VARCHAR) AS reduce_key, count(*) AS cnt,
-         |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal
-         |FROM customer GROUP BY 1""".stripMargin,
-    "q41_mr_index_update" ->
-      s"""SELECT CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
-         |            ELSE o_orderpriority END AS reduce_key,
-         |count(*) AS cnt,
-         |CAST(sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS total
-         |FROM orders GROUP BY 1""".stripMargin,
+    "q40_mr_index_build" -> custByNationOracle,
+    "q41_mr_index_update" -> ordersUpdatedOracle,
     // Both generations recomputed from scratch: head = the corpus with
     // the %97 update applied, pinned = the unmodified corpus — filtered
     // to the two requested keys, exactly what the engine-free
@@ -1082,24 +1096,13 @@ object IndexQueries {
          |count(*) AS cnt,
          |CAST(sum(${decSql("CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS total
          |FROM orders GROUP BY 1""".stripMargin,
-    "q99_sql_view_read" ->
-      s"""SELECT CAST(c_nationkey AS VARCHAR) AS reduce_key, count(*) AS cnt,
-         |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal
-         |FROM customer GROUP BY 1""".stripMargin,
+    "q99_sql_view_read" -> custByNationOracle,
     // Same grouped truth as q40: the reshape changed the PHYSICAL
     // layout, never the answers.
-    "q118_reshape_layout" ->
-      s"""SELECT CAST(c_nationkey AS VARCHAR) AS reduce_key, count(*) AS cnt,
-         |CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) AS acctbal
-         |FROM customer GROUP BY 1""".stripMargin,
-    // q41's oracle verbatim: compaction folded tombstones and merged
-    // files, never the answers.
-    "q119_compacted_read" ->
-      s"""SELECT CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
-         |            ELSE o_orderpriority END AS reduce_key,
-         |count(*) AS cnt,
-         |CAST(sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS DOUBLE) AS total
-         |FROM orders GROUP BY 1""".stripMargin,
+    "q118_reshape_layout" -> custByNationOracle,
+    // q41's oracle: compaction folded tombstones and merged files,
+    // never the answers.
+    "q119_compacted_read" -> ordersUpdatedOracle,
     // Every live document id, upper-cased per the engine's
     // case-insensitive id contract.
     "q120_document_ids" ->

@@ -48,9 +48,20 @@ private[graft] object StoreCache {
     * derive it from the ACTUAL objects handed to the Executer — a
     * hand-spelled twin string beside the config literal recreates
     * exactly the silent-staleness class this key exists to kill. */
-  def keyOf(task: AnyRef, cfg: graft.core.ExecuterConfig): String =
-    s"${task.getClass.getName}:fanIn=${cfg.fanIn}" +
+  def keyOf(task: AnyRef, cfg: graft.core.ExecuterConfig): String = {
+    // The task component must be the SAME identity the store guard
+    // persists in _config (MapReduceTask.taskId): keying on the class
+    // name alone would restore a cached store built by a differently-
+    // parameterized instance of the same class (e.g. KgramFreqIndex
+    // k=3 vs k=5), which the guard then rejects on every run until the
+    // disk cache is wiped by hand.
+    val id = task match {
+      case t: graft.core.MapReduceTask[_, _] => t.taskId
+      case other => other.getClass.getName
+    }
+    s"$id:fanIn=${cfg.fanIn}" +
       s":finalParts=${cfg.finalParts}:driverDirtyLimit=${cfg.driverDirtyLimit}"
+  }
 
   @volatile private var on = false
   def enable(): Unit = on = true

@@ -53,7 +53,10 @@ class TaskIdGuardSpec extends AnyFunSuite {
   }
 
   test("anonymous tasks are recorded but never enforced") {
-    def anonTask() = new MapReduceTask[Person, StatePop] {
+    // TWO definition sites → two distinct $$anon$ class names; a single
+    // helper called twice would share one class and pass trivially via
+    // sid == cur without ever exercising the exemption.
+    val anonA = new MapReduceTask[Person, StatePop] {
       def map(docs: Iterator[Person]): Iterator[(String, StatePop)] =
         docs.map(p => (p.id, StatePop(p.state, 1L)))
       def reduce(entries: Iterator[StatePop]): Iterator[StatePop] =
@@ -62,12 +65,27 @@ class TaskIdGuardSpec extends AnyFunSuite {
       def reduceKey(e: StatePop): String = e.state
       def documentId(p: Person): String = p.id
     }
+    val anonB = new MapReduceTask[Person, StatePop] {
+      def map(docs: Iterator[Person]): Iterator[(String, StatePop)] =
+        docs.map(p => (p.id, StatePop(p.state, 1L)))
+      def reduce(entries: Iterator[StatePop]): Iterator[StatePop] =
+        entries.toSeq.groupBy(_.state)
+          .map { case (s, es) => StatePop(s, es.map(_.count).sum) }.iterator
+      def reduceKey(e: StatePop): String = e.state
+      def documentId(p: Person): String = p.id
+    }
+    assert(anonA.taskId != anonB.taskId,
+      "fixture must produce two distinct anonymous class names")
     val store = TestTmp.dir("graft-taskid-anon")
-    new Executer(anonTask(), store).execute(people)
-    // A different anonymous class (new $$anon$ name every definition
-    // site) — and a NAMED task over an anon-built store — both open.
-    assert(new Executer(anonTask(), store).queryAll().count() == 2L)
+    new Executer(anonA, store).execute(people)
+    // A DIFFERENT anonymous class (stored-side exemption) — and a NAMED
+    // task over an anon-built store — both open.
+    assert(new Executer(anonB, store).queryAll().count() == 2L)
     assert(new Executer(PeopleCountByState, store).queryAll().count() == 2L)
+    // cur-side exemption: an anonymous task opens a NAMED-built store.
+    val namedStore = TestTmp.dir("graft-taskid-named")
+    new Executer(PeopleCountByState, namedStore).execute(people)
+    assert(new Executer(anonA, namedStore).queryAll().count() == 2L)
   }
 
   test("legacy 2-int _config stores are accepted by any task") {
