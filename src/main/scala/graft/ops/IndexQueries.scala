@@ -139,6 +139,9 @@ object IndexQueries {
       case "OrdersRolledBack" => ordersRolledBack(s, dir)
       case "OrdersBranch" => ordersBranch(s, dir)
       case "StreamingIngest" => streamingIngestIndex(s, dir)
+      case "OrdersByCust" => ordersByCustUpdated(s, dir)
+      case "CustNationIdx" => custNationUpdated(s, dir)
+      case "JoinIdx" => ordersCustJoinIndex(s, dir)
       case "CdcBands" => cdcBandIndex(s, dir)
       case "CdcBandsRecompute" => cdcBandIndexRecompute(s, dir)
       case "CdcBandsDiff" => cdcBandIndexDiff(s, dir)
@@ -395,6 +398,23 @@ object IndexQueries {
       custByNationIndex(s, dir).documentIds()
     },
 
+    // The maintained JOIN under the gate (`graft.streaming
+    // .JoinCdcConsumer`): orders ⋈ customer ON custkey, rolled up by
+    // nation, kept in sync through BOTH upstreams' CDC feeds. The
+    // chain bootstraps at the two pre-churn generations, then one poll
+    // absorbs the left churn (%97 orders re-priced), the right churn
+    // (%89 customers moved nation), and the right-side deletes (%101
+    // customers) — the oracle recomputes the join from the post-churn
+    // document states, so a green row proves incremental equi-join
+    // maintenance end-to-end: per poll the view moved O(churn) keys,
+    // never a rescan of either side.
+    "q121_join_index" -> { (s, dir) =>
+      import s.implicits._
+      ordersCustJoinIndex(s, dir).queryAll()
+        .select($"reduce_key", $"ncust", $"cnt",
+          toDouble($"total") as "total")
+    },
+
     // The round-6 SQL catalog, oracle-gated: register the (cached,
     // read-only) CustByNation store as temp views and answer entirely
     // through `spark.sql` — the SQL-only consumer's path to maintained
@@ -634,6 +654,152 @@ object IndexQueries {
       }
       -1L
     } { p => new Executer(OrdersByPriority, p, cfg) }._1
+  }
+
+  // ---- the maintained JOIN (q121) -----------------------------------
+
+  case class OrderCust(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+  case class CustOrders(custkey: Long, cnt: Long, total: BigDecimal)
+
+  /** Left side of the maintained join: orders pre-aggregated to the
+    * JOIN-KEY grain (per-custkey order count + total) — the fact side
+    * a join consumer reads at O(churn). */
+  object OrdersByCust extends MapReduceTask[OrderCust, CustOrders] {
+    def map(docs: Iterator[OrderCust]): Iterator[(String, CustOrders)] =
+      docs.map(o => (s"orders-${o.o_orderkey}",
+        CustOrders(o.o_custkey, 1L, BigDecimal(o.o_totalprice))))
+    def reduce(entries: Iterator[CustOrders]): Iterator[CustOrders] =
+      entries.toSeq.groupBy(_.custkey).map { case (ck, es) =>
+        CustOrders(ck, es.map(_.cnt).sum, es.map(_.total).sum)
+      }.iterator
+    def reduceKey(e: CustOrders): String = e.custkey.toString
+    override def singleOutput: Boolean = true
+    def documentId(d: OrderCust): String = s"orders-${d.o_orderkey}"
+    override def deltaReducible: Boolean = true
+    override def negate(e: CustOrders): CustOrders =
+      CustOrders(e.custkey, -e.cnt, -e.total)
+    override def isZero(e: CustOrders): Boolean =
+      e.cnt == 0L && e.total.signum == 0
+  }
+
+  case class CustRow(c_custkey: Long, c_nationkey: Int)
+  case class CustNation(custkey: Long, nationkey: Int)
+
+  /** Right side of the maintained join: the customer→nation dimension
+    * as a maintained index (one document per customer, reduce key =
+    * the join key). Any reachable state holds exactly one entry per
+    * key (update = delete + reinsert of that customer's single row);
+    * the fold keeps the reduce deterministic on any multiset anyway. */
+  object CustNationIndex extends MapReduceTask[CustRow, CustNation] {
+    def map(docs: Iterator[CustRow]): Iterator[(String, CustNation)] =
+      docs.map(c => (s"customer-${c.c_custkey}",
+        CustNation(c.c_custkey, c.c_nationkey)))
+    def reduce(entries: Iterator[CustNation]): Iterator[CustNation] = {
+      var best: CustNation = null
+      entries.foreach(e =>
+        if (best == null || e.nationkey > best.nationkey) best = e)
+      if (best == null) Iterator.empty else Iterator(best)
+    }
+    def reduceKey(e: CustNation): String = e.custkey.toString
+    override def singleOutput: Boolean = true
+    def documentId(d: CustRow): String = s"customer-${d.c_custkey}"
+  }
+
+  case class NationOrders(nation: String, ncust: Long, cnt: Long,
+      total: BigDecimal)
+
+  /** The joined view's task: documents are `(joinKey, left, right)`
+    * tuples from [[graft.streaming.JoinCdcConsumer]]; doc id = the join
+    * key (the chain contract), rolled up by the dimension attribute. */
+  object OrdersCustRollup
+      extends MapReduceTask[(String, CustOrders, CustNation), NationOrders] {
+    def map(docs: Iterator[(String, CustOrders, CustNation)]): Iterator[(String, NationOrders)] =
+      docs.map { case (k, a, b) =>
+        (k, NationOrders(b.nationkey.toString, 1L, a.cnt, a.total)) }
+    def reduce(entries: Iterator[NationOrders]): Iterator[NationOrders] =
+      entries.toSeq.groupBy(_.nation).map { case (n, es) =>
+        NationOrders(n, es.map(_.ncust).sum, es.map(_.cnt).sum,
+          es.map(_.total).sum)
+      }.iterator
+    def reduceKey(e: NationOrders): String = e.nation
+    override def singleOutput: Boolean = true
+    def documentId(d: (String, CustOrders, CustNation)): String = d._1
+    override def deltaReducible: Boolean = true
+    override def negate(e: NationOrders): NationOrders =
+      NationOrders(e.nation, -e.ncust, -e.cnt, -e.total)
+    override def isZero(e: NationOrders): Boolean =
+      e.ncust == 0L && e.cnt == 0L && e.total.signum == 0
+  }
+
+  /** Left upstream, built then churned INSIDE its own one-time build
+    * (the ordersByPriorityUpdated doctrine — partial cache hits stay
+    * self-consistent): the %97 orders re-submit at doubled price moves
+    * ~1/97 of the custkeys' aggregates. Returns (executer, pre-churn
+    * generation). */
+  private def ordersByCustUpdated(
+      s: SparkSession, dir: String): (Executer[OrderCust, CustOrders], Long) = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    def orders = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice").as[OrderCust]
+    val cfg = ExecuterConfig(fanIn = 8, finalParts = 4)
+    cachedIndex("OrdersByCust", dir, s, cacheKeyOf(OrdersByCust, cfg)) { p =>
+      val ex = new Executer(OrdersByCust, p, cfg)
+      ex.execute(orders)
+      val v = ex.snapshotVersion()
+      val updates = orders.filter(_.o_orderkey % 97 == 0)
+        .map(o => OrderCust(o.o_orderkey, o.o_custkey, o.o_totalprice * 2))
+      Phases.timedUpdate("q121l", ex)(ex.execute(updates))
+      v
+    } { p => new Executer(OrdersByCust, p, cfg) }
+  }
+
+  /** Right upstream: the dimension, churned (every %89 customer moves
+    * nation) AND shrunk (every %101 customer deleted — the inner join
+    * must drop their orders). Returns (executer, pre-churn
+    * generation). */
+  private def custNationUpdated(
+      s: SparkSession, dir: String): (Executer[CustRow, CustNation], Long) = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    def cust = t(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey").as[CustRow]
+    val cfg = ExecuterConfig(fanIn = 8, finalParts = 4)
+    cachedIndex("CustNationIdx", dir, s, cacheKeyOf(CustNationIndex, cfg)) { p =>
+      val ex = new Executer(CustNationIndex, p, cfg)
+      ex.execute(cust)
+      val v = ex.snapshotVersion()
+      val moved = cust.filter(_.c_custkey % 89 == 0)
+        .map(c => CustRow(c.c_custkey, (c.c_nationkey + 7) % 25))
+      Phases.timedUpdate("q121r", ex)(ex.execute(moved))
+      val gone = cust.filter(_.c_custkey % 101 == 0)
+        .map(c => s"customer-${c.c_custkey}").collect().sorted.toSeq
+      ex.deleteDocuments(gone)
+      v
+    } { p => new Executer(CustNationIndex, p, cfg) }
+  }
+
+  /** The maintained JOIN store (q121): bootstrap pinned at BOTH
+    * upstreams' pre-churn generations, then ONE steady-state poll that
+    * must absorb the left churn, the right churn, and the right-side
+    * deletes through the union of both CDC feeds — O(churn), never a
+    * rescan of either side. strict: a gated build must fail on an
+    * incremental-path bug, not be converged by the resync fallback. */
+  private def ordersCustJoinIndex(s: SparkSession, dir: String)
+      : Executer[(String, CustOrders, CustNation), NationOrders] = {
+    implicit val spark: SparkSession = s
+    val (l, vl) = ordersByCustUpdated(s, dir)
+    val (r, vr) = custNationUpdated(s, dir)
+    val cfg = ExecuterConfig(fanIn = 4, finalParts = 2)
+    cachedIndex("JoinIdx", dir, s, cacheKeyOf(OrdersCustRollup, cfg)) { p =>
+      val c = new graft.streaming.JoinCdcConsumer(l, r, OrdersCustRollup, p,
+        cfg, strict = true)
+      Phases.timed("q121", "join_bootstrap") {
+        c.syncOnce(bootstrapAt = Some((vl, vr)))
+      }
+      Phases.timedUpdate("q121", c.executer) { c.syncOnce() }
+      -1L
+    } { p => new Executer(OrdersCustRollup, p, cfg) }._1
   }
 
   /** Downstream stage of the CDC pipeline (q106): its DOCUMENTS are the
@@ -1108,6 +1274,25 @@ object IndexQueries {
     "q120_document_ids" ->
       """SELECT DISTINCT 'CUSTOMER-' || CAST(c_custkey AS VARCHAR) AS doc_id
         |FROM customer""".stripMargin,
+    // The join recomputed from the post-churn document states: orders
+    // with the %97 re-price, customers with the %89 nation move and
+    // the %101 deletions — an INNER join, so deleted customers' orders
+    // drop out.
+    "q121_join_index" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey AS ck, count(*) AS cnt,
+         |    sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS total
+         |  FROM orders GROUP BY 1),
+         |c AS (
+         |  SELECT c_custkey AS ck,
+         |    CASE WHEN c_custkey % 89 = 0 THEN (c_nationkey + 7) % 25
+         |         ELSE c_nationkey END AS nk
+         |  FROM customer WHERE c_custkey % 101 <> 0)
+         |SELECT CAST(nk AS VARCHAR) AS reduce_key,
+         |  CAST(count(*) AS BIGINT) AS ncust,
+         |  CAST(sum(cnt) AS BIGINT) AS cnt,
+         |  CAST(sum(total) AS DOUBLE) AS total
+         |FROM o JOIN c USING (ck) GROUP BY 1""".stripMargin,
     // The %3 corpus slice with the %21 update batch applied — what the
     // streamed store must equal after its second drain.
     "q117_streaming_ingest" ->

@@ -85,6 +85,21 @@ object SharedBuilds {
       cacheTag = Some("streamingingest"))(
       (_, dir) => IndexQueries.storeBuilt("StreamingIngest", dir))(
       (s, dir) => IndexQueries.warmStore("StreamingIngest", s, dir)),
+    // The maintained-join chain (q121): both upstreams build + churn in
+    // their own entries; the join store's build is the bootstrap sync +
+    // one steady-state poll over both CDC feeds.
+    b("ordersbycust", Seq("q121_join_index"),
+      cacheTag = Some("ordersbycust"))(
+      (_, dir) => IndexQueries.storeBuilt("OrdersByCust", dir))(
+      (s, dir) => IndexQueries.warmStore("OrdersByCust", s, dir)),
+    b("custnation", Seq("q121_join_index"),
+      cacheTag = Some("custnationidx"))(
+      (_, dir) => IndexQueries.storeBuilt("CustNationIdx", dir))(
+      (s, dir) => IndexQueries.warmStore("CustNationIdx", s, dir)),
+    b("joinidx", Seq("q121_join_index"),
+      prereqs = Seq("ordersbycust", "custnation"), cacheTag = Some("joinidx"))(
+      (_, dir) => IndexQueries.storeBuilt("JoinIdx", dir))(
+      (s, dir) => IndexQueries.warmStore("JoinIdx", s, dir)),
     // The chained downstream stage (q106): its build IS a CDC sync off
     // the upstream store, so the upstream is a prereq link.
     b("cdcbands", Seq("q106_cdc_pipeline"),

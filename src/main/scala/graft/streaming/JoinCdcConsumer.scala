@@ -1,0 +1,200 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions.{col, struct, upper}
+
+import graft.core.{Executer, ExecuterConfig, MapReduceTask}
+
+/** Incremental EQUI-JOIN maintenance: a downstream maintained index
+  * whose documents are the INNER JOIN of TWO upstream maintained
+  * indexes' reduce rows, kept in sync through both upstreams' CDC
+  * surfaces — never a rescan of either side.
+  *
+  * This is the composition the single-upstream [[CdcConsumer]] cannot
+  * express, and the view-maintenance shape real pipelines run
+  * constantly (facts ⋈ dimension: documents ⋈ their source metadata,
+  * orders ⋈ customer). The classic difficulty of join maintenance —
+  * "a dimension-side change invalidates every fact row holding that
+  * key" — is exactly what the engine's keyed invalidation already
+  * solves: both upstreams REDUCE on the join key, so a change on
+  * EITHER side names the same downstream document id (the join key),
+  * and one delete-and-reinsert of that key's joined row repairs the
+  * view. Per poll the work is O(churn of both sides), never
+  * O(|left| + |right|).
+  *
+  * Contract:
+  *   - both upstreams' reduce keys ARE the join key (pre-aggregate a
+  *     many-rows-per-key side into its upstream store first — that
+  *     store is the join-key-grained view the join consumes);
+  *   - the downstream task's documents are `(key, leftRow, rightRow)`
+  *     tuples and `documentId` must return the key (the [[CdcConsumer]]
+  *     chain contract, enforced by the engine's map-contract guard);
+  *   - INNER semantics: a key living on only one side contributes no
+  *     downstream document, and a key that LOSES either side is an
+  *     explicit downstream delete.
+  *
+  * Delivery semantics match [[CdcConsumer]]: at-least-once with
+  * idempotent application — the two-cursor file (`_cdc_cursor2`) lands
+  * AFTER the downstream mutation, so a crash between them replays a
+  * converging sync. Bootstrap joins two PINNED snapshots
+  * (`queryAllAt` both sides — immutable, reproducible) distributed,
+  * with the stale-downstream sweep on re-bootstrap; a cursor behind
+  * either upstream's pruning horizon falls back to the same full
+  * resync. `strict = true` rethrows incremental-poll failures instead
+  * of resyncing (the q106-family doctrine: gated builds must fail on
+  * an incremental-path bug, not be converged past it).
+  *
+  * Scope note: the cross-store snapshot-pinning ledger ([[CdcConsumer]]
+  * records (downGen, upCursor) pairs) is not yet kept here — a pinned
+  * three-store read needs (downGen, leftCursor, rightCursor) triples;
+  * same mechanism, deferred until a consumer needs it.
+  */
+class JoinCdcConsumer[
+    RA <: Product: TypeTag, RB <: Product: TypeTag, RD <: Product: TypeTag](
+    left: Executer[_, RA],
+    right: Executer[_, RB],
+    task: MapReduceTask[(String, RA, RB), RD],
+    storePath: String,
+    config: ExecuterConfig = ExecuterConfig(),
+    strict: Boolean = false)(implicit spark: SparkSession) {
+
+  val executer = new Executer[(String, RA, RB), RD](task, storePath, config)
+
+  private implicit val encRA: Encoder[RA] = Encoders.product[RA]
+  private implicit val encRB: Encoder[RB] = Encoders.product[RB]
+  private implicit val encDoc: Encoder[(String, RA, RB)] =
+    Encoders.tuple(Encoders.STRING, encRA, encRB)
+  private val aFields = encRA.schema.fieldNames.toSeq
+  private val bFields = encRB.schema.fieldNames.toSeq
+
+  private val cursorFile = Paths.get(storePath, "_cdc_cursor2")
+
+  /** The last (left, right) upstream generations fully applied;
+    * (−1, −1) before the bootstrap sync. */
+  def cursors: (Long, Long) =
+    if (!Files.exists(cursorFile)) (-1L, -1L)
+    else {
+      val Array(l, r) = new String(Files.readAllBytes(cursorFile),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split(' ')
+      (l.toLong, r.toLong)
+    }
+
+  private def writeCursors(l: Long, r: Long): Unit = {
+    val tmp = Paths.get(s"$cursorFile.tmp-${ProcessHandle.current().pid()}")
+    Files.write(tmp, s"$l $r".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, cursorFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** One side's pinned snapshot as (join key, payload struct) — the
+    * positional rename keeps the key addressable even if the payload
+    * type itself has a `reduce_key` field (the [[CdcConsumer]] resync
+    * doctrine). */
+  private def snapSide(ex: Executer[_, _], at: Long, fields: Seq[String],
+      keyCol: String, payloadCol: String) = {
+    val df = ex.queryAllAt(at).toDF(("__graft_reduce_key" +: fields): _*)
+    df.select(col("__graft_reduce_key") as keyCol,
+      struct(fields.map(df.col): _*) as payloadCol)
+  }
+
+  /** Full (re)sync: distributed inner join of the two pinned snapshots,
+    * stale-downstream sweep, upsert, land both cursors. Serves the
+    * bootstrap AND the past-the-horizon fallback. */
+  private def resync(al: Long, ar: Long): (Long, Long) = {
+    val joined = snapSide(left, al, aFields, "_1", "_2")
+      .join(snapSide(right, ar, bFields, "_1", "_3"), "_1")
+      .select("_1", "_2", "_3")
+    if (!executer.isEmptyStore) {
+      // Ids present downstream but absent from the joined key set —
+      // keys that lost a side while this consumer was blind would
+      // otherwise stay stale forever. Post-normalization compare, same
+      // as the engine's own id handling; bounded by the stale count.
+      val stale = executer.documentIds()
+        .join(joined.select(upper(col("_1")) as "doc_id"),
+          Seq("doc_id"), "left_anti")
+        .collect().map(_.getString(0)).sorted.toSeq
+      if (stale.nonEmpty) executer.deleteDocuments(stale)
+    }
+    executer.execute(joined.as[(String, RA, RB)])
+    writeCursors(al, ar)
+    (al, ar)
+  }
+
+  /** One consumer poll over BOTH upstreams. Bootstrap (no cursors yet):
+    * join the two snapshots pinned at `bootstrapAt` (default: both
+    * current generations). Steady state: the dirty key set is the UNION
+    * of both sides' `changedKeysSince` feeds; refetch both sides'
+    * current rows for exactly those keys (point-pruned `queryKeys`),
+    * re-execute the keys holding both sides, delete the keys that lost
+    * one. Driver-side work is O(churn), the bound the CDC surface
+    * exists to keep small. Returns the new cursors. */
+  def syncOnce(
+      bootstrapAt: Option[(Long, Long)] = None): (Long, Long) = synchronized {
+    val (cl, cr) = cursors
+    val (nl, nr) = (left.snapshotVersion(), right.snapshotVersion())
+    require(nl >= 0 && nr >= 0,
+      "JoinCdcConsumer needs manifest upstream stores with at least one " +
+        "published generation each")
+    if (cl < 0) {
+      val (al, ar) = bootstrapAt.getOrElse((nl, nr))
+      require(al >= 0 && al <= nl && ar >= 0 && ar <= nr,
+        s"bootstrapAt must name published generations in ([0,$nl],[0,$nr]), " +
+          s"got ($al,$ar)")
+      return resync(al, ar)
+    }
+    require(bootstrapAt.isEmpty,
+      s"bootstrapAt is a bootstrap-only parameter; cursors are ($cl,$cr)")
+    if (nl == cl && nr == cr) return (cl, cr)
+    if (cl < left.changedHorizonVersion() ||
+        cr < right.changedHorizonVersion()) return resync(nl, nr)
+    try incrementalPoll(cl, cr, nl, nr)
+    catch { case scala.util.control.NonFatal(e) if !strict =>
+      System.err.println(s"[graft][joincdc] incremental poll since=($cl,$cr) " +
+        s"now=($nl,$nr) failed (${e.getClass.getSimpleName}: " +
+        s"${String.valueOf(e.getMessage).take(200)}); falling back to " +
+        "full resync")
+      resync(nl, nr)
+    }
+  }
+
+  private def sideRows[P <: Product](ex: Executer[_, P], keys: Seq[String],
+      fields: Seq[String])(implicit enc: Encoder[P]): Map[String, P] = {
+    val df = ex.queryKeys(keys)
+    implicit val encKV: Encoder[(String, P)] =
+      Encoders.tuple(Encoders.STRING, enc)
+    df.select(df.col("reduce_key"),
+        struct(fields.map(df.col): _*) as "payload")
+      .as[(String, P)].collect().toMap
+  }
+
+  private def incrementalPoll(cl: Long, cr: Long,
+      nl: Long, nr: Long): (Long, Long) = {
+    val dirty = (
+      (if (nl > cl) left.changedKeysSince(cl).collect().map(_.getString(0))
+       else Array.empty[String]) ++
+      (if (nr > cr) right.changedKeysSince(cr).collect().map(_.getString(0))
+       else Array.empty[String])).distinct.sorted.toSeq
+    if (dirty.nonEmpty) {
+      val lRows = sideRows(left, dirty, aFields)
+      val rRows = sideRows(right, dirty, bFields)
+      // Inner join over the dirty keys, sorted for a byte-identical
+      // sync batch across runs.
+      val live = dirty.flatMap(k =>
+        for (a <- lRows.get(k); b <- rRows.get(k)) yield (k, a, b))
+      if (live.nonEmpty) executer.execute(spark.createDataset(live))
+      val liveKeys = live.map(_._1).toSet
+      val vanished = dirty.filterNot(liveKeys)
+      if (vanished.nonEmpty) executer.deleteDocuments(vanished)
+    }
+    writeCursors(nl, nr)
+    (nl, nr)
+  }
+
+  def queryAll() = executer.queryAll()
+}

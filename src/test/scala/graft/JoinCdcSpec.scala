@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Executer, ExecuterConfig, MapReduceTask}
+import graft.streaming.JoinCdcConsumer
+
+case class FactDoc(id: String, k: String, v: Long)
+case class FactSum(k: String, n: Long, sum: Long)
+case class DimDoc(k: String, tag: String)
+case class DimTag(k: String, tag: String)
+case class TagTotal(tag: String, nkeys: Long, sum: Long)
+
+/** Left upstream: facts pre-aggregated to the join-key grain. */
+object FactByKey extends MapReduceTask[FactDoc, FactSum] {
+  def map(docs: Iterator[FactDoc]): Iterator[(String, FactSum)] =
+    docs.map(d => (d.id, FactSum(d.k, 1L, d.v)))
+  def reduce(entries: Iterator[FactSum]): Iterator[FactSum] =
+    entries.toSeq.groupBy(_.k).map { case (k, es) =>
+      FactSum(k, es.map(_.n).sum, es.map(_.sum).sum) }.iterator
+  def reduceKey(e: FactSum): String = e.k
+  override def singleOutput: Boolean = true
+  def documentId(d: FactDoc): String = d.id
+}
+
+/** Right upstream: the dimension, one document per join key. */
+object DimByKey extends MapReduceTask[DimDoc, DimTag] {
+  def map(docs: Iterator[DimDoc]): Iterator[(String, DimTag)] =
+    docs.map(d => (s"dim-${d.k}", DimTag(d.k, d.tag)))
+  def reduce(entries: Iterator[DimTag]): Iterator[DimTag] =
+    entries.toSeq.sortBy(_.tag).lastOption.iterator
+  def reduceKey(e: DimTag): String = e.k
+  override def singleOutput: Boolean = true
+  def documentId(d: DimDoc): String = s"dim-${d.k}"
+}
+
+/** Downstream: the joined view rolled up by the dimension attribute. */
+object JoinByTag extends MapReduceTask[(String, FactSum, DimTag), TagTotal] {
+  def map(docs: Iterator[(String, FactSum, DimTag)]): Iterator[(String, TagTotal)] =
+    docs.map { case (k, f, d) => (k, TagTotal(d.tag, 1L, f.sum)) }
+  def reduce(entries: Iterator[TagTotal]): Iterator[TagTotal] =
+    entries.toSeq.groupBy(_.tag).map { case (t, es) =>
+      TagTotal(t, es.map(_.nkeys).sum, es.map(_.sum).sum) }.iterator
+  def reduceKey(e: TagTotal): String = e.tag
+  override def singleOutput: Boolean = true
+  def documentId(d: (String, FactSum, DimTag)): String = d._1
+}
+
+/** [[JoinCdcConsumer]] protocol edges the q121 gate row does not pin:
+  * inner-join appearance/disappearance as keys gain and lose sides,
+  * no-op polls, pinned bootstrap, replay idempotence, and the
+  * past-the-horizon resync fallback. */
+class JoinCdcSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def facts(rows: (String, String, Long)*) =
+    spark.createDataset(rows.map(r => FactDoc(r._1, r._2, r._3)))
+  private def dims(rows: (String, String)*) =
+    spark.createDataset(rows.map(r => DimDoc(r._1, r._2)))
+
+  private def state(c: JoinCdcConsumer[FactSum, DimTag, TagTotal]) =
+    c.queryAll().as[(String, String, Long, Long)].collect()
+      .map { case (_, t, n, s) => t -> ((n, s)) }.toMap
+
+  test("both-side churn, side loss, side gain — one poll each") {
+    val l = new Executer(FactByKey, TestTmp.dir("graft-jcdc-l"),
+      ExecuterConfig(fanIn = 4, finalParts = 2))
+    val r = new Executer(DimByKey, TestTmp.dir("graft-jcdc-r"),
+      ExecuterConfig(fanIn = 4, finalParts = 2))
+    l.execute(facts(("f1", "k1", 10L), ("f2", "k1", 5L), ("f3", "k2", 7L),
+      ("f4", "k3", 1L)))
+    r.execute(dims(("k1", "red"), ("k2", "blue")))
+    val downDir = TestTmp.dir("graft-jcdc-d")
+    val c = new JoinCdcConsumer(l, r, JoinByTag,
+      downDir, ExecuterConfig(fanIn = 2, finalParts = 1),
+      strict = true)
+    c.syncOnce()
+    // k3 has no dimension row: inner join drops it.
+    assert(state(c) == Map("red" -> ((1L, 15L)), "blue" -> ((1L, 7L))))
+
+    // No upstream movement → poll is a cursor no-op.
+    val cur = c.cursors
+    assert(c.syncOnce() == cur)
+
+    // LEFT churn: f2 re-submitted under k2 (k1 loses it, k2 gains it).
+    l.execute(facts(("f2", "k2", 5L)))
+    c.syncOnce()
+    assert(state(c) == Map("red" -> ((1L, 10L)), "blue" -> ((1L, 12L))))
+
+    // RIGHT churn: k1 moves to blue; k3 GAINS a dimension row (the
+    // previously dropped key must appear); k2's row is deleted (loses
+    // its side → downstream delete).
+    r.execute(dims(("k1", "blue"), ("k3", "green")))
+    r.deleteDocuments(Seq("dim-k2"))
+    c.syncOnce()
+    assert(state(c) == Map("blue" -> ((1L, 10L)), "green" -> ((1L, 1L))))
+
+    // Replay idempotence: a crash BETWEEN the downstream mutation and
+    // the cursor write replays the whole sync — simulate it by deleting
+    // the cursor file, which forces a full bootstrap resync onto the
+    // already-synced store. At-least-once application must converge
+    // (delete-and-reinsert per doc id + the stale sweep).
+    val before = state(c)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(downDir, "_cdc_cursor2"))
+    c.syncOnce()
+    assert(state(c) == before)
+  }
+
+  test("pinned bootstrap reflects the named generations, later poll catches up") {
+    val l = new Executer(FactByKey, TestTmp.dir("graft-jcdc2-l"),
+      ExecuterConfig(fanIn = 4, finalParts = 2))
+    val r = new Executer(DimByKey, TestTmp.dir("graft-jcdc2-r"),
+      ExecuterConfig(fanIn = 4, finalParts = 2))
+    l.execute(facts(("f1", "k1", 3L)))
+    r.execute(dims(("k1", "red")))
+    val (vl, vr) = (l.snapshotVersion(), r.snapshotVersion())
+    // Churn AFTER the pin: the bootstrap must not see it.
+    l.execute(facts(("f1", "k1", 4L)))
+    r.execute(dims(("k1", "blue")))
+    val c = new JoinCdcConsumer(l, r, JoinByTag,
+      TestTmp.dir("graft-jcdc2-d"), ExecuterConfig(fanIn = 2, finalParts = 1),
+      strict = true)
+    c.syncOnce(bootstrapAt = Some((vl, vr)))
+    assert(state(c) == Map("red" -> ((1L, 3L))))
+    c.syncOnce()
+    assert(state(c) == Map("blue" -> ((1L, 4L))))
+    // bootstrapAt after bootstrap is a contract error.
+    intercept[IllegalArgumentException](
+      c.syncOnce(bootstrapAt = Some((vl, vr))))
+  }
+
+  test("a cursor past either side's pruning horizon falls back to a full resync") {
+    val l = new Executer(FactByKey, TestTmp.dir("graft-jcdc3-l"),
+      ExecuterConfig(fanIn = 4, finalParts = 2))
+    val r = new Executer(DimByKey, TestTmp.dir("graft-jcdc3-r"),
+      ExecuterConfig(fanIn = 4, finalParts = 2))
+    l.execute(facts(("f1", "k1", 3L), ("f2", "k2", 9L)))
+    r.execute(dims(("k1", "red"), ("k2", "blue")))
+    val c = new JoinCdcConsumer(l, r, JoinByTag,
+      TestTmp.dir("graft-jcdc3-d"), ExecuterConfig(fanIn = 2, finalParts = 1))
+    c.syncOnce()
+    // Churn the left side several generations, then compact it — the
+    // consumer's left cursor is now behind the pruning horizon, so the
+    // next poll must converge via the snapshot path (including the
+    // stale sweep for k2, whose dimension row also vanishes below).
+    l.execute(facts(("f1", "k1", 4L)))
+    l.execute(facts(("f1", "k1", 5L)))
+    l.compact(maxFilesPerPartition = 1)
+    r.deleteDocuments(Seq("dim-k2"))
+    c.syncOnce()
+    assert(state(c) == Map("red" -> ((1L, 5L))))
+  }
+}
