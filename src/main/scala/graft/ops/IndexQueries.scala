@@ -402,8 +402,8 @@ object IndexQueries {
     // .JoinCdcConsumer`): orders ⋈ customer ON custkey, rolled up by
     // nation, kept in sync through BOTH upstreams' CDC feeds. The
     // chain bootstraps at the two pre-churn generations, then one poll
-    // absorbs the left churn (%97 orders re-priced), the right churn
-    // (%89 customers moved nation), and the right-side deletes (%101
+    // absorbs the left churn (%21 orders re-priced), the right churn
+    // (%45 customers moved nation), and the right-side deletes (%55
     // customers) — the oracle recomputes the join from the post-churn
     // document states, so a green row proves incremental equi-join
     // maintenance end-to-end: per poll the view moved O(churn) keys,
@@ -733,29 +733,32 @@ object IndexQueries {
 
   /** Left upstream, built then churned INSIDE its own one-time build
     * (the ordersByPriorityUpdated doctrine — partial cache hits stay
-    * self-consistent): the %97 orders re-submit at doubled price moves
-    * ~1/97 of the custkeys' aggregates. Returns (executer, pre-churn
-    * generation). */
+    * self-consistent). The custkey%5 subspace is the §23.2 fixture
+    * doctrine: the join PROTOCOL is the claim, not corpus size (the
+    * scale headline lives in the ivm section), and the full-corpus
+    * chain cost 13.5s cold for one gate row. Returns (executer,
+    * pre-churn generation). */
   private def ordersByCustUpdated(
       s: SparkSession, dir: String): (Executer[OrderCust, CustOrders], Long) = {
     implicit val spark: SparkSession = s
     import s.implicits._
     def orders = t(s, dir, "orders")
+      .filter($"o_custkey" % 5 === 0)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice").as[OrderCust]
     val cfg = ExecuterConfig(fanIn = 8, finalParts = 4)
     cachedIndex("OrdersByCust", dir, s, cacheKeyOf(OrdersByCust, cfg)) { p =>
       val ex = new Executer(OrdersByCust, p, cfg)
       ex.execute(orders)
       val v = ex.snapshotVersion()
-      val updates = orders.filter(_.o_orderkey % 97 == 0)
+      val updates = orders.filter(_.o_orderkey % 21 == 0)
         .map(o => OrderCust(o.o_orderkey, o.o_custkey, o.o_totalprice * 2))
       Phases.timedUpdate("q121l", ex)(ex.execute(updates))
       v
     } { p => new Executer(OrdersByCust, p, cfg) }
   }
 
-  /** Right upstream: the dimension, churned (every %89 customer moves
-    * nation) AND shrunk (every %101 customer deleted — the inner join
+  /** Right upstream: the dimension, churned (every %45 customer moves
+    * nation) AND shrunk (every %55 customer deleted — the inner join
     * must drop their orders). Returns (executer, pre-churn
     * generation). */
   private def custNationUpdated(
@@ -763,16 +766,17 @@ object IndexQueries {
     implicit val spark: SparkSession = s
     import s.implicits._
     def cust = t(s, dir, "customer")
+      .filter($"c_custkey" % 5 === 0)
       .select($"c_custkey", $"c_nationkey").as[CustRow]
     val cfg = ExecuterConfig(fanIn = 8, finalParts = 4)
     cachedIndex("CustNationIdx", dir, s, cacheKeyOf(CustNationIndex, cfg)) { p =>
       val ex = new Executer(CustNationIndex, p, cfg)
       ex.execute(cust)
       val v = ex.snapshotVersion()
-      val moved = cust.filter(_.c_custkey % 89 == 0)
+      val moved = cust.filter(_.c_custkey % 45 == 0)
         .map(c => CustRow(c.c_custkey, (c.c_nationkey + 7) % 25))
       Phases.timedUpdate("q121r", ex)(ex.execute(moved))
-      val gone = cust.filter(_.c_custkey % 101 == 0)
+      val gone = cust.filter(_.c_custkey % 55 == 0)
         .map(c => s"customer-${c.c_custkey}").collect().sorted.toSeq
       ex.deleteDocuments(gone)
       v
@@ -1275,19 +1279,19 @@ object IndexQueries {
       """SELECT DISTINCT 'CUSTOMER-' || CAST(c_custkey AS VARCHAR) AS doc_id
         |FROM customer""".stripMargin,
     // The join recomputed from the post-churn document states: orders
-    // with the %97 re-price, customers with the %89 nation move and
-    // the %101 deletions — an INNER join, so deleted customers' orders
-    // drop out.
+    // (custkey%5 subspace) with the %21 re-price, customers with the
+    // %45 nation move and the %55 deletions — an INNER join, so deleted
+    // customers' orders drop out.
     "q121_join_index" ->
       s"""WITH o AS (
          |  SELECT o_custkey AS ck, count(*) AS cnt,
-         |    sum(${decSql("CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS total
-         |  FROM orders GROUP BY 1),
+         |    sum(${decSql("CASE WHEN o_orderkey % 21 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}) AS total
+         |  FROM orders WHERE o_custkey % 5 = 0 GROUP BY 1),
          |c AS (
          |  SELECT c_custkey AS ck,
-         |    CASE WHEN c_custkey % 89 = 0 THEN (c_nationkey + 7) % 25
+         |    CASE WHEN c_custkey % 45 = 0 THEN (c_nationkey + 7) % 25
          |         ELSE c_nationkey END AS nk
-         |  FROM customer WHERE c_custkey % 101 <> 0)
+         |  FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 55 <> 0)
          |SELECT CAST(nk AS VARCHAR) AS reduce_key,
          |  CAST(count(*) AS BIGINT) AS ncust,
          |  CAST(sum(cnt) AS BIGINT) AS cnt,
