@@ -745,7 +745,7 @@ object IndexQueries {
     def orders = t(s, dir, "orders")
       .filter($"o_custkey" % 5 === 0)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice").as[OrderCust]
-    val cfg = ExecuterConfig(fanIn = 8, finalParts = 4)
+    val cfg = ExecuterConfig(fanIn = 4, finalParts = 2)
     cachedIndex("OrdersByCust", dir, s, cacheKeyOf(OrdersByCust, cfg)) { p =>
       val ex = new Executer(OrdersByCust, p, cfg)
       ex.execute(orders)
@@ -768,7 +768,7 @@ object IndexQueries {
     def cust = t(s, dir, "customer")
       .filter($"c_custkey" % 5 === 0)
       .select($"c_custkey", $"c_nationkey").as[CustRow]
-    val cfg = ExecuterConfig(fanIn = 8, finalParts = 4)
+    val cfg = ExecuterConfig(fanIn = 4, finalParts = 2)
     cachedIndex("CustNationIdx", dir, s, cacheKeyOf(CustNationIndex, cfg)) { p =>
       val ex = new Executer(CustNationIndex, p, cfg)
       ex.execute(cust)
@@ -794,7 +794,7 @@ object IndexQueries {
     implicit val spark: SparkSession = s
     val (l, vl) = ordersByCustUpdated(s, dir)
     val (r, vr) = custNationUpdated(s, dir)
-    val cfg = ExecuterConfig(fanIn = 4, finalParts = 2)
+    val cfg = ExecuterConfig(fanIn = 2, finalParts = 1)
     cachedIndex("JoinIdx", dir, s, cacheKeyOf(OrdersCustRollup, cfg)) { p =>
       val c = new graft.streaming.JoinCdcConsumer(l, r, OrdersCustRollup, p,
         cfg, strict = true)
