@@ -25,8 +25,11 @@ case class CdcHealth(
   * (VERDICT r8 #8 / r9 next #8): a DOWNSTREAM maintained index whose
   * documents are an UPSTREAM maintained index's reduce rows, kept in
   * sync through the CDC surface, never a rescan of upstream state.
-  * Since r11 this class is the ONE spelling of the sync protocol —
-  * the gated q106 family builds its chains through it — with two
+  * Since r11 this class is the ONE spelling of the SINGLE-upstream
+  * sync protocol — the gated q106 family builds its chains through it
+  * (the two-upstream join variant, [[JoinCdcConsumer]], carries the
+  * same cursor/resync/strict doctrine for the join shape; protocol
+  * fixes landing here should be checked against it) — with two
   * steady-state modes: `changedKeysSince` (the O(churn) invalidation
   * set the upstream records as a byproduct of its own dirty tracking)
   * plus point-pruned `queryKeys` refetch (default), or `viaDiff` —
@@ -419,7 +422,12 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
     val changed = up.changedKeysSince(since)
       .collect().map(_.getString(0)).sorted.toSeq
     if (changed.nonEmpty) {
+      // Positional rename, same as resync's: queryKeys returns
+      // `reduce_key` + RU's payload fields, so a payload type with its
+      // own `reduce_key` field would otherwise make every column
+      // reference below ambiguous.
       val liveDF = up.queryKeys(changed)
+        .toDF(("__graft_reduce_key" +: fields): _*)
       // One bounded collect of (key, payload): the keys say which
       // documents are live (vanished = changed minus live), the
       // payloads are the refetched downstream documents. Sorted by key
@@ -427,7 +435,7 @@ class CdcConsumer[RU <: Product: TypeTag, RD <: Product: TypeTag](
       implicit val encKV: Encoder[(String, RU)] =
         Encoders.tuple(Encoders.STRING, encRU)
       val live = liveDF
-        .select(liveDF.col("reduce_key"),
+        .select(liveDF.col("__graft_reduce_key"),
           org.apache.spark.sql.functions.struct(
             fields.map(liveDF.col): _*) as "payload")
         .as[(String, RU)]

@@ -48,10 +48,15 @@ import graft.core.{Executer, ExecuterConfig, MapReduceTask}
   * of resyncing (the q106-family doctrine: gated builds must fail on
   * an incremental-path bug, not be converged past it).
   *
-  * Scope note: the cross-store snapshot-pinning ledger ([[CdcConsumer]]
-  * records (downGen, upCursor) pairs) is not yet kept here — a pinned
-  * three-store read needs (downGen, leftCursor, rightCursor) triples;
-  * same mechanism, deferred until a consumer needs it.
+  * Scope note — the deliberate deltas from [[CdcConsumer]] (which
+  * remains the one spelling of the SINGLE-upstream protocol; this class
+  * carries the same cursor/resync/strict doctrine for the join shape):
+  * no cross-store snapshot-pinning ledger yet (a pinned three-store
+  * read needs (downGen, leftCursor, rightCursor) triples — same
+  * mechanism, deferred until a consumer needs it), no health counters,
+  * no `attach`/`viaDiff` (the changed-keys + refetch protocol is the
+  * only steady-state mode). A protocol fix landing in either class
+  * should be checked against the other.
   */
 class JoinCdcConsumer[
     RA <: Product: TypeTag, RB <: Product: TypeTag, RD <: Product: TypeTag](
@@ -150,6 +155,19 @@ class JoinCdcConsumer[
     }
     require(bootstrapAt.isEmpty,
       s"bootstrapAt is a bootstrap-only parameter; cursors are ($cl,$cr)")
+    // A cursor AHEAD of its upstream's head means the upstream was
+    // regenerated at the same path, or this store was restored from a
+    // newer backup than its upstreams — silently skipping that side's
+    // feed and rewriting the cursor backward would leave every key
+    // changed in the lost range stale forever. Fail loudly, like the
+    // engine's own below-horizon reads (CdcConsumer inherits the same
+    // loud failure from changedKeysSince's require).
+    require(nl >= cl && nr >= cr,
+      s"consumer cursors ($cl,$cr) are ahead of the upstream heads " +
+        s"($nl,$nr): an upstream store was replaced or this store was " +
+        "restored from a newer backup — rebuild the consumer (delete " +
+        "_cdc_cursor2 to force a bootstrap resync) after verifying the " +
+        "upstream paths")
     if (nl == cl && nr == cr) return (cl, cr)
     if (cl < left.changedHorizonVersion() ||
         cr < right.changedHorizonVersion()) return resync(nl, nr)
@@ -165,12 +183,27 @@ class JoinCdcConsumer[
 
   private def sideRows[P <: Product](ex: Executer[_, P], keys: Seq[String],
       fields: Seq[String])(implicit enc: Encoder[P]): Map[String, P] = {
-    val df = ex.queryKeys(keys)
+    // Positional rename, same as resync's snapSide: queryKeys returns
+    // `reduce_key` + the payload fields, so a payload type with its own
+    // `reduce_key` field would otherwise make every column reference
+    // ambiguous.
+    val df = ex.queryKeys(keys).toDF(("__graft_reduce_key" +: fields): _*)
     implicit val encKV: Encoder[(String, P)] =
       Encoders.tuple(Encoders.STRING, enc)
-    df.select(df.col("reduce_key"),
+    val rows = df.select(col("__graft_reduce_key"),
         struct(fields.map(df.col): _*) as "payload")
-      .as[(String, P)].collect().toMap
+      .as[(String, P)].collect()
+    // The join contract needs exactly one reduce row per key on each
+    // side (pre-aggregate to the join-key grain upstream). A multi-row
+    // key would be silently last-wins'd by the map — and the RESYNC
+    // path would instead m×n-join it (then die on the engine's dup-id
+    // guard) — so refuse loudly here, where the violation is visible.
+    val dup = rows.groupBy(_._1).collectFirst { case (k, vs) if vs.length > 1 => k }
+    require(dup.isEmpty,
+      s"join upstream ${ex.storePath} returned multiple reduce rows for " +
+        s"key '${dup.get}': JoinCdcConsumer upstreams must be single-output " +
+        "per join key (pre-aggregate that side into its upstream store)")
+    rows.toMap
   }
 
   private def incrementalPoll(cl: Long, cr: Long,

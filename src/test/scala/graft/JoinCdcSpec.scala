@@ -92,21 +92,30 @@ class JoinCdcSpec extends AnyFunSuite {
     // RIGHT churn: k1 moves to blue; k3 GAINS a dimension row (the
     // previously dropped key must appear); k2's row is deleted (loses
     // its side → downstream delete).
+    val (pl, pr) = c.cursors
     r.execute(dims(("k1", "blue"), ("k3", "green")))
     r.deleteDocuments(Seq("dim-k2"))
     c.syncOnce()
     assert(state(c) == Map("blue" -> ((1L, 10L)), "green" -> ((1L, 1L))))
 
-    // Replay idempotence: a crash BETWEEN the downstream mutation and
-    // the cursor write replays the whole sync — simulate it by deleting
-    // the cursor file, which forces a full bootstrap resync onto the
-    // already-synced store. At-least-once application must converge
-    // (delete-and-reinsert per doc id + the stale sweep).
+    // INCREMENTAL replay: a crash between the downstream mutation and
+    // the cursor write replays incrementalPoll from the OLD cursors —
+    // simulate it by rewriting the pre-poll cursor pair and polling
+    // again. The replayed batch (re-execute k1/k3, re-delete k2) must
+    // converge: delete-and-reinsert per doc id + no-op deletes.
     val before = state(c)
-    java.nio.file.Files.delete(
-      java.nio.file.Paths.get(downDir, "_cdc_cursor2"))
+    val cursorPath = java.nio.file.Paths.get(downDir, "_cdc_cursor2")
+    java.nio.file.Files.write(cursorPath, s"$pl $pr".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
     c.syncOnce()
-    assert(state(c) == before)
+    assert(state(c) == before, "incremental replay must converge")
+
+    // BOOTSTRAP replay: losing the cursor file entirely forces a full
+    // resync onto the already-synced store — at-least-once application
+    // must converge there too (snapshot upsert + the stale sweep).
+    java.nio.file.Files.delete(cursorPath)
+    c.syncOnce()
+    assert(state(c) == before, "bootstrap replay must converge")
   }
 
   test("pinned bootstrap reflects the named generations, later poll catches up") {
