@@ -398,6 +398,31 @@ object IndexQueries {
       custByNationIndex(s, dir).documentIds()
     },
 
+    // q45's provenance read ENGINE-FREE (`StoreReader.contributors`):
+    // the shared q41 store's '1-URGENT' contributors through the
+    // external merge-on-read overlay — the %97 movers' OLD map rows are
+    // still in the raw files, dead under tombstones, so a green row
+    // proves the external overlay (shared codecs, broadcast tombstone
+    // join) filters exactly like the engine's own contributors read.
+    "q122_external_contributors" -> { (s, dir) =>
+      import s.implicits._
+      val (ex, _) = ordersByPriorityUpdated(s, dir)
+      graft.sources.StoreReader.contributors(s, ex.storePath, "1-URGENT")
+        .select($"doc_id")
+    },
+
+    // q99's SQL-only consumer ENGINE-FREE (`StoreReader.registerView`):
+    // a vanilla Spark SQL client resolves the store's current
+    // generation into a temp view with no Executer anywhere — q40's
+    // oracle, the external spelling of the SQL catalog surface.
+    "q123_external_sql_view" -> { (s, dir) =>
+      val ex = custByNationIndex(s, dir)
+      graft.sources.StoreReader.registerView(s, ex.storePath,
+        "graft_ext_cust_by_nation")
+      s.sql("""SELECT reduce_key, cnt, CAST(acctbal AS DOUBLE) AS acctbal
+              |FROM graft_ext_cust_by_nation""".stripMargin)
+    },
+
     // The maintained JOIN under the gate (`graft.streaming
     // .JoinCdcConsumer`): orders ⋈ customer ON custkey, rolled up by
     // nation, kept in sync through BOTH upstreams' CDC feeds. The
@@ -1278,6 +1303,15 @@ object IndexQueries {
     "q120_document_ids" ->
       """SELECT DISTINCT 'CUSTOMER-' || CAST(c_custkey AS VARCHAR) AS doc_id
         |FROM customer""".stripMargin,
+    // Post-update membership of '1-URGENT': the original urgents plus
+    // the %97 movers — the overlay must hide the movers' dead rows
+    // under their OLD priorities and serve them here.
+    "q122_external_contributors" ->
+      """SELECT 'ORDERS-' || CAST(o_orderkey AS VARCHAR) AS doc_id
+        |FROM orders
+        |WHERE CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
+        |           ELSE o_orderpriority END = '1-URGENT'""".stripMargin,
+    "q123_external_sql_view" -> custByNationOracle,
     // The join recomputed from the post-churn document states: orders
     // (custkey%5 subspace) with the %21 re-price, customers with the
     // %45 nation move and the %55 deletions — an INNER join, so deleted

@@ -45,7 +45,8 @@ object SharedBuilds {
     b("custbynation",
       Seq("q40_mr_index_build", "q43_mr_delete_key", "q44_mr_point_query",
         "q45_mr_contributors", "q62_mr_join_enrich", "q65_mr_multi_point",
-        "q99_sql_view_read", "q118_reshape_layout", "q120_document_ids"),
+        "q99_sql_view_read", "q118_reshape_layout", "q120_document_ids",
+        "q123_external_sql_view"),
       cacheTag = Some("custbynation"))(
       (_, dir) => IndexQueries.storeBuilt("CustByNation", dir))(
       (s, dir) => IndexQueries.warmStore("CustByNation", s, dir)),
@@ -59,7 +60,8 @@ object SharedBuilds {
         "q104_changed_keys", "q104b_changed_keys_refetch",
         "q107_cdc_diff", "q106c_cdc_rollup_direct",
         "q114_external_read", "q115_external_changed_keys",
-        "q116_external_diff", "q119_compacted_read"),
+        "q116_external_diff", "q119_compacted_read",
+        "q122_external_contributors"),
       cacheTag = Some("ordersbypriorityupdated"))(
       (_, dir) => IndexQueries.storeBuilt("OrdersByPriorityUpdated", dir))(
       (s, dir) => IndexQueries.warmStore("OrdersByPriorityUpdated", s, dir)),
