@@ -48,15 +48,21 @@ import graft.core.{Executer, ExecuterConfig, MapReduceTask}
   * of resyncing (the q106-family doctrine: gated builds must fail on
   * an incremental-path bug, not be converged past it).
   *
+  * Cross-store snapshot pinning: each completed sync appends a
+  * (downGen, leftCursor, rightCursor) triple to the sync ledger — a
+  * reader joining ACROSS the three stores pins all sides from one
+  * [[syncLog]] row ([[cursorsAsOf]] maps a downstream generation back
+  * to its upstream pair), immutable time-travel reads throughout, no
+  * coordination with the writers.
+  *
   * Scope note — the deliberate deltas from [[CdcConsumer]] (which
   * remains the one spelling of the SINGLE-upstream protocol; this class
-  * carries the same cursor/resync/strict doctrine for the join shape):
-  * no cross-store snapshot-pinning ledger yet (a pinned three-store
-  * read needs (downGen, leftCursor, rightCursor) triples — same
-  * mechanism, deferred until a consumer needs it), no health counters,
-  * no `attach`/`viaDiff` (the changed-keys + refetch protocol is the
-  * only steady-state mode). A protocol fix landing in either class
-  * should be checked against the other.
+  * carries the same cursor/ledger/resync/strict doctrine for the join
+  * shape): no health counters, no ledger size-compaction (the
+  * [[CdcConsumer.MaxLedgerBytes]] rewrite — add it when a months-lived
+  * join consumer exists), no `attach`/`viaDiff` (the changed-keys +
+  * refetch protocol is the only steady-state mode). A protocol fix
+  * landing in either class should be checked against the other.
   */
 class JoinCdcConsumer[
     RA <: Product: TypeTag, RB <: Product: TypeTag, RD <: Product: TypeTag](
@@ -88,13 +94,72 @@ class JoinCdcConsumer[
       (l.toLong, r.toLong)
     }
 
+  private val cursorLogFile = Paths.get(storePath, "_cdc_cursor2_log")
+
   private def writeCursors(l: Long, r: Long): Unit = {
+    // Sync ledger: the (downstream generation, left cursor, right
+    // cursor) TRIPLE this sync produced — what makes a pinned
+    // THREE-store read possible (see [[cursorsAsOf]]). Same crash
+    // discipline as [[CdcConsumer]]'s ledger: the row lands BEFORE the
+    // atomic cursor move (a crash between them can only produce a
+    // duplicate row on replay, never a completed sync with no row), and
+    // records are newline-PREFIXED so a torn append can only lose
+    // itself, never merge into the following valid row.
+    Files.write(cursorLogFile,
+      s"\n${executer.snapshotVersion()} $l $r".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     val tmp = Paths.get(s"$cursorFile.tmp-${ProcessHandle.current().pid()}")
     Files.write(tmp, s"$l $r".getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, cursorFile,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The sync ledger: every completed sync's (downstream generation,
+    * left cursor, right cursor) triple, oldest first. Malformed
+    * trailing lines (a crash mid-append) are skipped — the cursor
+    * file, written after, is the source of truth for resuming; the
+    * ledger only serves pinned cross-store reads. */
+  def syncLog: Seq[(Long, Long, Long)] =
+    if (!Files.exists(cursorLogFile)) Seq.empty
+    else new String(Files.readAllBytes(cursorLogFile),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.flatMap { line =>
+        line.split(' ') match {
+          case Array(g, l, r) =>
+            try Some((g.toLong, l.toLong, r.toLong)) catch {
+              case _: NumberFormatException => None
+            }
+          case _ => None
+        }
+      }.toSeq
+
+  /** The upstream cursors in effect at downstream generation `downGen`
+    * — the generations whose `queryAllAt` reads are CONSISTENT with
+    * `executer.queryAllAt(downGen)`: the pinned three-store read is
+    * `(executer.queryAllAt(g), left.queryAllAt(l), right.queryAllAt(r))`
+    * from one [[syncLog]] row. (−1,−1) if `downGen` predates the
+    * retained history. Defined ONLY at recorded sync completions: a
+    * generation between two ledger rows is a half-applied sync batch
+    * (one poll can publish several downstream generations — execute
+    * then deleteDocuments — and records only the final one), consistent
+    * with NEITHER neighbor's cursors, so asking for one THROWS instead
+    * of returning a plausible wrong pin (the [[CdcConsumer.cursorAsOf]]
+    * contract). */
+  def cursorsAsOf(downGen: Long): (Long, Long) = {
+    val log = syncLog
+    val hits = log.filter(_._1 == downGen)
+    if (hits.nonEmpty) hits.map(t => (t._2, t._3)).max
+    else if (log.forall(_._1 > downGen)) (-1L, -1L)
+    else throw new IllegalArgumentException(
+      s"downstream generation $downGen is not a recorded sync " +
+        "completion: it names a half-applied sync batch (or a non-CDC " +
+        "mutation), consistent with no single upstream cursor pair — " +
+        "pin three-store reads from a syncLog row's (downGen, lCursor, " +
+        "rCursor) triple")
   }
 
   /** One side's pinned snapshot as (join key, payload struct) — the

@@ -141,6 +141,51 @@ class JoinCdcSpec extends AnyFunSuite {
       c.syncOnce(bootstrapAt = Some((vl, vr))))
   }
 
+  test("the sync ledger pins consistent three-store reads") {
+    val l = new Executer(FactByKey, TestTmp.dir("graft-jcdc4-l"),
+      ExecuterConfig(fanIn = 4, finalParts = 2))
+    val r = new Executer(DimByKey, TestTmp.dir("graft-jcdc4-r"),
+      ExecuterConfig(fanIn = 4, finalParts = 2))
+    l.execute(facts(("f1", "k1", 3L), ("f2", "k2", 9L)))
+    r.execute(dims(("k1", "red"), ("k2", "blue")))
+    val c = new JoinCdcConsumer(l, r, JoinByTag,
+      TestTmp.dir("graft-jcdc4-d"), ExecuterConfig(fanIn = 2, finalParts = 1),
+      strict = true)
+    c.syncOnce()
+    // Churn both sides, then one poll: execute + deleteDocuments
+    // publishes MULTIPLE downstream generations, recording only the
+    // completed sync's final one.
+    l.execute(facts(("f1", "k1", 4L)))
+    r.deleteDocuments(Seq("dim-k2"))
+    c.syncOnce()
+
+    val log = c.syncLog
+    assert(log.size == 2, s"two completed syncs, got $log")
+    val (g1, l1, r1) = log.head
+    // The pinned three-store read: the downstream generation the first
+    // sync published, beside the upstream generations it reflects —
+    // the downstream pinned read must equal the join recomputed from
+    // the pinned upstream snapshots (here: the pre-churn state).
+    assert(c.cursorsAsOf(g1) == ((l1, r1)))
+    val pinnedDown = c.executer.queryAllAt(g1)
+      .collect().map(r0 => r0.getString(1) -> r0.getLong(3)).toMap
+    assert(pinnedDown == Map("red" -> 3L, "blue" -> 9L),
+      s"pinned downstream read drifted: $pinnedDown")
+    val pinnedLeft = l.queryAllAt(l1)
+      .collect().map(r0 => (r0.getString(1), r0.getLong(3))).toMap
+    assert(pinnedLeft == Map("k1" -> 3L, "k2" -> 9L))
+    // The final sync's row names the current heads; an intermediate
+    // downstream generation between the two rows is a half-applied
+    // sync batch — asking for its cursors must THROW, not return a
+    // plausible wrong pin.
+    val (g2, _, _) = log.last
+    assert(g2 > g1 + 1, "the churn poll should publish >1 generation " +
+      "(execute + delete) for this test to exercise the gap")
+    intercept[IllegalArgumentException](c.cursorsAsOf(g1 + 1))
+    // Below retained history: the sentinel, not a throw.
+    assert(c.cursorsAsOf(g1 - 1) == ((-1L, -1L)))
+  }
+
   test("a cursor past either side's pruning horizon falls back to a full resync") {
     val l = new Executer(FactByKey, TestTmp.dir("graft-jcdc3-l"),
       ExecuterConfig(fanIn = 4, finalParts = 2))
