@@ -461,8 +461,11 @@ object Bench {
       else if (b.isBuilt(spark, sfDir)) true
       else {
         // A disk-cached store restores in copy time, not build time.
-        val cachedHit =
-          b.cacheTag.exists(graft.ops.StoreCache.isCached(_, sfDir))
+        // The extra is load-bearing: without it a stale pre-layout-
+        // change entry probes as a hit that restore then rejects into
+        // an unplanned cold build (review r15).
+        val cachedHit = b.cacheTag.exists(
+          graft.ops.StoreCache.isCached(_, sfDir, b.cacheExtra))
         val est =
           if (cachedHit) 2.0 else estOf(s"build:$name", 4.0)
         // Chain-whole admission (ADVICE r14): a prereq is admitted only
@@ -920,7 +923,8 @@ object Bench {
         .filter(q => sweepNames(q) && !doneQueries(q))
         .map(q => math.min(estOf(q, 0.4), 10.0)).sum +
         SharedBuilds.all.filterNot(_.isBuilt(spark, sfDir)).map { b =>
-          if (b.cacheTag.exists(graft.ops.StoreCache.isCached(_, sfDir))) 2.0
+          if (b.cacheTag.exists(
+            graft.ops.StoreCache.isCached(_, sfDir, b.cacheExtra))) 2.0
           else estOf(s"build:${b.name}", 4.0)
         }.sum
       val scaleN = sys.env.get("SPARK_GRAFT_INC_SCALE").map(_.toInt)
@@ -1104,7 +1108,8 @@ object Bench {
       }
       def chainCost(bld: SharedBuilds.Build): Double =
         chainOf(bld).filterNot(_.isBuilt(spark, sfDir)).map { x =>
-          if (x.cacheTag.exists(graft.ops.StoreCache.isCached(_, sfDir))) 2.0
+          if (x.cacheTag.exists(
+            graft.ops.StoreCache.isCached(_, sfDir, x.cacheExtra))) 2.0
           else estOf(s"build:${x.name}", 4.0)
         }.sum
       def pendingOf(bld: SharedBuilds.Build): Seq[String] =

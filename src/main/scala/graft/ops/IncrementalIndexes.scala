@@ -392,7 +392,7 @@ object IncrementalIndexes {
       // so the cross-RUN cache (Bench only) serves the post-update store
       // plus its pre-update snapshot version as one entry.
       val (preV, _) = StoreCache.orBuild("q89", dir, store,
-          StoreCache.keyOf(LengthHistIndex, cfg)) { st =>
+          cacheExtras("q89")) { st =>
         // Built directly into the updated store's directory: the base
         // was only ever cloned into this pipeline (nothing else reads
         // it), so the former build-then-clone paid a full store copy
@@ -450,8 +450,14 @@ object IncrementalIndexes {
         // — every mutation runs on a per-invocation clone, never here.
         // Task identity + layout config fold into the entry so either
         // changing invalidates it without a version bump (VERDICT r10 #6).
-        StoreCache.orBuild(s"base-$key", dir, p,
-          StoreCache.keyOf(task, taskCfg))(d => { build(d); 0L })
+        // The extra comes from the one canonical map; the require pins
+        // the caller's (task, cfg) pairing to it, so a drifted warmBase
+        // case fails loudly at build time instead of caching under a
+        // wrong shape.
+        val extra = cacheExtras(s"base-$key")
+        require(extra == StoreCache.keyOf(task, taskCfg),
+          s"base-$key: builder task/cfg disagrees with cacheExtras")
+        StoreCache.orBuild(s"base-$key", dir, p, extra)(d => { build(d); 0L })
         p
       }
     }
@@ -487,6 +493,22 @@ object IncrementalIndexes {
   // config"). Correctness is layout-independent (every query is
   // oracle-gated); a 100 TB deployment raises both numbers.
   private def fixtureCfg = ExecuterConfig(fanIn = 8, finalParts = 4)
+
+  /** Task identity per base-store key — ONE spelling feeding both
+    * [[warmBase]]'s builders (via the require in [[baseStoreOf]]) and
+    * [[cacheExtras]], so the planner's staleness probe and the restore
+    * path can never disagree about an entry's shape. */
+  private val baseTasks: Map[String, MapReduceTask[_, _]] = Map(
+    "q29" -> MinHashIndex, "q64" -> WinnowIndex, "q37" -> IvfCellIndex,
+    "q77" -> ShingleFreqIndex, "q97" -> SimhashIndex,
+    "q91" -> IvfCentroidIndex, "q78" -> EvalShingleIndex)
+
+  /** The [[StoreCache]] `extra` per cache TAG (see
+    * [[IndexQueries.cacheExtras]] for why the planner needs these). */
+  private[graft] val cacheExtras: Map[String, String] =
+    baseTasks.map { case (k, t) =>
+      s"base-$k" -> StoreCache.keyOf(t, fixtureCfg)
+    } + ("q89" -> StoreCache.keyOf(LengthHistIndex, fixtureCfg))
   private def docTexts(s: SparkSession, dir: String) = {
     import s.implicits._
     t(s, dir, "documents")

@@ -107,6 +107,45 @@ object IndexQueries {
   private def cacheKeyOf(task: MapReduceTask[_, _], cfg: ExecuterConfig): String =
     StoreCache.keyOf(task, cfg)
 
+  // Canonical store layouts — ONE val per cached store family, feeding
+  // both the Executer constructions and [[cacheExtras]]. A layout
+  // change edits exactly one line; hand-spelled per-site literals were
+  // the drift class the r15 64/16→16/8 shrink had to chase across four
+  // copies (review r15).
+  private val cbnCfg = ExecuterConfig(fanIn = 16, finalParts = 8)
+  private val omtCfg = ExecuterConfig(fanIn = 16, finalParts = 8)
+  private val obpCfg = ExecuterConfig(fanIn = 16, finalParts = 8)
+  private val ingestCfg = ExecuterConfig(fanIn = 8, finalParts = 4)
+  private val obcCfg = ExecuterConfig(fanIn = 4, finalParts = 2)
+  private val cniCfg = ExecuterConfig(fanIn = 4, finalParts = 2)
+  private val bandCfg = ExecuterConfig(fanIn = 4, finalParts = 2)
+  private val joinCfg = ExecuterConfig(fanIn = 2, finalParts = 1)
+  private val totalsCfg = ExecuterConfig(fanIn = 2, finalParts = 1)
+
+  /** The [[StoreCache]] `extra` per cache TAG — the one spelling both
+    * the builders (restore/save) and the bench planner's staleness
+    * probe consume. Probing `isCached(tag)` WITHOUT the extra saw a
+    * stale pre-layout-change entry as a 2s copy-cost hit while
+    * `restore` then (correctly) rejected its `_GRAFT_EXTRA` hash and
+    * rebuilt cold — tens of seconds of unplanned build on any host
+    * holding a previous round's cache (review r15). */
+  private[graft] val cacheExtras: Map[String, String] = Map(
+    "custbynation" -> cacheKeyOf(CustByNation, cbnCfg),
+    "ordersmultitag" -> cacheKeyOf(OrdersMultiTag, omtCfg),
+    "ordersbypriorityupdated" -> cacheKeyOf(OrdersByPriority, obpCfg),
+    // "+branch": the store lives at `$p/s` (the branch destination), so
+    // a cache entry from the pre-branch layout must not restore.
+    "ordersrolledback" -> (cacheKeyOf(OrdersByPriority, obpCfg) + "+branch"),
+    "ordersbranch" -> cacheKeyOf(OrdersByPriority, obpCfg),
+    "streamingingest" -> cacheKeyOf(OrdersByPriority, ingestCfg),
+    "ordersbycust" -> cacheKeyOf(OrdersByCust, obcCfg),
+    "custnationidx" -> cacheKeyOf(CustNationIndex, cniCfg),
+    "joinidx" -> cacheKeyOf(OrdersCustRollup, joinCfg),
+    "cdcbands" -> cacheKeyOf(PriorityBands, bandCfg),
+    "cdcbandsrecompute" -> cacheKeyOf(PriorityBandsRecompute, bandCfg),
+    "cdcbandsdiff" -> cacheKeyOf(PriorityBands, bandCfg),
+    "cdctotals" -> cacheKeyOf(BandTotals, totalsCfg))
+
   private def cachedIndex[A](key: String, dir: String, s: SparkSession,
       extra: String = "")(
       buildAt: String => Long)(openAt: String => A): (A, Long) = {
@@ -157,12 +196,11 @@ object IndexQueries {
     import s.implicits._
     def docs = t(s, dir, "customer")
       .select($"c_custkey", $"c_nationkey", $"c_acctbal").as[CustDoc]
-    val cfg = ExecuterConfig(fanIn = 16, finalParts = 8)
-    cachedIndex("CustByNation", dir, s, cacheKeyOf(CustByNation, cfg)) { p =>
-      new Executer(CustByNation, p, cfg).execute(docs)
+    cachedIndex("CustByNation", dir, s, cacheExtras("custbynation")) { p =>
+      new Executer(CustByNation, p, cbnCfg).execute(docs)
       -1L
     } { p =>
-      new Executer(CustByNation, p, cfg)
+      new Executer(CustByNation, p, cbnCfg)
     }._1
   }
 
@@ -173,12 +211,11 @@ object IndexQueries {
     def orders = t(s, dir, "orders")
       .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus", $"o_totalprice")
       .as[OrderDoc2]
-    val cfg = ExecuterConfig(fanIn = 16, finalParts = 8)
-    cachedIndex("OrdersMultiTag", dir, s, cacheKeyOf(OrdersMultiTag, cfg)) { p =>
-      new Executer(OrdersMultiTag, p, cfg).execute(orders)
+    cachedIndex("OrdersMultiTag", dir, s, cacheExtras("ordersmultitag")) { p =>
+      new Executer(OrdersMultiTag, p, omtCfg).execute(orders)
       -1L
     } { p =>
-      new Executer(OrdersMultiTag, p, cfg)
+      new Executer(OrdersMultiTag, p, omtCfg)
     }._1
   }
 
@@ -380,8 +417,7 @@ object IndexQueries {
       val store = Phases.timed("q119", "store_clone") {
         TempStores.cloneOf(src.storePath, "graft-q119")
       }
-      val ex = new Executer(OrdersByPriority, store,
-        ExecuterConfig(fanIn = 16, finalParts = 8))
+      val ex = new Executer(OrdersByPriority, store, obpCfg)
       Phases.timed("q119", "compact") {
         ex.compact(maxFilesPerPartition = 1)
       }
@@ -543,9 +579,8 @@ object IndexQueries {
     import s.implicits._
     def orders = t(s, dir, "orders")
       .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").as[OrderDoc]
-    val obpCfg = ExecuterConfig(fanIn = 16, finalParts = 8)
     cachedIndex("OrdersByPriorityUpdated", dir, s,
-        cacheKeyOf(OrdersByPriority, obpCfg)) { p =>
+        cacheExtras("ordersbypriorityupdated")) { p =>
       val ex = new Executer(OrdersByPriority, p, obpCfg)
       ex.execute(orders)
       val v = ex.snapshotVersion()
@@ -581,12 +616,8 @@ object IndexQueries {
     import s.implicits._
     def orders = t(s, dir, "orders")
       .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").as[OrderDoc]
-    val obpCfg = ExecuterConfig(fanIn = 16, finalParts = 8)
-    // "+branch" in the cache extra: the store now lives at `$p/s` (the
-    // branch destination), so a cache entry from the pre-branch layout
-    // must not restore.
     cachedIndex("OrdersRolledBack", dir, s,
-        cacheKeyOf(OrdersByPriority, obpCfg) + "+branch") { p =>
+        cacheExtras("ordersrolledback")) { p =>
       val (src, srcV0) = ordersByPriorityUpdated(s, dir)
       val ex = Phases.timed("q111", "branch")(src.branchAt(srcV0, s"$p/s"))
       // The branch publishes the copied generation as ITS generation 0
@@ -619,9 +650,8 @@ object IndexQueries {
     import s.implicits._
     def orders = t(s, dir, "orders")
       .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").as[OrderDoc]
-    val obpCfg = ExecuterConfig(fanIn = 16, finalParts = 8)
     cachedIndex("OrdersBranch", dir, s,
-        cacheKeyOf(OrdersByPriority, obpCfg)) { p =>
+        cacheExtras("ordersbranch")) { p =>
       val (src, v0) = ordersByPriorityUpdated(s, dir)
       val br = Phases.timed("q112", "branch")(src.branchAt(v0, s"$p/s"))
       val batch = orders.filter(_.o_orderkey % 83 == 0)
@@ -652,8 +682,8 @@ object IndexQueries {
     def docs = t(s, dir, "orders")
       .filter($"o_orderkey" % 3 === 0)
       .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").as[OrderDoc]
-    val cfg = ExecuterConfig(fanIn = 8, finalParts = 4)
-    cachedIndex("StreamingIngest", dir, s, cacheKeyOf(OrdersByPriority, cfg)) { p =>
+    val cfg = ingestCfg
+    cachedIndex("StreamingIngest", dir, s, cacheExtras("streamingingest")) { p =>
       val in = TempStores.scratch("graft-q117-in")
       val ckpt = TempStores.scratch("graft-q117-ckpt")
       val sx = new graft.streaming.StreamingExecuter(OrdersByPriority, p, cfg)
@@ -770,8 +800,8 @@ object IndexQueries {
     def orders = t(s, dir, "orders")
       .filter($"o_custkey" % 5 === 0)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice").as[OrderCust]
-    val cfg = ExecuterConfig(fanIn = 4, finalParts = 2)
-    cachedIndex("OrdersByCust", dir, s, cacheKeyOf(OrdersByCust, cfg)) { p =>
+    val cfg = obcCfg
+    cachedIndex("OrdersByCust", dir, s, cacheExtras("ordersbycust")) { p =>
       val ex = new Executer(OrdersByCust, p, cfg)
       ex.execute(orders)
       val v = ex.snapshotVersion()
@@ -793,8 +823,8 @@ object IndexQueries {
     def cust = t(s, dir, "customer")
       .filter($"c_custkey" % 5 === 0)
       .select($"c_custkey", $"c_nationkey").as[CustRow]
-    val cfg = ExecuterConfig(fanIn = 4, finalParts = 2)
-    cachedIndex("CustNationIdx", dir, s, cacheKeyOf(CustNationIndex, cfg)) { p =>
+    val cfg = cniCfg
+    cachedIndex("CustNationIdx", dir, s, cacheExtras("custnationidx")) { p =>
       val ex = new Executer(CustNationIndex, p, cfg)
       ex.execute(cust)
       val v = ex.snapshotVersion()
@@ -819,8 +849,8 @@ object IndexQueries {
     implicit val spark: SparkSession = s
     val (l, vl) = ordersByCustUpdated(s, dir)
     val (r, vr) = custNationUpdated(s, dir)
-    val cfg = ExecuterConfig(fanIn = 2, finalParts = 1)
-    cachedIndex("JoinIdx", dir, s, cacheKeyOf(OrdersCustRollup, cfg)) { p =>
+    val cfg = joinCfg
+    cachedIndex("JoinIdx", dir, s, cacheExtras("joinidx")) { p =>
       val c = new graft.streaming.JoinCdcConsumer(l, r, OrdersCustRollup, p,
         cfg, strict = true)
       Phases.timed("q121", "join_bootstrap") {
@@ -927,8 +957,8 @@ object IndexQueries {
     // Resolve the upstream OUTSIDE the memo body: its own build +
     // q41-update pipeline is a separate (prereq) build entry.
     val (up, v0) = ordersByPriorityUpdated(s, dir)
-    val cfg = ExecuterConfig(fanIn = 4, finalParts = 2)
-    cachedIndex(storeKey, dir, s, cacheKeyOf(bandTask, cfg)) { p =>
+    val cfg = bandCfg
+    cachedIndex(storeKey, dir, s, cacheExtras(storeKey.toLowerCase)) { p =>
       // ONE spelling of the sync protocol (VERDICT r10 #3): the gated
       // chain runs the exact code the streaming consumer runs —
       // bootstrap pinned to the pre-update generation v0 (reproducible
@@ -1034,8 +1064,8 @@ object IndexQueries {
       s: SparkSession, dir: String): Executer[BandAgg, TotalAgg] = {
     implicit val spark: SparkSession = s
     val (mid, v1) = cdcBandIndexPair(s, dir)
-    val cfg3 = ExecuterConfig(fanIn = 2, finalParts = 1)
-    cachedIndex("CdcTotals", dir, s, cacheKeyOf(BandTotals, cfg3)) { p =>
+    val cfg3 = totalsCfg
+    cachedIndex("CdcTotals", dir, s, cacheExtras("cdctotals")) { p =>
       val c = new graft.streaming.CdcConsumer(mid, BandTotals, p, cfg3,
         strict = true)
       Phases.timed("q108", "cdc_initial_sync") {
@@ -1173,7 +1203,7 @@ object IndexQueries {
       // rebuild it used to pay per invocation.
       val store = TempStores.cloneOf(
         custByNationIndex(s, dir).storePath, "graft-q43")
-      val ex = new Executer(CustByNation, store, ExecuterConfig(fanIn = 16, finalParts = 8))
+      val ex = new Executer(CustByNation, store, cbnCfg)
       ex.delete("7")
       ex.queryAll()
         .select($"reduce_key", $"cnt", toDouble($"acctbal") as "acctbal")

@@ -25,20 +25,33 @@ object SharedBuilds {
   /** `cacheTag`: the [[StoreCache]] tag this build's store directory is
     * disk-cached under across RUNS (Bench enables the cache; Verify
     * never does) — None for the memoized-DataFrame builds, whose
-    * artifacts are in-memory tables rather than store directories. */
+    * artifacts are in-memory tables rather than store directories.
+    * `cacheExtra`: that entry's shape key (task identity + layout,
+    * [[StoreCache.keyOf]]) — the bench planner MUST probe
+    * `isCached(tag, sf, cacheExtra)` with it: a bare `isCached(tag)`
+    * sees a stale pre-layout-change entry as a 2s copy-cost hit that
+    * `restore` then rejects into an unplanned cold build (review r15). */
   final case class Build(
       name: String,
       queries: Set[String],
       prereqs: Seq[String],
       cacheTag: Option[String],
+      cacheExtra: String,
       isBuilt: (SparkSession, String) => Boolean,
       run: (SparkSession, String) => Unit)
+
+  /** Every cached store's `extra`, keyed by tag — resolved at registry
+    * init, so a cacheTag with no registered extra fails the process
+    * loudly instead of mis-planning silently. */
+  private val extras: Map[String, String] =
+    IndexQueries.cacheExtras ++ IncrementalIndexes.cacheExtras
 
   private def b(name: String, queries: Seq[String], prereqs: Seq[String] = Nil,
       cacheTag: Option[String] = None)(
       isBuilt: (SparkSession, String) => Boolean)(
       run: (SparkSession, String) => Unit): Build =
-    Build(name, queries.toSet, prereqs, cacheTag, isBuilt, run)
+    Build(name, queries.toSet, prereqs, cacheTag, cacheTag.fold("")(extras),
+      isBuilt, run)
 
   val all: Seq[Build] = Seq(
     // Read-only / built-and-updated Executer stores (IndexQueries).

@@ -95,4 +95,40 @@ class SharedBuildsSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     family.foreach(q => assert(qs.contains(q), s"unknown family query $q"))
   }
+
+  test("every disk-cached build carries its store-shape extra, and the " +
+      "planner's probe rejects a stale-shape entry a bare tag probe " +
+      "would accept") {
+    // The extra is what keeps Bench's admission est honest: probing
+    // isCached(tag) without it saw a pre-layout-change entry as a 2s
+    // copy-cost hit while restore() then rejected its _GRAFT_EXTRA into
+    // an unplanned cold build (review r15).
+    SharedBuilds.all.filter(_.cacheTag.isDefined).foreach { b =>
+      assert(b.cacheExtra.nonEmpty,
+        s"build ${b.name} has a cacheTag but no cacheExtra — the " +
+          "planner would probe it shapeless")
+      assert(b.cacheExtra.contains("fanIn="),
+        s"build ${b.name}: extra should fold the layout config")
+    }
+    // The probe semantics the fix relies on, demonstrated on a synthetic
+    // entry: saved under one shape, probed under another.
+    val was = graft.ops.StoreCache.isEnabled
+    graft.ops.StoreCache.enable()
+    try {
+      val sf = TestTmp.dir("graft-sb-extra-sf")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sf, "t.parquet"), Array[Byte](5))
+      val store = TestTmp.dir("graft-sb-extra-store")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(store, "data"), Array[Byte](1))
+      graft.ops.StoreCache.save("sb-extra", sf, store, 0L,
+        extra = "task:fanIn=64:finalParts=16:driverDirtyLimit=512")
+      assert(graft.ops.StoreCache.isCached("sb-extra", sf),
+        "the shapeless probe accepts the stale entry — exactly why " +
+          "the planner must not use it")
+      assert(!graft.ops.StoreCache.isCached("sb-extra", sf,
+        extra = "task:fanIn=16:finalParts=8:driverDirtyLimit=512"),
+        "the shaped probe must reject an entry saved under another layout")
+    } finally if (!was) graft.ops.StoreCache.disable()
+  }
 }
