@@ -58,11 +58,11 @@ import graft.core.{Executer, ExecuterConfig, MapReduceTask}
   * Scope note — the deliberate deltas from [[CdcConsumer]] (which
   * remains the one spelling of the SINGLE-upstream protocol; this class
   * carries the same cursor/ledger/resync/strict doctrine for the join
-  * shape): no health counters, no ledger size-compaction (the
-  * [[CdcConsumer.MaxLedgerBytes]] rewrite — add it when a months-lived
-  * join consumer exists), no `attach`/`viaDiff` (the changed-keys +
-  * refetch protocol is the only steady-state mode). A protocol fix
-  * landing in either class should be checked against the other.
+  * shape, including the [[CdcConsumer.MaxLedgerBytes]] ledger
+  * compaction): no health counters, no `attach`/`viaDiff` (the
+  * changed-keys + refetch protocol is the only steady-state mode). A
+  * protocol fix landing in either class should be checked against the
+  * other.
   */
 class JoinCdcConsumer[
     RA <: Product: TypeTag, RB <: Product: TypeTag, RD <: Product: TypeTag](
@@ -110,6 +110,7 @@ class JoinCdcConsumer[
         java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+    compactLedgerIfOversized()
     val tmp = Paths.get(s"$cursorFile.tmp-${ProcessHandle.current().pid()}")
     Files.write(tmp, s"$l $r".getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
@@ -117,6 +118,28 @@ class JoinCdcConsumer[
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Ledger retention — [[CdcConsumer.compactLedgerIfOversized]]'s
+    * contract verbatim (VERDICT r12 #5: a consumer polling for months
+    * must not grow the ledger one line per poll forever): past
+    * [[CdcConsumer.MaxLedgerBytes]] the file is rewritten to the newest
+    * [[CdcConsumer.KeptLedgerRows]] rows via write-tmp-then-atomic-move
+    * (a crash mid-compaction leaves the original intact). Entries that
+    * age out are dead weight anyway — their pinned `queryAllAt` reads
+    * fail by manifest-retention contract. */
+  private[graft] def compactLedgerIfOversized(): Unit =
+    if (Files.exists(cursorLogFile) &&
+        Files.size(cursorLogFile) > CdcConsumer.MaxLedgerBytes) {
+      val kept = syncLog.takeRight(CdcConsumer.KeptLedgerRows)
+      val tmp = Paths.get(
+        s"$cursorLogFile.tmp-${ProcessHandle.current().pid()}")
+      Files.write(tmp,
+        kept.map { case (g, l, r) => s"$g $l $r\n" }.mkString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, cursorLogFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
 
   /** The sync ledger: every completed sync's (downstream generation,
     * left cursor, right cursor) triple, oldest first. Malformed

@@ -184,6 +184,26 @@ class JoinCdcSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](c.cursorsAsOf(g1 + 1))
     // Below retained history: the sentinel, not a throw.
     assert(c.cursorsAsOf(g1 - 1) == ((-1L, -1L)))
+
+    // Boundedness (VERDICT r12 #5, same contract as CdcConsumer's
+    // ledger): plant months of poll history, then one more sync — the
+    // write-side compaction caps the file and the newest rows still
+    // resolve.
+    val ledger = java.nio.file.Paths.get(
+      c.executer.storePath, "_cdc_cursor2_log")
+    val old = new String(java.nio.file.Files.readAllBytes(ledger), "UTF-8")
+    val fake = Array.fill(30000)("0 0 0\n").mkString
+    java.nio.file.Files.write(ledger,
+      (fake + old.dropWhile(_ == '\n')).getBytes("UTF-8"))
+    l.execute(facts(("f3", "k1", 7L)))
+    c.syncOnce()
+    val (g3, l3, r3) = c.syncLog.last
+    assert(java.nio.file.Files.size(ledger) <=
+      graft.streaming.CdcConsumer.MaxLedgerBytes,
+      "join ledger must be compacted back under the threshold")
+    assert(c.syncLog.length == graft.streaming.CdcConsumer.KeptLedgerRows)
+    assert(c.cursorsAsOf(g3) == ((l3, r3)))
+    assert(l3 == l.snapshotVersion() && r3 == r.snapshotVersion())
   }
 
   test("a cursor past either side's pruning horizon falls back to a full resync") {
