@@ -411,7 +411,7 @@ object Bench {
         // still converging on any genuine cost change within a few
         // runs (a lagging estimate only over-reserves, which is the
         // safe direction). New keys take the measured value.
-        val merged = knownCosts ++
+        val merged = (knownCosts ++
           (results.map(r => r.name -> r.sec) ++
             buildResults.filterNot(_.cached).map(r => r.name -> r.sec) ++
             sections.map { case (n, s) => s"section:$n" -> s } ++
@@ -419,7 +419,19 @@ object Bench {
             .map { case (k, s) =>
               val v = deScale(k, s)
               k -> knownCosts.get(k).map(old => (old + v) / 2).getOrElse(v)
-            }
+            })
+          // Prune keys whose query/build no longer exists (a rename
+          // otherwise carries the dead entry forever — the committed
+          // file held q71_sketch_profile rounds after the q71 split,
+          // review r15). Section keys stay: their name set is runtime-
+          // derived and small.
+          .filter { case (k, _) =>
+            if (k.startsWith("section:")) true
+            else if (k.startsWith("build:")) {
+              val n = k.stripPrefix("build:")
+              SharedBuilds.byName.contains(n) || n.startsWith("ivmscaled-x")
+            } else SparkEntry.queries.contains(k)
+          }
         Files.write(Paths.get(costsFile),
           merged.toSeq.sortBy(_._1)
             .map { case (n, s) => f""""$n":$s%.3f""" }
@@ -455,19 +467,29 @@ object Bench {
     // caller is about to bank (the consumer query's est): a build is
     // only admitted when the query it unlocks also fits — r13 ran
     // 107.6s of builds whose 8 consumer queries then never executed.
+    // What an unbuilt store will cost: disk-cache hits restore in copy
+    // time, not build time. The shape extra is load-bearing: without it
+    // a stale pre-layout-change entry probes as a hit that restore then
+    // rejects into an unplanned cold build (review r15).
+    def buildCostOf(x: SharedBuilds.Build): Double =
+      if (x.cacheTag.exists(
+        graft.ops.StoreCache.isCached(_, sfDir, x.cacheExtra))) 2.0
+      else estOf(s"build:${x.name}", 4.0)
+    // The unbuilt builds a set of pending queries will ACTUALLY trigger
+    // — depsOf covers sibling upstreams that a single build's own
+    // prereq chain omits (the q121 store is fed by three parallel
+    // builds; pricing only one understated the thunk's bill, review
+    // r15), and restricting to the given queries keeps filtered runs
+    // from reserving for the whole unselected build graph.
+    def neededBuilds(qs: Iterable[String]): Seq[SharedBuilds.Build] =
+      qs.flatMap(SharedBuilds.depsOf).toSeq.distinctBy(_.name)
+        .filterNot(_.isBuilt(spark, sfDir))
     def ensureBuilt(name: String, reserve: Double): Boolean = {
       val b = SharedBuilds.byName(name)
       if (failedBuilds.contains(name)) false
       else if (b.isBuilt(spark, sfDir)) true
       else {
-        // A disk-cached store restores in copy time, not build time.
-        // The extra is load-bearing: without it a stale pre-layout-
-        // change entry probes as a hit that restore then rejects into
-        // an unplanned cold build (review r15).
-        val cachedHit = b.cacheTag.exists(
-          graft.ops.StoreCache.isCached(_, sfDir, b.cacheExtra))
-        val est =
-          if (cachedHit) 2.0 else estOf(s"build:$name", 4.0)
+        val est = buildCostOf(b)
         // Chain-whole admission (ADVICE r14): a prereq is admitted only
         // with THIS build's est folded into its reserve, so in a chain
         // A→B either the whole chain fits or none of it runs — never
@@ -916,17 +938,17 @@ object Bench {
       }
       // What the rest of the sweep still needs — pending query marginals
       // (committed, 10s-capped like the scheduler's reserve math) PLUS
-      // every unbuilt shared chain's build bill (cache hits at copy
-      // cost) — so a bigger probe can never buy its extra rigor by
-      // starving a hundred rows or stranding the chains behind it.
-      val sweepReserve = SparkEntry.queries.keys
-        .filter(q => sweepNames(q) && !doneQueries(q))
-        .map(q => math.min(estOf(q, 0.4), 10.0)).sum +
-        SharedBuilds.all.filterNot(_.isBuilt(spark, sfDir)).map { b =>
-          if (b.cacheTag.exists(
-            graft.ops.StoreCache.isCached(_, sfDir, b.cacheExtra))) 2.0
-          else estOf(s"build:${b.name}", 4.0)
-        }.sum
+      // the unbuilt build bill those queries will actually trigger
+      // (cache hits at copy cost) — so a bigger probe can never buy its
+      // extra rigor by starving a hundred rows or stranding the chains
+      // behind it. Scoping the builds to the PENDING queries keeps a
+      // filtered run from reserving for the whole unselected build
+      // graph and spuriously declining the 32× probe (review r15).
+      val pendingSweep = SparkEntry.queries.keys
+        .filter(q => sweepNames(q) && !doneQueries(q)).toSeq
+      val sweepReserve =
+        pendingSweep.map(q => math.min(estOf(q, 0.4), 10.0)).sum +
+          neededBuilds(pendingSweep).map(buildCostOf).sum
       val scaleN = sys.env.get("SPARK_GRAFT_INC_SCALE").map(_.toInt)
         .getOrElse {
           if (hostFactor > 1.5) 4
@@ -1106,12 +1128,6 @@ object Bench {
         add(bld.name)
         out.toSeq.map(SharedBuilds.byName)
       }
-      def chainCost(bld: SharedBuilds.Build): Double =
-        chainOf(bld).filterNot(_.isBuilt(spark, sfDir)).map { x =>
-          if (x.cacheTag.exists(
-            graft.ops.StoreCache.isCached(_, sfDir, x.cacheExtra))) 2.0
-          else estOf(s"build:${x.name}", 4.0)
-        }.sum
       def pendingOf(bld: SharedBuilds.Build): Seq[String] =
         chainOf(bld).flatMap(_.queries).distinct
           .filter(q => sweepNames(q) && !doneQueries(q) && !digestTail(q))
@@ -1124,11 +1140,16 @@ object Bench {
       // build then displaced three update chains at the 140s budget
       // cut. The THUNK still runs pendingOf (recomputed at run time, so
       // it banks any prereq's consumers it actually pays for); only the
-      // ordering key is marginal.
+      // ordering key is marginal. Cost side: the bill running those
+      // queries will actually trigger — neededBuilds covers SIBLING
+      // upstreams that bld's own prereq chain omits (q121's store is
+      // fed by three parallel builds; chainCost(bld) alone let the
+      // cheapest sibling's density win while its thunk paid for all
+      // three, review r15).
       def density(bld: SharedBuilds.Build): Double = {
         val own = bld.queries.toSeq.filter(q =>
           sweepNames(q) && !doneQueries(q) && !digestTail(q))
-        (chainCost(bld) +
+        (neededBuilds(own).map(buildCostOf).sum +
           own.map(q => math.min(estOf(q, 0.4), 10.0)).sum) /
           math.max(own.size, 1)
       }
@@ -1140,8 +1161,14 @@ object Bench {
       // standalone query is a zero-build unit whose density is its own
       // capped est, competing on the same time-per-query-settled
       // ordering as the chains.
+      // Units exist only for builds with OWN pending queries: every
+      // pending query belongs to its direct build's unit, so nothing is
+      // lost, and a build whose own rows settled early can no longer
+      // sort at density 0 carrying only ancestors' consumers (whose own
+      // units price them correctly).
       val chainUnits = SharedBuilds.all
-        .filter(b => pendingOf(b).nonEmpty)
+        .filter(_.queries.exists(q =>
+          sweepNames(q) && !doneQueries(q) && !digestTail(q)))
         .map(b => (density(b),
           () => pendingOf(b).foreach(q => skipOrRun(q, SparkEntry.queries(q)))))
       val singleUnits = sweepQueries

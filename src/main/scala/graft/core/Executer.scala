@@ -1936,10 +1936,16 @@ class Executer[D, R <: Product: TypeTag](
       .toDF("reduce_key")
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val schema = StructType(Seq(StructField("reduce_key", StringType)))
-    vs.map(changedDistPath).filter(exists)
-      .foldLeft(localDF) { (acc, d) =>
-        acc.unionByName(spark.read.schema(schema).parquet(d))
-      }
+    // ONE multi-path scan over every generation's distributed record:
+    // folding unionByName per directory built a plan with one scan node
+    // (and one file index) per generation — O(polled generations)
+    // driver-side analysis for a reader that may span hundreds of
+    // generations at scale. The dirs are flat same-schema parquet, so a
+    // single relation is semantically identical under the distinct.
+    val dirs = vs.map(changedDistPath).filter(exists)
+    (if (dirs.isEmpty) localDF
+     else localDF.unionByName(
+       spark.read.schema(schema).parquet(dirs: _*)))
       .distinct()
   }
 

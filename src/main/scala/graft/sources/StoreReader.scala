@@ -360,10 +360,14 @@ object StoreReader {
             s"$h2); cannot answer since=$sinceVersion — refetch everything")
         import spark.implicits._
         val localDf = localKeys.toDF("reduce_key")
-        distDirs.foldLeft(localDf) { (acc, d) =>
-          acc.unionByName(spark.read.schema("reduce_key STRING")
-            .parquet(d.toString))
-        }.distinct()
+        // One multi-path scan, not a unionByName fold: a per-directory
+        // fold costs one scan node + file index per polled generation
+        // in driver-side analysis (the engine-side changedKeysIn
+        // spelling, same reasoning).
+        (if (distDirs.isEmpty) localDf
+         else localDf.unionByName(spark.read.schema("reduce_key STRING")
+           .parquet(distDirs.map(_.toString): _*)))
+          .distinct()
     }
   }
 
