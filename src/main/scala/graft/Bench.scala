@@ -379,6 +379,24 @@ object Bench {
           }
           throw new RuntimeException("degraded host")
         }
+        // The COMMITTED file's values are quiet-host FULL-SWEEP sf0.1
+        // semantics (what the driver's 240s run and every admission est
+        // consume). A prefix-filtered run measures sections over a few
+        // queries, and another SF measures a different workload under
+        // the same keys — either write corrupts the file wholesale (a
+        // live sf0.01 full run halved section:warm in place, r15
+        // post-close). Rehearsals at other SFs / filters redirect via
+        // SPARK_GRAFT_COSTS_FILE; only that explicit redirect, or a
+        // full sf0.1 selection, may write.
+        if (!sys.env.contains("SPARK_GRAFT_COSTS_FILE") &&
+            (wanted.nonEmpty ||
+              Paths.get(sfDir).getFileName.toString != "sf0.1")) {
+          if (!costsWriteSkipLogged) {
+            costsWriteSkipLogged = true
+            println(s"""{"costs_write_skipped":"committed file needs a full sf0.1 run (filter=${wanted.nonEmpty}, sf=${Paths.get(sfDir).getFileName})"}""")
+          }
+          throw new RuntimeException("non-canonical run shape")
+        }
         // Cache-restored builds are EXCLUDED: their ~1s restore time
         // must never overwrite the committed COLD build cost, which is
         // what the skip planner needs when the disk cache is absent.

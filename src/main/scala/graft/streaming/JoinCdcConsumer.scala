@@ -9,6 +9,20 @@ import org.apache.spark.sql.functions.{col, struct, upper}
 
 import graft.core.{Executer, ExecuterConfig, MapReduceTask}
 
+/** A join consumer's operational health — [[CdcHealth]]'s two-upstream
+  * twin (same field semantics per side; see
+  * [[JoinCdcConsumer.health]]). */
+case class JoinCdcHealth(
+    leftCursor: Long,
+    rightCursor: Long,
+    leftUpstreamVersion: Long,
+    rightUpstreamVersion: Long,
+    leftLag: Long,
+    rightLag: Long,
+    resyncCount: Long,
+    fallbackResyncCount: Long,
+    lastPollChurn: Long)
+
 /** Incremental EQUI-JOIN maintenance: a downstream maintained index
   * whose documents are the INNER JOIN of TWO upstream maintained
   * indexes' reduce rows, kept in sync through both upstreams' CDC
@@ -57,12 +71,11 @@ import graft.core.{Executer, ExecuterConfig, MapReduceTask}
   *
   * Scope note — the deliberate deltas from [[CdcConsumer]] (which
   * remains the one spelling of the SINGLE-upstream protocol; this class
-  * carries the same cursor/ledger/resync/strict doctrine for the join
-  * shape, including the [[CdcConsumer.MaxLedgerBytes]] ledger
-  * compaction): no health counters, no `attach`/`viaDiff` (the
-  * changed-keys + refetch protocol is the only steady-state mode). A
-  * protocol fix landing in either class should be checked against the
-  * other.
+  * carries the same cursor/ledger/resync/strict/health doctrine for
+  * the join shape, including the [[CdcConsumer.MaxLedgerBytes]] ledger
+  * compaction): no `attach`/`viaDiff` (the changed-keys + refetch
+  * protocol is the only steady-state mode). A protocol fix landing in
+  * either class should be checked against the other.
   */
 class JoinCdcConsumer[
     RA <: Product: TypeTag, RB <: Product: TypeTag, RD <: Product: TypeTag](
@@ -83,6 +96,35 @@ class JoinCdcConsumer[
   private val bFields = encRB.schema.fieldNames.toSeq
 
   private val cursorFile = Paths.get(storePath, "_cdc_cursor2")
+
+  // Health counters ([[CdcConsumer]]'s doctrine, VERDICT r11 #5):
+  // in-memory per consumer INSTANCE — a fleet scrapes them per process;
+  // they deliberately reset on restart.
+  @volatile private var _resyncCount = 0L
+  @volatile private var _fallbackResyncCount = 0L
+  @volatile private var _lastPollChurn = -1L
+
+  /** Operational health, [[CdcConsumer.health]]'s semantics per side:
+    * `leftLag`/`rightLag` = that upstream's generations not yet applied
+    * (pre-bootstrap counts every published generation), `resyncCount` =
+    * ALL full-snapshot syncs this instance performed (bootstrap +
+    * horizon recovery + fallback), `fallbackResyncCount` = only those
+    * triggered by an incremental-poll FAILURE (nonzero in steady state
+    * means a retention window shorter than the poll cadence — the
+    * resync-storm misconfiguration an operator must see),
+    * `lastPollChurn` = dirty keys the last poll moved (−1 = the last
+    * poll was a full-snapshot sync). */
+  def health: JoinCdcHealth = {
+    val (cl, cr) = cursors
+    val (nl, nr) = (left.snapshotVersion(), right.snapshotVersion())
+    JoinCdcHealth(
+      leftCursor = cl, rightCursor = cr,
+      leftUpstreamVersion = nl, rightUpstreamVersion = nr,
+      leftLag = nl - cl, rightLag = nr - cr,
+      resyncCount = _resyncCount,
+      fallbackResyncCount = _fallbackResyncCount,
+      lastPollChurn = _lastPollChurn)
+  }
 
   /** The last (left, right) upstream generations fully applied;
     * (−1, −1) before the bootstrap sync. */
@@ -200,6 +242,8 @@ class JoinCdcConsumer[
     * stale-downstream sweep, upsert, land both cursors. Serves the
     * bootstrap AND the past-the-horizon fallback. */
   private def resync(al: Long, ar: Long): (Long, Long) = {
+    _resyncCount += 1
+    _lastPollChurn = -1L
     val joined = snapSide(left, al, aFields, "_1", "_2")
       .join(snapSide(right, ar, bFields, "_1", "_3"), "_1")
       .select("_1", "_2", "_3")
@@ -265,6 +309,7 @@ class JoinCdcConsumer[
         s"now=($nl,$nr) failed (${e.getClass.getSimpleName}: " +
         s"${String.valueOf(e.getMessage).take(200)}); falling back to " +
         "full resync")
+      _fallbackResyncCount += 1
       resync(nl, nr)
     }
   }
@@ -313,6 +358,7 @@ class JoinCdcConsumer[
       val vanished = dirty.filterNot(liveKeys)
       if (vanished.nonEmpty) executer.deleteDocuments(vanished)
     }
+    _lastPollChurn = dirty.size.toLong
     writeCursors(nl, nr)
     (nl, nr)
   }

@@ -79,6 +79,12 @@ class JoinCdcSpec extends AnyFunSuite {
     c.syncOnce()
     // k3 has no dimension row: inner join drops it.
     assert(state(c) == Map("red" -> ((1L, 15L)), "blue" -> ((1L, 7L))))
+    // Bootstrap health (the CdcConsumer doctrine): one full-snapshot
+    // sync, churn sentinel −1, both sides caught up.
+    val h0 = c.health
+    assert(h0.resyncCount == 1L && h0.fallbackResyncCount == 0L &&
+      h0.lastPollChurn == -1L && h0.leftLag == 0L && h0.rightLag == 0L,
+      s"bootstrap health: $h0")
 
     // No upstream movement → poll is a cursor no-op.
     val cur = c.cursors
@@ -86,8 +92,13 @@ class JoinCdcSpec extends AnyFunSuite {
 
     // LEFT churn: f2 re-submitted under k2 (k1 loses it, k2 gains it).
     l.execute(facts(("f2", "k2", 5L)))
+    assert(c.health.leftLag == 1L && c.health.rightLag == 0L,
+      s"one unapplied left generation: ${c.health}")
     c.syncOnce()
     assert(state(c) == Map("red" -> ((1L, 10L)), "blue" -> ((1L, 12L))))
+    val h1 = c.health
+    assert(h1.leftLag == 0L && h1.lastPollChurn == 2L &&
+      h1.resyncCount == 1L, s"post-poll health (dirty = {k1,k2}): $h1")
 
     // RIGHT churn: k1 moves to blue; k3 GAINS a dimension row (the
     // previously dropped key must appear); k2's row is deleted (loses
