@@ -682,11 +682,10 @@ object IndexQueries {
     def docs = t(s, dir, "orders")
       .filter($"o_orderkey" % 3 === 0)
       .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").as[OrderDoc]
-    val cfg = ingestCfg
     cachedIndex("StreamingIngest", dir, s, cacheExtras("streamingingest")) { p =>
       val in = TempStores.scratch("graft-q117-in")
       val ckpt = TempStores.scratch("graft-q117-ckpt")
-      val sx = new graft.streaming.StreamingExecuter(OrdersByPriority, p, cfg)
+      val sx = new graft.streaming.StreamingExecuter(OrdersByPriority, p, ingestCfg)
       def drain(): Unit = {
         val stream = s.readStream
           .schema("o_orderkey LONG, o_orderpriority STRING, o_totalprice DOUBLE")
@@ -708,7 +707,7 @@ object IndexQueries {
         drain()
       }
       -1L
-    } { p => new Executer(OrdersByPriority, p, cfg) }._1
+    } { p => new Executer(OrdersByPriority, p, ingestCfg) }._1
   }
 
   // ---- the maintained JOIN (q121) -----------------------------------
@@ -800,16 +799,15 @@ object IndexQueries {
     def orders = t(s, dir, "orders")
       .filter($"o_custkey" % 5 === 0)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice").as[OrderCust]
-    val cfg = obcCfg
     cachedIndex("OrdersByCust", dir, s, cacheExtras("ordersbycust")) { p =>
-      val ex = new Executer(OrdersByCust, p, cfg)
+      val ex = new Executer(OrdersByCust, p, obcCfg)
       ex.execute(orders)
       val v = ex.snapshotVersion()
       val updates = orders.filter(_.o_orderkey % 21 == 0)
         .map(o => OrderCust(o.o_orderkey, o.o_custkey, o.o_totalprice * 2))
       Phases.timedUpdate("q121l", ex)(ex.execute(updates))
       v
-    } { p => new Executer(OrdersByCust, p, cfg) }
+    } { p => new Executer(OrdersByCust, p, obcCfg) }
   }
 
   /** Right upstream: the dimension, churned (every %45 customer moves
@@ -823,9 +821,8 @@ object IndexQueries {
     def cust = t(s, dir, "customer")
       .filter($"c_custkey" % 5 === 0)
       .select($"c_custkey", $"c_nationkey").as[CustRow]
-    val cfg = cniCfg
     cachedIndex("CustNationIdx", dir, s, cacheExtras("custnationidx")) { p =>
-      val ex = new Executer(CustNationIndex, p, cfg)
+      val ex = new Executer(CustNationIndex, p, cniCfg)
       ex.execute(cust)
       val v = ex.snapshotVersion()
       val moved = cust.filter(_.c_custkey % 45 == 0)
@@ -835,7 +832,7 @@ object IndexQueries {
         .map(c => s"customer-${c.c_custkey}").collect().sorted.toSeq
       ex.deleteDocuments(gone)
       v
-    } { p => new Executer(CustNationIndex, p, cfg) }
+    } { p => new Executer(CustNationIndex, p, cniCfg) }
   }
 
   /** The maintained JOIN store (q121): bootstrap pinned at BOTH
@@ -849,16 +846,15 @@ object IndexQueries {
     implicit val spark: SparkSession = s
     val (l, vl) = ordersByCustUpdated(s, dir)
     val (r, vr) = custNationUpdated(s, dir)
-    val cfg = joinCfg
     cachedIndex("JoinIdx", dir, s, cacheExtras("joinidx")) { p =>
       val c = new graft.streaming.JoinCdcConsumer(l, r, OrdersCustRollup, p,
-        cfg, strict = true)
+        joinCfg, strict = true)
       Phases.timed("q121", "join_bootstrap") {
         c.syncOnce(bootstrapAt = Some((vl, vr)))
       }
       Phases.timedUpdate("q121", c.executer) { c.syncOnce() }
       -1L
-    } { p => new Executer(OrdersCustRollup, p, cfg) }._1
+    } { p => new Executer(OrdersCustRollup, p, joinCfg) }._1
   }
 
   /** Downstream stage of the CDC pipeline (q106): its DOCUMENTS are the
@@ -957,7 +953,6 @@ object IndexQueries {
     // Resolve the upstream OUTSIDE the memo body: its own build +
     // q41-update pipeline is a separate (prereq) build entry.
     val (up, v0) = ordersByPriorityUpdated(s, dir)
-    val cfg = bandCfg
     cachedIndex(storeKey, dir, s, cacheExtras(storeKey.toLowerCase)) { p =>
       // ONE spelling of the sync protocol (VERDICT r10 #3): the gated
       // chain runs the exact code the streaming consumer runs —
@@ -971,7 +966,7 @@ object IndexQueries {
       // strict: a gated build must FAIL on an incremental-path bug, not
       // be silently converged by the resilient resync fallback (ADVICE
       // r11) — these builds exist to prove the incremental protocol.
-      val consumer = new graft.streaming.CdcConsumer(up, bandTask, p, cfg,
+      val consumer = new graft.streaming.CdcConsumer(up, bandTask, p, bandCfg,
         strict = true)
       Phases.timed(tag, "cdc_initial_sync") {
         consumer.syncOnce(bootstrapAt = Some(v0))
@@ -1027,7 +1022,7 @@ object IndexQueries {
       if (diverged) System.err.println(
         s"[graft][$tag-DIVERGENCE] maintained=$got documentsExpected=$expect")
       v1
-    } { p => new Executer(bandTask, p, cfg) }
+    } { p => new Executer(bandTask, p, bandCfg) }
   }
 
   /** THIRD stage of the pipeline (q108): a grand-total index whose
@@ -1064,16 +1059,15 @@ object IndexQueries {
       s: SparkSession, dir: String): Executer[BandAgg, TotalAgg] = {
     implicit val spark: SparkSession = s
     val (mid, v1) = cdcBandIndexPair(s, dir)
-    val cfg3 = totalsCfg
     cachedIndex("CdcTotals", dir, s, cacheExtras("cdctotals")) { p =>
-      val c = new graft.streaming.CdcConsumer(mid, BandTotals, p, cfg3,
+      val c = new graft.streaming.CdcConsumer(mid, BandTotals, p, totalsCfg,
         strict = true)
       Phases.timed("q108", "cdc_initial_sync") {
         c.syncOnce(bootstrapAt = Some(v1))
       }
       Phases.timedUpdate("q108", c.executer) { c.syncOnce() }
       -1L
-    } { p => new Executer(BandTotals, p, cfg3) }._1
+    } { p => new Executer(BandTotals, p, totalsCfg) }._1
   }
 
   case class LineitemDoc(l_orderkey: Long, l_linenumber: Int,

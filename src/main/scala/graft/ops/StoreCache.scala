@@ -101,9 +101,11 @@ private[graft] object StoreCache {
   /** `extra` names the caller's store-shape inputs (config fanIn /
     * finalParts, task identity): its hash is stored INSIDE the entry
     * (`_GRAFT_EXTRA`) and validated on restore, so a config change
-    * invalidates the entry without a manual version bump — while the
-    * bench's planning-time `isCached(tag, sf)` probes (which don't know
-    * configs) still see the entry. */
+    * invalidates the entry without a manual version bump. Probes must
+    * pass the SAME extra (SharedBuilds carries it as
+    * `Build.cacheExtra`): a bare `isCached(tag, sf)` sees a stale
+    * pre-layout-change entry as a hit that restore then rejects into
+    * an unplanned cold build — the r15 under-planning bug. */
   private def extraHash(extra: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(extra.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -300,7 +300,7 @@ class JoinCdcConsumer[
         "restored from a newer backup — rebuild the consumer (delete " +
         "_cdc_cursor2 to force a bootstrap resync) after verifying the " +
         "upstream paths")
-    if (nl == cl && nr == cr) return (cl, cr)
+    if (nl == cl && nr == cr) { _lastPollChurn = 0L; return (cl, cr) }
     if (cl < left.changedHorizonVersion() ||
         cr < right.changedHorizonVersion()) return resync(nl, nr)
     try incrementalPoll(cl, cr, nl, nr)

@@ -86,9 +86,12 @@ class JoinCdcSpec extends AnyFunSuite {
       h0.lastPollChurn == -1L && h0.leftLag == 0L && h0.rightLag == 0L,
       s"bootstrap health: $h0")
 
-    // No upstream movement → poll is a cursor no-op.
+    // No upstream movement → poll is a cursor no-op, churn 0 (NOT the
+    // stale bootstrap sentinel — the CdcConsumer no-op semantics).
     val cur = c.cursors
     assert(c.syncOnce() == cur)
+    assert(c.health.lastPollChurn == 0L,
+      s"no-op poll churn: ${c.health}")
 
     // LEFT churn: f2 re-submitted under k2 (k1 loses it, k2 gains it).
     l.execute(facts(("f2", "k2", 5L)))
