@@ -4,8 +4,9 @@ import java.nio.file.{Files, Paths}
 
 import scala.reflect.runtime.universe.TypeTag
 
-import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions.{col, struct, upper}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.core.{Executer, ExecuterConfig, MapReduceTask}
 
@@ -71,10 +72,13 @@ case class JoinCdcHealth(
   *
   * Scope note — the deliberate deltas from [[CdcConsumer]] (which
   * remains the one spelling of the SINGLE-upstream protocol; this class
-  * carries the same cursor/ledger/resync/strict/health doctrine for
-  * the join shape, including the [[CdcConsumer.MaxLedgerBytes]] ledger
-  * compaction): no `attach`/`viaDiff` (the changed-keys + refetch
-  * protocol is the only steady-state mode). A protocol fix landing in
+  * carries the same cursor/ledger/resync/strict/health/`attach`
+  * doctrine for the join shape, including the
+  * [[CdcConsumer.MaxLedgerBytes]] ledger compaction): no `viaDiff`
+  * (the changed-keys + refetch protocol is the only steady-state
+  * mode — one diff feed cannot carry the OTHER side's half of a
+  * joined row, so a diff-driven join poll would still refetch; the
+  * refetch spelling states that honestly). A protocol fix landing in
   * either class should be checked against the other.
   */
 class JoinCdcConsumer[
@@ -362,6 +366,24 @@ class JoinCdcConsumer[
     writeCursors(nl, nr)
     (nl, nr)
   }
+
+  /** Run this consumer as a continuous micro-batch job
+    * ([[CdcConsumer.attach]]'s contract): each tick triggers one
+    * [[syncOnce]] poll over BOTH upstream feeds. The tick stream only
+    * paces the polls — cursors (not the checkpoint) carry the
+    * protocol state, so a replayed batch converges like any crash
+    * replay. */
+  def attach(
+      ticks: Dataset[_],
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ticks.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        syncOnce(); ()
+      }
+      .start()
 
   def queryAll() = executer.queryAll()
 }

@@ -241,4 +241,40 @@ class JoinCdcSpec extends AnyFunSuite {
     c.syncOnce()
     assert(state(c) == Map("red" -> ((1L, 5L))))
   }
+
+  test("attach runs the join protocol as a continuous micro-batch job") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val l = new Executer(FactByKey, TestTmp.dir("graft-jcdc5-l"),
+      ExecuterConfig(fanIn = 4, finalParts = 2))
+    val r = new Executer(DimByKey, TestTmp.dir("graft-jcdc5-r"),
+      ExecuterConfig(fanIn = 4, finalParts = 2))
+    l.execute(facts(("f1", "k1", 3L), ("f2", "k2", 9L)))
+    r.execute(dims(("k1", "red"), ("k2", "blue")))
+    val c = new JoinCdcConsumer(l, r, JoinByTag,
+      TestTmp.dir("graft-jcdc5-d"), ExecuterConfig(fanIn = 2, finalParts = 1),
+      strict = true)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ticks = MemoryStream[Int]
+    // ProcessingTime(0), not AvailableNow — the long-lived poll loop
+    // (the StreamingCdcSpec doctrine).
+    val q = c.attach(ticks.toDS(), TestTmp.dir("graft-jcdc5-ckpt"),
+      trigger = Trigger.ProcessingTime(0))
+    def poll(): Unit = { ticks.addData(1); q.processAllAvailable() }
+    try {
+      poll() // bootstrap through the streaming wrapper
+      assert(state(c) == Map("red" -> ((1L, 3L)), "blue" -> ((1L, 9L))))
+      assert(c.health.resyncCount == 1L)
+      // Both-side churn between ticks; the next tick's ONE poll
+      // absorbs both feeds.
+      l.execute(facts(("f1", "k1", 4L)))
+      r.execute(dims(("k2", "green")))
+      poll()
+      assert(state(c) == Map("red" -> ((1L, 4L)), "green" -> ((1L, 9L))))
+      val h = c.health
+      assert(h.resyncCount == 1L && h.lastPollChurn == 2L &&
+        h.leftLag == 0L && h.rightLag == 0L,
+        s"streamed incremental poll health: $h")
+    } finally q.stop()
+  }
 }
