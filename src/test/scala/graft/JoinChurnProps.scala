@@ -41,6 +41,7 @@ object JoinChurnProps extends Properties("JoinChurn") {
   private case object CompactLeft extends Op
   private case object CompactRight extends Op
   private case object Poll extends Op
+  private case object Restart extends Op
 
   private val genOp: Gen[Op] = Gen.frequency(
     5 -> (for {
@@ -63,7 +64,8 @@ object JoinChurnProps extends Properties("JoinChurn") {
     } yield PurgeDims(ks)),
     1 -> Gen.const(CompactLeft),
     1 -> Gen.const(CompactRight),
-    2 -> Gen.const(Poll))
+    2 -> Gen.const(Poll),
+    1 -> Gen.const(Restart))
 
   private val genSchedule: Gen[List[Op]] =
     Gen.chooseNum(2, 5).flatMap(n => Gen.listOfN(n, genOp))
@@ -87,9 +89,13 @@ object JoinChurnProps extends Properties("JoinChurn") {
     dimModel("k1") = "red"
     ex
   }
-  private lazy val consumer = new JoinCdcConsumer(left, right, JoinByTag,
-    TestTmp.dir("graft-jchurn-d"), ExecuterConfig(fanIn = 2, finalParts = 1),
-    strict = true)
+  private lazy val downDir = TestTmp.dir("graft-jchurn-d")
+  private def freshConsumer() = new JoinCdcConsumer(left, right, JoinByTag,
+    downDir, ExecuterConfig(fanIn = 2, finalParts = 1), strict = true)
+  private var consumerOpt: Option[JoinCdcConsumer[FactSum, DimTag, TagTotal]] =
+    None
+  private def consumer: JoinCdcConsumer[FactSum, DimTag, TagTotal] =
+    consumerOpt.getOrElse { val c = freshConsumer(); consumerOpt = Some(c); c }
 
   // Models keyed the way the engine sees ids (upper-cased).
   private val factModel =
@@ -122,6 +128,10 @@ object JoinChurnProps extends Properties("JoinChurn") {
       case CompactLeft => left.compact()
       case CompactRight => right.compact()
       case Poll => consumer.syncOnce()
+      case Restart =>
+        // A fresh consumer instance over the same store must resume
+        // from the durable cursor pair (the CdcChainProps restart op).
+        consumerOpt = Some(freshConsumer())
     }
   }
 
