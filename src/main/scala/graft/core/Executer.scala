@@ -2018,7 +2018,26 @@ class Executer[D, R <: Product: TypeTag](
         df.where(col(partCol).isin(fparts.map(Integer.valueOf): _*) &&
           $"reduce_key".isin(keysProbe.toSeq: _*))
       } else df.join(keysDF, Seq("reduce_key"), "left_semi")
-    val snapB = Some(manifestAt(sinceVersion))
+    // A zero-churn window needs NO old images: resolve the before side
+    // from the CURRENT manifest instead of time-travelling to a
+    // generation compact() may have reclaimed. Non-empty churn DOES
+    // need them, and they must come from DISK-resolvable state: this
+    // instance's manifest cache can outlive a compact() that reclaimed
+    // m<since>, which would make the poll's outcome depend on WHICH
+    // process asks (the writer answers from cache, a fresh handle
+    // throws FileNotFound). Refuse deterministically instead — the
+    // same loud-refusal class as the changed-records horizon (both
+    // found by StoreReaderChurnProps).
+    val snapB = Some(
+      if (keysProbe.isEmpty) manifestAt(cur)
+      else {
+        if (!exists(manifestFile(sinceVersion)))
+          throw new IllegalStateException(
+            s"diffSince: generation $sinceVersion's manifest was " +
+              "reclaimed by compact() — old images unavailable; consume " +
+              "changedKeysSince + queryKeys, or full-resync from finals")
+        manifestAt(sinceVersion)
+      })
     val before = pruned(
         relFor(treePath, treeReadSchema, snapB).where($"level" === 2), "part")
       .select((col("reduce_key") +: fields.map(f =>

@@ -411,7 +411,20 @@ object StoreReader {
     if (keys.length > maxChurnKeys) throw new IllegalStateException(
       s"diffSince: churn exceeds $maxChurnKeys keys — poll more often, " +
         "or full-resync via finals()")
-    val before = keysQuery(spark, storePath, keys, sinceVersion)
+    // Zero churn needs no old images — resolve the before side at the
+    // pinned CURRENT generation instead of `sinceVersion`, whose
+    // manifest a compact() may have reclaimed. Non-empty churn needs
+    // them, and a reclaimed manifest gets the engine's own
+    // deterministic refusal, not a bare FileNotFound (both surfaces'
+    // spelling pinned equal by StoreReaderChurnProps).
+    if (keys.nonEmpty &&
+        !fs.exists(new Path(root, s"_manifests/m$sinceVersion")))
+      throw new IllegalStateException(
+        s"diffSince: generation $sinceVersion's manifest was reclaimed " +
+          "by compact() — old images unavailable; consume " +
+          "changedKeysSince + keysQuery, or full-resync from finals()")
+    val before = keysQuery(spark, storePath, keys,
+      if (keys.isEmpty) cur else sinceVersion)
     val after = keysQuery(spark, storePath, keys, cur)
     // Per-SIDE ambiguity guard (code-review r15): the previous
     // joined-total check (rows > |keys|) could be masked by changed
@@ -428,13 +441,23 @@ object StoreReader {
           s"rows on the $side side, so before/after images cannot be " +
           "paired by reduce_key; use changedKeysSince + keysQuery")
     }
-    val fields = after.columns.toSeq.filterNot(_ == "reduce_key")
-    val b = before.select((col("reduce_key") +:
-      fields.map(f => col(f) as s"old_$f")) :+
-      lit(true).as("_was"): _*)
-    val a = after.select((col("reduce_key") +:
-      fields.map(f => col(f) as s"new_$f")) :+
-      lit(true).as("_is"): _*)
+    // Payload schema from whichever side still HOLDS one: a fully
+    // drained generation (every key deleted, no live file to salvage)
+    // degrades that side to the key-only frame, and deriving the diff
+    // columns from it alone silently dropped the OTHER side's images
+    // (a delete-everything window lost its old_* columns — found by
+    // StoreReaderChurnProps). The degraded side conforms with typed
+    // nulls, matching the engine's own null images.
+    val donor = if (after.columns.length > 1) after else before
+    val fieldSchema = donor.schema.fields.toSeq.filterNot(_.name == "reduce_key")
+    def side(df: DataFrame, prefix: String, flag: String): DataFrame = {
+      val have = df.columns.toSet
+      df.select((col("reduce_key") +: fieldSchema.map(f =>
+        (if (have(f.name)) col(f.name) else lit(null).cast(f.dataType))
+          .as(s"${prefix}_${f.name}"))) :+ lit(true).as(flag): _*)
+    }
+    val b = side(before, "old", "_was")
+    val a = side(after, "new", "_is")
     b.join(a, Seq("reduce_key"), "full_outer")
       .withColumn("change_type",
         when(col("_was").isNull, "insert")
