@@ -122,6 +122,20 @@ object Executer {
     if (i < 0) rel else rel.substring(0, i)
   }
 
+  /** The engine's case-insensitive document-id normalization (Spark's
+    * UTF8String upper-casing — locale-stable where JDK toUpperCase is
+    * not), shared so the external reader cannot drift from the ids the
+    * engine stored. */
+  private[graft] def normDocId(id: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(id)
+      .toUpperCase.toString
+
+  /** A normalized doc id's map partition under `fanIn` — the pure
+    * function both [[Executer.contributionsOf]] and the external
+    * reader prune by (buckets = fanIn², bucket / fanIn = parent). */
+  private[graft] def parentOf(normId: String, fanIn: Int): Int =
+    graft.functions.StableBucketHash.hash(normId, fanIn * fanIn) / fanIn
+
   /** Decode side of the length-prefixed UTF-8 string record used by
     * every driver-local state file — ONE definition shared by the
     * engine's readers and the external reader's tombstone decode so the
@@ -881,9 +895,7 @@ class Executer[D, R <: Product: TypeTag](
     * from it on non-ASCII under some default locales (tr-TR dotted i),
     * which would make [[deleteDocuments]]/[[contributionsOf]] silently
     * miss stored ids. */
-  private def normId(id: String): String =
-    org.apache.spark.unsafe.types.UTF8String.fromString(id)
-      .toUpperCase.toString
+  private def normId(id: String): String = Executer.normDocId(id)
 
   // ---------------------------------------------------------------------
   // Ingest / update — mirrors `Executer.Execute` (`Executer.cs:31-45`)
@@ -2310,7 +2322,7 @@ class Executer[D, R <: Product: TypeTag](
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
       val id = normId(docId)
-      val parent = StableBucketHash.hash(id, config.buckets) / config.fanIn
+      val parent = Executer.parentOf(id, config.fanIn)
       readMapResults()
         .where($"parent" === parent && $"doc_id" === id)
         .select("reduce_key", "bucket")

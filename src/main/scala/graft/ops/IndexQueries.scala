@@ -447,6 +447,24 @@ object IndexQueries {
         .select($"doc_id")
     },
 
+    // q56's REVERSE provenance ENGINE-FREE (`StoreReader
+    // .contributionsOf`): the first %97 mover's (reduce key, bucket)
+    // rows from the shared q41 store, pruned to ONE map partition via
+    // the shared parent hash. The mover's OLD map row (its original
+    // priority) is still in the raw files, dead under a tombstone — a
+    // green single-row '1-URGENT' result proves the external overlay
+    // kills it exactly like the engine's own read; without the overlay
+    // this returns two rows and hash-mismatches.
+    "q124_external_contributions" -> { (s, dir) =>
+      import s.implicits._
+      val (ex, _) = ordersByPriorityUpdated(s, dir)
+      val k = t(s, dir, "orders").filter($"o_orderkey" % 97 === 0)
+        .agg(org.apache.spark.sql.functions.min($"o_orderkey"))
+        .as[Long].head()
+      graft.sources.StoreReader.contributionsOf(s, ex.storePath, s"orders-$k")
+        .select($"reduce_key")
+    },
+
     // q99's SQL-only consumer ENGINE-FREE (`StoreReader.registerView`):
     // a vanilla Spark SQL client resolves the store's current
     // generation into a temp view with no Executer anywhere — q40's
@@ -1335,6 +1353,10 @@ object IndexQueries {
         |FROM orders
         |WHERE CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
         |           ELSE o_orderpriority END = '1-URGENT'""".stripMargin,
+    "q124_external_contributions" ->
+      """SELECT '1-URGENT' AS reduce_key FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders
+        |                    WHERE o_orderkey % 97 = 0)""".stripMargin,
     "q123_external_sql_view" -> custByNationOracle,
     // The join recomputed from the post-churn document states: orders
     // (custkey%5 subspace) with the %21 re-price, customers with the

@@ -74,7 +74,7 @@ object SharedBuilds {
         "q107_cdc_diff", "q106c_cdc_rollup_direct",
         "q114_external_read", "q115_external_changed_keys",
         "q116_external_diff", "q119_compacted_read",
-        "q122_external_contributors"),
+        "q122_external_contributors", "q124_external_contributions"),
       cacheTag = Some("ordersbypriorityupdated"))(
       (_, dir) => IndexQueries.storeBuilt("OrdersByPriorityUpdated", dir))(
       (s, dir) => IndexQueries.warmStore("OrdersByPriorityUpdated", s, dir)),

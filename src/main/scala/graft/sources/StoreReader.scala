@@ -255,37 +255,93 @@ object StoreReader {
             .option("basePath", new Path(root, "map_results").toString)
             .parquet(files.map(f => new Path(root, f).toString): _*)
             .where(col("reduce_key") === key)
-          val local: Seq[(String, Int)] = snap.tombLocal.map { rel =>
-            val in = new java.io.DataInputStream(
-              fs.open(new Path(root, rel)))
-            try Executer.decodeTombFile(in) finally in.close()
-          }.getOrElse(Nil)
-          val distFiles = snap.live.getOrElse("tombstones", Vector.empty)
-          val tomb: Option[DataFrame] =
-            (local.nonEmpty, distFiles.nonEmpty) match {
-              case (false, false) => None
-              case _ =>
-                import spark.implicits._
-                val localDf = local.toDF("doc_id", "tomb_seq")
-                val all =
-                  if (distFiles.isEmpty) localDf
-                  else {
-                    val dist = spark.read.parquet(
-                      distFiles.map(f => new Path(root, f).toString): _*)
-                    if (local.isEmpty) dist else localDf.unionByName(dist)
-                  }
-                Some(all.groupBy(col("doc_id"))
-                  .agg(org.apache.spark.sql.functions.max(col("tomb_seq"))
-                    .as("tomb_seq")))
+          liveMapRows(spark, fs, root, snap, rows)
+            .select(col("doc_id"), col("bucket"))
+        }
+    }
+  }
+
+  /** Apply the snapshot's merge-on-read tombstone overlay to a
+    * `map_results` scan — the shared spelling behind [[contributors]]
+    * and [[contributionsOf]]: the manifest's local tombstone file plus
+    * its distributed tombstone parquet, max-merged per doc, broadcast
+    * against the scan; a row survives iff no tombstone for its doc is
+    * newer than the batch that wrote it (`seq >= tomb_seq`). */
+  private def liveMapRows(spark: SparkSession, fs: FileSystem, root: Path,
+      snap: graft.core.Snapshot, rows: DataFrame): DataFrame = {
+    val local: Seq[(String, Int)] = snap.tombLocal.map { rel =>
+      val in = new java.io.DataInputStream(
+        fs.open(new Path(root, rel)))
+      try Executer.decodeTombFile(in) finally in.close()
+    }.getOrElse(Nil)
+    val distFiles = snap.live.getOrElse("tombstones", Vector.empty)
+    val tomb: Option[DataFrame] =
+      (local.nonEmpty, distFiles.nonEmpty) match {
+        case (false, false) => None
+        case _ =>
+          import spark.implicits._
+          val localDf = local.toDF("doc_id", "tomb_seq")
+          val all =
+            if (distFiles.isEmpty) localDf
+            else {
+              val dist = spark.read.parquet(
+                distFiles.map(f => new Path(root, f).toString): _*)
+              if (local.isEmpty) dist else localDf.unionByName(dist)
             }
-          val live = tomb match {
-            case None => rows
-            case Some(t) =>
-              rows.join(org.apache.spark.sql.functions.broadcast(t),
-                  Seq("doc_id"), "left")
-                .where(col("tomb_seq").isNull || col("seq") >= col("tomb_seq"))
+          Some(all.groupBy(col("doc_id"))
+            .agg(org.apache.spark.sql.functions.max(col("tomb_seq"))
+              .as("tomb_seq")))
+      }
+    tomb match {
+      case None => rows
+      case Some(t) =>
+        rows.join(org.apache.spark.sql.functions.broadcast(t),
+            Seq("doc_id"), "left")
+          .where(col("tomb_seq").isNull || col("seq") >= col("tomb_seq"))
+    }
+  }
+
+  /** Reverse provenance, engine-free: every (reduce key, bucket) a
+    * document feeds — [[graft.core.Executer.contributionsOf]]'s twin
+    * (reference `Executer.cs:245-250`). Prunes to ONE map partition:
+    * the doc's parent is a pure function of its normalized id
+    * ([[graft.core.Executer.parentOf]], fanIn read from the persisted
+    * `_config`), so the plan reads 1/fanIn of `map_results` at any
+    * store size, through the same tombstone overlay as
+    * [[contributors]]. A store predating `_config` falls back to the
+    * full map file list (correct, unpruned). */
+  def contributionsOf(spark: SparkSession, storePath: String, docId: String,
+      version: Long = -1L): DataFrame = {
+    val (fs, root) = fsFor(spark, storePath)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("reduce_key", StringType),
+        StructField("bucket", org.apache.spark.sql.types.IntegerType))))
+    snapOf(fs, root, storePath, version) match {
+      case None => empty
+      case Some(snap) =>
+        val files = snap.live.getOrElse("map_results", Vector.empty)
+        if (files.isEmpty) empty
+        else {
+          val id = Executer.normDocId(docId)
+          val cfg = new Path(root, "_config")
+          val pruned =
+            if (!fs.exists(cfg)) files
+            else {
+              val in = new java.io.DataInputStream(fs.open(cfg))
+              val fanIn = try in.readInt() finally in.close()
+              val parent = Executer.parentOf(id, fanIn)
+              files.filter(_.startsWith(s"map_results/parent=$parent/"))
+            }
+          if (pruned.isEmpty) empty
+          else {
+            val rows = spark.read
+              .option("basePath", new Path(root, "map_results").toString)
+              .parquet(pruned.map(f => new Path(root, f).toString): _*)
+              .where(col("doc_id") === id)
+            liveMapRows(spark, fs, root, snap, rows)
+              .select(col("reduce_key"), col("bucket"))
           }
-          live.select(col("doc_id"), col("bucket"))
         }
     }
   }

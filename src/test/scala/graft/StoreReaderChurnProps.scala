@@ -46,6 +46,7 @@ object StoreReaderChurnProps extends Properties("StoreReaderChurn") {
   private case class PurgeDocs(ids: List[Int]) extends Op
   private case class DeleteKey(state: Int) extends Op
   private case object Compact extends Op
+  private case object Rollback extends Op
 
   private val genOp: Gen[Op] = Gen.frequency(
     6 -> (for {
@@ -58,7 +59,8 @@ object StoreReaderChurnProps extends Properties("StoreReaderChurn") {
       ids <- Gen.listOfN(n, Gen.chooseNum(0, NumIds - 1))
     } yield PurgeDocs(ids)),
     1 -> Gen.chooseNum(0, states.size - 1).map(DeleteKey),
-    1 -> Gen.const(Compact))
+    1 -> Gen.const(Compact),
+    1 -> Gen.const(Rollback))
 
   private val genSchedule: Gen[List[Op]] =
     Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, genOp))
@@ -94,6 +96,11 @@ object StoreReaderChurnProps extends Properties("StoreReaderChurn") {
       case Compact =>
         ex.compact()
         lastCompactGen = ex.snapshotVersion()
+      case Rollback =>
+        // Writable time travel mid-churn: a no-op when the previous
+        // generation's manifest is no longer retained (compact).
+        try ex.rollbackTo(ex.snapshotVersion() - 1)
+        catch { case _: Exception => () }
     }
   }
 
@@ -121,6 +128,12 @@ object StoreReaderChurnProps extends Properties("StoreReaderChurn") {
     val contribOk =
       rows(StoreReader.contributors(spark, store, key)) ==
         rows(ex.contributors(key))
+    // Reverse provenance for a doc that churn may have re-stated,
+    // purged, or never ingested — the overlay must agree either way.
+    val doc = docId(math.abs(sched.hashCode) % NumIds)
+    val contribOfOk =
+      rows(StoreReader.contributionsOf(spark, store, doc)) ==
+        rows(ex.contributionsOf(doc))
 
     // CDC surface: compare from the horizon-legal floor of the window
     // (the oldest `since` both surfaces must still answer), and assert
@@ -157,12 +170,12 @@ object StoreReaderChurnProps extends Properties("StoreReaderChurn") {
       engineThrew && externalThrew
     }
 
-    val ok = finalsOk && pointOk && keysOk && contribOk && horizonOk &&
-      cdcOk && refusalOk
+    val ok = finalsOk && pointOk && keysOk && contribOk && contribOfOk &&
+      horizonOk && cdcOk && refusalOk
     if (!ok) println(s"STOREREADER DIVERGENCE: schedule=$sched v=$v " +
       s"key=$key finals=$finalsOk point=$pointOk keys=$keysOk " +
-      s"contrib=$contribOk horizon=$horizonOk($h/$hx) cdc=$cdcOk " +
-      s"refusal=$refusalOk")
+      s"contrib=$contribOk contribOf=$contribOfOk($doc) " +
+      s"horizon=$horizonOk($h/$hx) cdc=$cdcOk refusal=$refusalOk")
     ok
   }
 }
