@@ -47,6 +47,7 @@ object StoreReaderChurnProps extends Properties("StoreReaderChurn") {
   private case class DeleteKey(state: Int) extends Op
   private case object Compact extends Op
   private case object Rollback extends Op
+  private case object Reshape extends Op
 
   private val genOp: Gen[Op] = Gen.frequency(
     6 -> (for {
@@ -60,7 +61,8 @@ object StoreReaderChurnProps extends Properties("StoreReaderChurn") {
     } yield PurgeDocs(ids)),
     1 -> Gen.chooseNum(0, states.size - 1).map(DeleteKey),
     1 -> Gen.const(Compact),
-    1 -> Gen.const(Rollback))
+    1 -> Gen.const(Rollback),
+    1 -> Gen.const(Reshape))
 
   private val genSchedule: Gen[List[Op]] =
     Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, genOp))
@@ -68,15 +70,21 @@ object StoreReaderChurnProps extends Properties("StoreReaderChurn") {
   implicit private lazy val spark: org.apache.spark.sql.SparkSession =
     TestSpark.spark
 
-  private lazy val store = TestTmp.dir("graft-srchurn")
-  private lazy val ex = {
+  private var store = ""
+  private var exOpt: Option[Executer[Person, StatePop]] = None
+  private def ex: Executer[Person, StatePop] = exOpt.getOrElse {
+    store = TestTmp.dir("graft-srchurn")
     val e = new Executer(SRPeopleCountByState, store,
       ExecuterConfig(fanIn = 4, finalParts = 2))
     // Seed one generation so every external read resolves a manifest.
     e.execute(spark.createDataset(Seq(Person("p0", "CA")))(
       org.apache.spark.sql.Encoders.product[Person]))
+    exOpt = Some(e)
     e
   }
+  // Reshape alternates layouts so later schedules read a store whose
+  // _config (and with it the external pruning arithmetic) changed.
+  private var reshapes = 0
   // Generations we know are still pinnable (compact() reclaims).
   private var lastCompactGen = -1L
 
@@ -101,6 +109,18 @@ object StoreReaderChurnProps extends Properties("StoreReaderChurn") {
         // generation's manifest is no longer retained (compact).
         try ex.rollbackTo(ex.snapshotVersion() - 1)
         catch { case _: Exception => () }
+      case Reshape =>
+        // Layout migration mid-churn: every external read must stay
+        // engine-equal on the NEW store, whose _config carries a
+        // different fanIn/finalParts (different point/contributions
+        // pruning arithmetic).
+        reshapes += 1
+        val cfg =
+          if (reshapes % 2 == 1) ExecuterConfig(fanIn = 8, finalParts = 4)
+          else ExecuterConfig(fanIn = 4, finalParts = 2)
+        val dst = TestTmp.dir("graft-srchurn-rs") + "/s"
+        exOpt = Some(ex.reshapeTo(dst, cfg))
+        store = dst
     }
   }
 
