@@ -25,6 +25,8 @@ object ProfileUpdate {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -66,12 +68,48 @@ object ProfileUpdate {
     ex.execute(batchOf(1)) // warmups
     ex.execute(batchOf(1))
 
+    // Poor-man's profiler: sample the main thread's stack during each
+    // update so the inter-job gaps (driver-side planning/FS work) are
+    // attributable to frames, not guessed at.
+    val mainThread = Thread.currentThread()
+    val samples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var sampling = false
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling) {
+          val st = mainThread.getStackTrace
+          // First frame inside spark/graft that is not a generic wait.
+          val key = st.find { f =>
+            val c = f.getClassName
+            (c.startsWith("org.apache.spark.sql.catalyst") ||
+              c.startsWith("org.apache.spark.sql.execution") ||
+              c.startsWith("org.apache.hadoop") ||
+              c.startsWith("graft.")) && !c.contains("Profile")
+          }.map(f => s"${f.getClassName.split('.').takeRight(2).mkString(".")}.${f.getMethodName}")
+            .getOrElse(st.headOption.map(f =>
+              s"${f.getClassName.split('.').takeRight(1).mkString}.${f.getMethodName}").getOrElse("?"))
+          samples.merge(key, 1, (a, b) => a + b)
+        }
+        Thread.sleep(10)
+      }
+    }, "gap-sampler")
+    sampler.setDaemon(true)
+    sampler.start()
+
     for (round <- 1 to 3) {
       val b = batchOf(1)
       jobs.clear()
+      samples.clear()
+      sampling = true
       val t0 = System.currentTimeMillis()
       ex.execute(b)
+      sampling = false
       val total = System.currentTimeMillis() - t0
+      locally {
+        import scala.jdk.CollectionConverters._
+        val top = samples.asScala.toSeq.sortBy(-_._2).take(12)
+        top.foreach { case (k, n) => println(f"  ${n * 10}%5dms~ $k") }
+      }
       val js = jobs.values().toArray(Array.empty[J]).sortBy(_.submitted)
       println(s"== update $round: total ${total}ms, ${js.length} jobs " +
         s"(stats: ${ex.lastStats})")

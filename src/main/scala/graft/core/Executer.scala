@@ -1119,8 +1119,7 @@ class Executer[D, R <: Product: TypeTag](
         val smallBuild = config.fanIn <= 32 && batchDocs <= 100000
         def buildWrites(): Unit = {
           writeDirtyLogLocal(Seq(("", FullRebuild)))
-          writePartitioned(mapped, mapResultsPath, Seq("parent")); jobs += 1
-          rereduceAll(); jobs += 1
+          buildFromMapOutput(mapped); jobs += 2
           clearDirtyLog()
         }
         if (smallBuild) withTinyShuffle(8, codegenOff = false)(buildWrites())
@@ -1228,7 +1227,7 @@ class Executer[D, R <: Product: TypeTag](
           def startAppend(): () => Unit = {
             val session = spark
             val manifest = pending != null
-            val fut = java.util.concurrent.CompletableFuture.runAsync { () =>
+            val fut = java.util.concurrent.CompletableFuture.supplyAsync { () =>
               // SQLConf.get in the job thread resolves via the active-
               // session thread-local; a fresh pool thread has none.
               org.apache.spark.sql.SparkSession.setActiveSession(session)
@@ -1236,16 +1235,27 @@ class Executer[D, R <: Product: TypeTag](
                 .sortWithinPartitions($"parent", $"reduce_key")
                 .write.partitionBy("parent")
               // Manifest stores append via staging too: the merge's
-              // file renames (on the driver, at join) are what tells
-              // the model EXACTLY which files this batch added — no
-              // listing diff that could adopt a crashed batch's
-              // orphans.
-              if (manifest) w.mode("overwrite").parquet(s"$mapResultsPath.staging")
-              else w.mode("append").parquet(mapResultsPath)
+              // file renames are what tells the model EXACTLY which
+              // files this batch added — no listing diff that could
+              // adopt a crashed batch's orphans. The rename fan-out is
+              // pure filesystem work and merged files stay invisible
+              // until the model names them at publish, so it runs here,
+              // overlapping the tree rewrite, instead of serializing at
+              // join; only the model mutation stays on the writer
+              // thread. A crash between the renames and the publish
+              // leaves orphans compact() sweeps — the same contract as
+              // a crash before the renames.
+              if (manifest) {
+                w.mode("overwrite").parquet(s"$mapResultsPath.staging")
+                mergeStagedDir(mapResultsPath)
+              } else {
+                w.mode("append").parquet(mapResultsPath)
+                Vector.empty[String]
+              }
             }
             () => {
-              fut.join()
-              if (manifest) modelAddFiles(mergeStagedDir(mapResultsPath))
+              val rels = fut.join()
+              if (manifest) modelAddFiles(rels)
             }
           }
           // The probe: (distinct dirty pairs, any stale row seen, probe
@@ -1422,12 +1432,13 @@ class Executer[D, R <: Product: TypeTag](
           // incremental).
           if (rebuildChosen) {
             // The first-build sequence, applied to (survivors + batch):
-            // FullRebuild WAL sentinel, one staged whole-table map write,
-            // one whole-tree reduce. A crash replays rereduceAll over
-            // whatever generation is PUBLISHED (the old one until
-            // clearDirtyLog's publish) — idempotent, batch invisible,
-            // re-submitting completes it (RebuildFallbackSpec pins the
-            // kill-mid-fallback window).
+            // FullRebuild WAL sentinel, then one clustered pass whose
+            // cached output feeds the whole-table map write and the
+            // whole-tree reduce concurrently (buildFromMapOutput). A
+            // crash replays rereduceAll over whatever generation is
+            // PUBLISHED (the old one until clearDirtyLog's publish) —
+            // idempotent, batch invisible, re-submitting completes it
+            // (RebuildFallbackSpec pins the kill-mid-fallback window).
             stageRebuildOldKeys()
             writeDirtyLogLocal(Seq(("", FullRebuild)))
             // The trigger requires !idsSmall, so the batch's ids are an
@@ -1436,16 +1447,15 @@ class Executer[D, R <: Product: TypeTag](
             // forbids).
             val survivors = readMapResults()
               .join(incomingIds, Seq("doc_id"), "left_anti")
-            writePartitioned(survivors.unionByName(mappedP),
-              mapResultsPath, Seq("parent")); jobs += 1
-            // The rewrite physically excluded every tombstoned row and
-            // every prior row of the incoming ids: clear (retire) the
-            // tombstone state before the tree reads map_results, exactly
-            // as a fold would — readers holding pre-rebuild snapshots
-            // keep resolving the old tombstone files until GC.
+            // The rewrite physically excludes every tombstoned row and
+            // every prior row of the incoming ids (`survivors`' plan was
+            // resolved against the pre-batch snapshot, tombstone overlay
+            // included): clear (retire) the tombstone state up front,
+            // exactly as a fold would — readers holding pre-rebuild
+            // snapshots keep resolving the old tombstone files until GC.
             modelRetireTable("tombstones")
             modelSetTombLocal(None)
-            rereduceAll(); jobs += 1
+            buildFromMapOutput(survivors.unionByName(mappedP)); jobs += 2
             _lastStats = Some(MaintenanceStats("rebuild-fallback",
               jobs, -1, dirtyLower.toInt, -1,
               (System.nanoTime() - t0) / 1000000))
@@ -1733,9 +1743,11 @@ class Executer[D, R <: Product: TypeTag](
     * level-2 branch of the union reuses them instead of a write +
     * read-back barrier, and the tree is never visible with only one
     * level present. */
-  private def rereduceAll(): Unit = {
-    val newPartials = reduceByKeyParent(readMapResults())
-      .select("parent", "reduce_key", "payload").persist()
+  private def rereduceAll(clusteredMapOut: Option[DataFrame] = None): Unit = {
+    val newPartials = (clusteredMapOut match {
+      case Some(arranged) => partialsFromClustered(arranged)
+      case None => reduceByKeyParent(readMapResults())
+    }).select("parent", "reduce_key", "payload").persist()
     try {
       val newFinals = reduceByKey(newPartials)
         .withColumn("fpart", pmod(hash($"reduce_key"), lit(config.finalParts)))
@@ -1744,6 +1756,105 @@ class Executer[D, R <: Product: TypeTag](
         tagLevel1(newPartials).unionByName(tagLevel2(newFinals)),
         treePath, Seq("level", "part"))
     } finally newPartials.unpersist()
+  }
+
+  /** Whole-table map write + whole-tree re-reduce from ONE clustered,
+    * cached pass over the batch's map output (initial builds and the
+    * rebuild fallback). The legacy spelling wrote `map_results`, then
+    * re-read and re-listed the just-written table to build the tree — a
+    * full extra scan plus a fresh file index — and ran the two table
+    * writes sequentially. Here one shuffle clusters the map output by
+    * `parent` (sorted by reduce_key inside each parent, the layout both
+    * consumers need), the pass is cached, and the map-results write —
+    * needing no further shuffle — runs CONCURRENTLY with the tree
+    * computation, so the build's wall clock pays max(map write, tree)
+    * instead of write + re-read + tree. Crash contract unchanged: the
+    * caller's FullRebuild WAL sentinel precedes both writes, each write
+    * commits atomically on its own, and recovery replays rereduceAll
+    * over whatever map state committed. Model mutations stay on the
+    * calling (writer) thread — the async thread only runs the staged
+    * parquet job, exactly like the update path's startAppend. */
+  private def buildFromMapOutput(mapOut: DataFrame): Unit = {
+    val arranged = mapOut
+      .repartition($"parent")
+      .sortWithinPartitions($"parent", $"reduce_key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val session = spark
+      val manifest = pending != null
+      val fut = java.util.concurrent.CompletableFuture.supplyAsync { () =>
+        // SQLConf.get in the job thread resolves via the active-session
+        // thread-local; a fresh pool thread has none.
+        org.apache.spark.sql.SparkSession.setActiveSession(session)
+        val w = arranged.write.partitionBy("parent").mode("overwrite")
+        if (manifest) {
+          w.parquet(s"$mapResultsPath.staging")
+          // The rename fan-out is pure filesystem work (no model
+          // mutation) and merged files stay invisible until the model
+          // names them at publish — run it here so it overlaps the tree
+          // write instead of serializing after it. A crash between the
+          // renames and the publish leaves orphans compact() sweeps,
+          // the same contract as a crash before the renames.
+          mergeStagedDir(mapResultsPath)
+        } else { w.parquet(mapResultsPath); Vector.empty[String] }
+      }
+      try rereduceAll(Some(arranged))
+      finally {
+        val rels = fut.join()
+        if (manifest) {
+          modelRetireTable("map_results")
+          modelAddFiles(rels)
+        } else bumpStoreVersion()
+      }
+    } finally arranged.unpersist(false)
+  }
+
+  /** Level-1 partials from map output already clustered by `parent` and
+    * sorted by (parent, reduce_key) within partitions: every (key,
+    * parent) group is a contiguous run, so one streaming pass reduces
+    * each group in place — no shuffle, no hash map, no sort (the
+    * groupByKey spelling re-shuffles rows the build just clustered, and
+    * its object-hash aggregation falls back to a full sort past 128
+    * distinct keys per partition). Serves single- and multi-output
+    * reduces alike; groups stream through the user's reduce as lazy
+    * iterators, same as the flatMapGroups path. */
+  private def partialsFromClustered(arranged: DataFrame): DataFrame = {
+    val t = task // local val: the closure must not capture `this`
+    implicit val encIn: Encoder[(String, Int, R)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaInt, encR)
+    arranged.select($"reduce_key", $"parent", $"payload")
+      .as[(String, Int, R)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(String, Int, R)] {
+          private var outs: Iterator[R] = Iterator.empty
+          private var curKey: String = _
+          private var curParent: Int = _
+          private def advance(): Unit =
+            while (!outs.hasNext && buf.hasNext) {
+              val key = buf.head._1
+              val par = buf.head._2
+              val run = new Iterator[R] {
+                def hasNext: Boolean = buf.hasNext &&
+                  buf.head._2 == par && buf.head._1 == key
+                def next(): R = buf.next()._3
+              }
+              // Force the user's (possibly lazy) outputs while the run
+              // iterator is still valid, then drain any unconsumed
+              // remainder of the run. Outputs per group are small by the
+              // reduce contract; the inputs stream.
+              val reduced = t.reduce(run).toVector
+              while (run.hasNext) run.next()
+              curKey = key; curParent = par
+              outs = reduced.iterator
+            }
+          def hasNext: Boolean = { advance(); outs.hasNext }
+          def next(): (String, Int, R) = {
+            advance(); val r = outs.next(); (curKey, curParent, r)
+          }
+        }
+      }
+      .toDF("reduce_key", "parent", "payload")
   }
 
   private def rereduce(dirty: DataFrame,
