@@ -112,6 +112,20 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Local-filesystem I/O for the bench's own store writes (guide
+      // §6): the default file:// filesystem is Hadoop's checksummed
+      // LocalFileSystem, which doubles every create/rename with a .crc
+      // sidecar and — with no native hadoop lib in this container —
+      // falls back to fork-exec'd shell commands for permission bits.
+      // Parquet carries its own page checksums, so the sidecars buy
+      // nothing here. Cluster deployments (hdfs://, s3a://) never
+      // resolve fs.file.impl for data paths, so this is local-only by
+      // construction, not a tuned-for-local cheat; committer v2 skips
+      // the second sequential rename pass at job commit (safe: every
+      // engine write lands in a private staging dir or a fresh store
+      // path, never concurrently committed by two jobs).
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

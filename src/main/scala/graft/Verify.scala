@@ -25,6 +25,12 @@ object Verify {
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Same local-FS I/O settings as Bench (guide §6): skip the .crc
+      // sidecar filesystem and the fork-exec permission fallback, and
+      // use the v2 output committer. Purely an I/O-layer choice — the
+      // parquet bytes the oracle compares are identical.
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1749,13 +1749,71 @@ class Executer[D, R <: Product: TypeTag](
       case None => reduceByKeyParent(readMapResults())
     }).select("parent", "reduce_key", "payload").persist()
     try {
-      val newFinals = reduceByKey(newPartials)
-        .withColumn("fpart", pmod(hash($"reduce_key"), lit(config.finalParts)))
-        .select("fpart", "reduce_key", "payload")
-      writePartitioned(
-        tagLevel1(newPartials).unionByName(tagLevel2(newFinals)),
-        treePath, Seq("level", "part"))
+      clusteredMapOut match {
+        case Some(_) =>
+          // The partials inherit the map pass's parent clustering, so
+          // the level-1 leg of the tree write needs no shuffle; the
+          // finals' one shuffle is keyed by `fpart` — the exact layout
+          // the write wants — so the union lands with clustered=true:
+          // the whole tree write shares the finals' single exchange
+          // instead of re-shuffling both levels by (level, part).
+          val newFinals = finalsFromFpartClustered(newPartials)
+          writePartitioned(
+            tagLevel1(newPartials).unionByName(tagLevel2(newFinals)),
+            treePath, Seq("level", "part"), clustered = true)
+        case None =>
+          val newFinals = reduceByKey(newPartials)
+            .withColumn("fpart", pmod(hash($"reduce_key"), lit(config.finalParts)))
+            .select("fpart", "reduce_key", "payload")
+          writePartitioned(
+            tagLevel1(newPartials).unionByName(tagLevel2(newFinals)),
+            treePath, Seq("level", "part"))
+      }
     } finally newPartials.unpersist()
+  }
+
+  /** Finals from level-1 partials via ONE shuffle keyed by `fpart` (the
+    * final table's own partition column), sorted by (fpart, reduce_key)
+    * so each key's partials form a contiguous run — reduced by the same
+    * streaming pass as [[partialsFromClustered]], and already laid out
+    * for the tree write. A key never spans fparts (fpart is a function
+    * of the key), so runs are exact groups. */
+  private def finalsFromFpartClustered(partials: DataFrame): DataFrame = {
+    val t = task // local val: the closure must not capture `this`
+    implicit val encIn: Encoder[(Int, String, R)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.STRING, encR)
+    partials
+      .withColumn("fpart", pmod(hash($"reduce_key"), lit(config.finalParts)))
+      .repartition($"fpart")
+      .sortWithinPartitions($"fpart", $"reduce_key")
+      .select($"fpart", $"reduce_key", $"payload")
+      .as[(Int, String, R)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Int, String, R)] {
+          private var outs: Iterator[R] = Iterator.empty
+          private var curF: Int = _
+          private var curKey: String = _
+          private def advance(): Unit =
+            while (!outs.hasNext && buf.hasNext) {
+              val f = buf.head._1
+              val key = buf.head._2
+              val run = new Iterator[R] {
+                def hasNext: Boolean = buf.hasNext && buf.head._2 == key
+                def next(): R = buf.next()._3
+              }
+              val reduced = t.reduce(run).toVector
+              while (run.hasNext) run.next()
+              curF = f; curKey = key
+              outs = reduced.iterator
+            }
+          def hasNext: Boolean = { advance(); outs.hasNext }
+          def next(): (Int, String, R) = {
+            advance(); val r = outs.next(); (curF, curKey, r)
+          }
+        }
+      }
+      .toDF("fpart", "reduce_key", "payload")
   }
 
   /** Whole-table map write + whole-tree re-reduce from ONE clustered,
@@ -2751,22 +2809,26 @@ class Executer[D, R <: Product: TypeTag](
     * values), not O(tasks × values) — and parquet row-group min/max stats
     * on reduce_key let key-filtered scans skip row groups. */
   private def writePartitioned(
-      df: DataFrame, destPath: String, partitionCols: Seq[String]): Unit = {
+      df: DataFrame, destPath: String, partitionCols: Seq[String],
+      clustered: Boolean = false): Unit = {
     if (pending != null) {
       // Whole-table replacement, manifest spelling: stage + merge in, then
       // retire every previously-live file of the table (they stay on disk
       // for retained snapshots — a full rebuild over an existing store
       // must not physically overwrite what a reader may be scanning).
       val table = new Path(destPath).getName
-      val newRels = stagedWriteIn(df, destPath, partitionCols, clustered = false)
+      val newRels = stagedWriteIn(df, destPath, partitionCols, clustered)
       modelRetireTable(table)
       modelAddFiles(newRels)
       return
     }
     val pcols = partitionCols.map(col)
-    df.repartition(pcols: _*)
-      .sortWithinPartitions(pcols :+ $"reduce_key": _*)
-      .write.partitionBy(partitionCols: _*).mode("overwrite").parquet(destPath)
+    val arranged =
+      if (clustered) df.sortWithinPartitions(pcols :+ $"reduce_key": _*)
+      else df.repartition(pcols: _*)
+        .sortWithinPartitions(pcols :+ $"reduce_key": _*)
+    arranged.write.partitionBy(partitionCols: _*).mode("overwrite")
+      .parquet(destPath)
     bumpStoreVersion()
   }
 
