@@ -148,6 +148,14 @@ object JoinChurnProps extends Properties("JoinChurn") {
 
   property("random both-side churn schedules ≡ from-scratch join") =
     Prop.forAll(genSchedule) { sched =>
+      // Materialize the lazy stores BEFORE any op runs: their
+      // initializers also seed the in-memory models, so a schedule
+      // whose FIRST op is a purge used to remove from a still-empty
+      // model and then trigger the init, which re-added the seed row
+      // the store had just correctly deleted — a false divergence
+      // (model wrong, engine right; found by seed
+      // 50dwiF66lhq4QFM6dP2hI9OkipwgbncKuOyUSZ_343D=).
+      locally { left; right }
       sched.foreach(run)
       consumer.syncOnce() // close the schedule: the downstream catches up
       val got = consumer.queryAll().collect()
