@@ -1616,8 +1616,12 @@ class Executer[D, R <: Product: TypeTag](
       newRows.select($"reduce_key", $"parent", $"payload"))
     // The per-(key, parent) delta — reused by the partials merge AND the
     // finals merge below, which land in ONE write job; persisted so the
-    // two branches of that job's union share the shuffle.
-    val deltaPartials = reduceByKeyParent(delta0)
+    // two branches of that job's union share the shuffle. Inputs are
+    // O(batch), so the clustered streaming spelling applies (same
+    // shuffle the groupByKey would pay, minus the AppendColumns churn
+    // and the object-hash sort fallback past 128 keys per partition —
+    // a wide-fan-out batch like a shingle index's always exceeds it).
+    val deltaPartials = reduceByKeyParentSmall(delta0)
       .select("parent", "reduce_key", "payload").persist()
     try {
       // Dirty partition sets: free from the driver pairs, else one
@@ -1647,7 +1651,7 @@ class Executer[D, R <: Product: TypeTag](
 
       val oldPartials = readPartials()
         .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
-      val mergedPartials = reduceByKeyParent(
+      val mergedPartials = reduceByKeyParentSmall(
           matchKeys(oldPartials).unionByName(deltaPartials))
         .select($"reduce_key", $"parent", $"payload").as[(String, Int, R)]
         .filter(x => !t.isZero(x._3))
@@ -1700,7 +1704,7 @@ class Executer[D, R <: Product: TypeTag](
     val keyPred = $"reduce_key".isin(dirtyKeys: _*)
 
     val level0 = level0Source.where(keyPred)
-    val newPartials = reduceByKeyParent(level0)
+    val newPartials = reduceByKeyParentSmall(level0)
       .select("parent", "reduce_key", "payload")
     val partialsOut = readPartials()
       .where($"parent".isin(dirtyParents.map(Integer.valueOf): _*))
@@ -1866,6 +1870,21 @@ class Executer[D, R <: Product: TypeTag](
       }
     } finally arranged.unpersist(false)
   }
+
+  /** The driver-small update paths' (key, parent) reduce: cluster by
+    * parent, sort, and reduce the contiguous runs via
+    * [[partialsFromClustered]]. Same single narrow shuffle the
+    * groupByKey spelling pays, without the AppendColumns key
+    * serialization or the object-hash sort fallback. The DISTRIBUTED
+    * large-batch path ([[rereduce]]) deliberately keeps the Aggregator
+    * spelling: its map-side combine shrinks what a corpus-sized level-0
+    * slice ships across the exchange, which matters there and not in
+    * the O(batch)/O(dirty) inputs this serves. */
+  private def reduceByKeyParentSmall(df: DataFrame): DataFrame =
+    partialsFromClustered(
+      df.select($"reduce_key", $"parent", $"payload")
+        .repartition($"parent")
+        .sortWithinPartitions($"parent", $"reduce_key"))
 
   /** Level-1 partials from map output already clustered by `parent` and
     * sorted by (parent, reduce_key) within partitions: every (key,
